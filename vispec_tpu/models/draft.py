@@ -1,0 +1,588 @@
+"""ViSpec draft model: 1-layer EAGLE-style drafter + vision adaptor, TPU-native.
+
+Re-design of the reference draft (vispec/model/cnets_ours.py):
+
+- ``ImgAdaptor`` (:603-661): ``num_q`` learned queries cross-attend over an image
+  span's embeddings -> num_q compressed tokens.
+- Prefill restructuring (:896-975): per image span, text tokens are fused with the
+  previous span's last adapted vector via ``img_fc`` then with their token embeds
+  via ``fc``; the image span is replaced by the first ``num_q - 1`` adapted tokens
+  (keeping the span's last positions' position-ids); the final adapted token
+  becomes the cached ``last_img_hidden`` broadcast into all later text.
+- Decode steps (:976-988): every token takes ``fc([embed; img_fc([hidden;
+  last_img_hidden])])``.
+- ``topK_genrate`` (:1043-1238): depth-limited beam tree growth then global
+  top-`total_tokens` re-ranking.
+
+The TPU-native difference: the reference restructures the sequence with host
+Python loops over dynamic spans.  Here a *host-side integer plan*
+(:class:`PrefillPlan`, built once per prompt from the image mask — plain numpy,
+no device sync) drives fully static gathers/scatters inside jit, and the beam
+expansion is a static ``depth``-step loop producing the flat candidate pool that
+``ops.tree.build_tree`` re-ranks on device.
+
+Draft weights (names follow the HF ``JLKang/ViSpec-*`` checkpoints so the
+converter is 1:1 — module tree at cnets_ours.py:683-757):
+  embed:      [vocab, hidden]          (frozen copy of target's)
+  layer:      dict like one llama.py layer, but NO input_norm (layer index 0
+              skips input_layernorm — cnets_ours.py:537-539)
+  fc_w:       [2*hidden, hidden], fc_b: [hidden]          (bias if cfg.fc_bias)
+  img_fc_w:   [2*hidden, hidden], img_fc_b: [hidden]
+  adaptor: q: [num_q, heads, head_dim], wk/wv: [hidden, heads*head_dim]
+           (+ bk/bv if qkv_bias), wo: [heads*head_dim, hidden]
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..configs import DraftConfig, SpecConfig
+from ..ops import rope as rope_ops
+from ..ops.attention import attend
+from ..ops.kv_cache import KVCache, advance, init_cache
+from ..ops.tree import Tree, build_tree
+from .llama import rms_norm, swiglu_mlp
+
+
+# ---------------------------------------------------------------------------
+# Host-side prefill plan (per prompt, integers only)
+# ---------------------------------------------------------------------------
+
+
+class PrefillPlan(NamedTuple):
+    """Restructure plan for the draft's compressed prefill — a *traced* pytree
+    (arrays + int32 scalars) so changing prompts never recompiles; only the
+    bucket sizes (pad_len, max_images, max_span — array shapes) key the jit.
+
+    gather_src: [pad_len] int32 — source index into the original sequence for
+        text slots (embeds/hiddens); arbitrary (0) for adapted slots.
+    pos_ids:   [pad_len] int32 — position id of every compressed slot.
+    is_adapted:[pad_len] bool  — slot holds an adapted image token.
+    adapt_src: [pad_len] int32 — flat (image * (num_q-1) + q) index for adapted
+        slots; 0 elsewhere.
+    seg_id:    [pad_len] int32 — which last-img vector text slots fuse with
+        (0 = zeros / before any image, s = image s-1's last adapted token).
+    span_start:[max_images] int32, span_len: [max_images] int32 — image spans in
+        the original sequence; zero-length spans are padding.
+    num_images: [] int32 — actual image count (<= max_images).
+    comp_len:  [] int32 — compressed length L_c.
+    real_len:  [] int32 — logical sequence length L (position count).
+    """
+
+    gather_src: jax.Array
+    pos_ids: jax.Array
+    is_adapted: jax.Array
+    adapt_src: jax.Array
+    seg_id: jax.Array
+    span_start: jax.Array
+    span_len: jax.Array
+    num_images: jax.Array
+    comp_len: jax.Array
+    real_len: jax.Array
+
+
+def make_prefill_plan(
+    image_mask: Optional[np.ndarray],  # [L] bool — SHIFTED mask (cnets_ours.py:880)
+    seq_len: int,
+    num_q: int,
+    pad_len: int,
+    max_images: int = 4,
+    max_span: int = 1,
+) -> Tuple[PrefillPlan, int]:
+    """Build the compressed-sequence layout from consecutive-True image spans
+    (host-side numpy, once per prompt — no device sync).
+
+    Mirrors the span walk at cnets_ours.py:879-956: spans end where the mask
+    drops (or at the final position if still True); each span contributes
+    ``num_q - 1`` slots carrying the span's last ``num_q - 1`` position ids.
+
+    ``max_span`` is the padded adaptor span bucket; callers should round the
+    true max span length up to a bucket to limit recompiles.  Returns
+    (plan, required_max_span) — re-call with a bigger bucket if needed.
+    """
+    gather = np.zeros(pad_len, np.int32)
+    pos = np.zeros(pad_len, np.int32)
+    is_ad = np.zeros(pad_len, bool)
+    ad_src = np.zeros(pad_len, np.int32)
+    seg = np.zeros(pad_len, np.int32)
+    spans = []
+
+    if image_mask is None:
+        image_mask = np.zeros(seq_len, bool)
+    else:
+        image_mask = np.asarray(image_mask, bool).reshape(-1)
+        # the mask may be one longer than the shifted token stream
+        image_mask = image_mask[:seq_len]
+        if image_mask.shape[0] < seq_len:
+            image_mask = np.pad(image_mask, (0, seq_len - image_mask.shape[0]))
+
+    out = 0
+    cur_seg = 0
+    i = 0
+    while i < seq_len:
+        if image_mask[i]:
+            j = i
+            while j + 1 < seq_len and image_mask[j + 1]:
+                j += 1
+            spans.append((i, j - i + 1))
+            # the span's last num_q-1 positions label the kept adapted tokens
+            for q in range(num_q - 1):
+                if out >= pad_len:
+                    raise ValueError(
+                        f"pad_len {pad_len} too small for compressed sequence "
+                        f"(seq_len={seq_len}, still at original index {i})"
+                    )
+                is_ad[out] = True
+                ad_src[out] = (len(spans) - 1) * (num_q - 1) + q
+                pos[out] = j - (num_q - 1) + 1 + q
+                out += 1
+            cur_seg = len(spans)
+            i = j + 1
+        else:
+            if out >= pad_len:
+                raise ValueError(
+                    f"pad_len {pad_len} too small for compressed sequence "
+                    f"(seq_len={seq_len}, still at original index {i})"
+                )
+            gather[out] = i
+            pos[out] = i
+            seg[out] = cur_seg
+            out += 1
+            i += 1
+
+    comp_len = out
+    if len(spans) > max_images:
+        raise ValueError(f"too many image spans ({len(spans)}) for max_images={max_images}")
+
+    span_start = np.zeros(max_images, np.int32)
+    span_len = np.zeros(max_images, np.int32)
+    for s, (st, ln) in enumerate(spans):
+        span_start[s] = st
+        span_len[s] = ln
+    required_span = int(span_len.max()) if spans else 1
+    max_span = max(max_span, required_span)
+
+    plan = PrefillPlan(
+        gather_src=jnp.asarray(gather),
+        pos_ids=jnp.asarray(pos),
+        is_adapted=jnp.asarray(is_ad),
+        adapt_src=jnp.asarray(ad_src),
+        seg_id=jnp.asarray(seg),
+        span_start=jnp.asarray(span_start),
+        span_len=jnp.asarray(span_len),
+        num_images=jnp.asarray(len(spans), jnp.int32),
+        comp_len=jnp.asarray(comp_len, jnp.int32),
+        real_len=jnp.asarray(seq_len, jnp.int32),
+    )
+    return plan, max_span
+
+
+# ---------------------------------------------------------------------------
+# Draft modules
+# ---------------------------------------------------------------------------
+
+
+def img_adaptor(params: dict, cfg: DraftConfig, span_embeds: jax.Array, span_mask: jax.Array) -> jax.Array:
+    """num_q learned queries cross-attend over one image span (cnets_ours.py:630-661).
+
+    span_embeds: [max_span, hidden] (padded); span_mask: [max_span] bool.
+    Returns [num_q, hidden].
+    """
+    h, d = cfg.num_attention_heads, cfg.head_dim
+    a = params["adaptor"]
+    k = jnp.dot(span_embeds, a["wk"], preferred_element_type=jnp.float32).astype(span_embeds.dtype)
+    v = jnp.dot(span_embeds, a["wv"], preferred_element_type=jnp.float32).astype(span_embeds.dtype)
+    if cfg.qkv_bias:
+        k = k + a["bk"].astype(k.dtype)
+        v = v + a["bv"].astype(v.dtype)
+    k = k.reshape(-1, h, d).transpose(1, 0, 2)  # [h, S, d]
+    v = v.reshape(-1, h, d).transpose(1, 0, 2)
+    q = a["q"].astype(k.dtype).transpose(1, 0, 2)  # [h, num_q, d]
+    mask = jnp.broadcast_to(span_mask[None, :], (cfg.num_q, span_mask.shape[0]))
+    out = attend(q, k, v, mask)  # [h, num_q, d]
+    out = out.transpose(1, 0, 2).reshape(cfg.num_q, h * d)
+    return jnp.dot(out, a["wo"], preferred_element_type=jnp.float32).astype(span_embeds.dtype)
+
+
+def fuse(params: dict, embeds: jax.Array, hidden: jax.Array, last_img: jax.Array) -> jax.Array:
+    """img_fc + fc input fusion for decode-path tokens (cnets_ours.py:976-988).
+
+    embeds/hidden: [S, hidden]; last_img: [hidden] broadcast to every token.
+    """
+    img_in = jnp.concatenate(
+        [hidden, jnp.broadcast_to(last_img[None], hidden.shape)], axis=-1
+    )
+    fused = jnp.dot(img_in, params["img_fc_w"], preferred_element_type=jnp.float32)
+    if "img_fc_b" in params:
+        fused = fused + params["img_fc_b"]
+    fused = fused.astype(hidden.dtype)
+    fc_in = jnp.concatenate([embeds, fused], axis=-1)
+    out = jnp.dot(fc_in, params["fc_w"], preferred_element_type=jnp.float32)
+    if "fc_b" in params:
+        out = out + params["fc_b"]
+    return out.astype(hidden.dtype)
+
+
+def _fuse_img_only(params: dict, hidden: jax.Array, last_img_per_tok: jax.Array) -> jax.Array:
+    img_in = jnp.concatenate([hidden, last_img_per_tok], axis=-1)
+    fused = jnp.dot(img_in, params["img_fc_w"], preferred_element_type=jnp.float32)
+    if "img_fc_b" in params:
+        fused = fused + params["img_fc_b"]
+    return fused.astype(hidden.dtype)
+
+
+def _fc(params: dict, embeds: jax.Array, fused: jax.Array) -> jax.Array:
+    fc_in = jnp.concatenate([embeds, fused], axis=-1)
+    out = jnp.dot(fc_in, params["fc_w"], preferred_element_type=jnp.float32)
+    if "fc_b" in params:
+        out = out + params["fc_b"]
+    return out.astype(fused.dtype)
+
+
+def layer_forward(
+    params: dict,
+    cfg: DraftConfig,
+    x: jax.Array,  # [S, hidden] — already fc-fused
+    position_ids: jax.Array,  # [S]
+    cache: KVCache,
+    write_at: jax.Array,
+    attn_mask: jax.Array,  # [S, max_len]
+) -> Tuple[jax.Array, KVCache]:
+    """One llama decoder layer with layer-0 semantics (no input layernorm,
+    cnets_ours.py:537-539, 570-590).  Single-layer drafts only (all reference
+    configs have num_hidden_layers=1)."""
+    lp = params["layer"]
+    cos, sin = rope_ops.cos_sin(position_ids, cfg.head_dim, cfg.rope_theta)
+    s = x.shape[0]
+    h, hkv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+
+    q = jnp.dot(x, lp["wq"], preferred_element_type=jnp.float32).astype(x.dtype)
+    k = jnp.dot(x, lp["wk"], preferred_element_type=jnp.float32).astype(x.dtype)
+    v = jnp.dot(x, lp["wv"], preferred_element_type=jnp.float32).astype(x.dtype)
+    if cfg.qkv_bias:
+        q = q + lp["bq"].astype(x.dtype)
+        k = k + lp["bk"].astype(x.dtype)
+        v = v + lp["bv"].astype(x.dtype)
+    q = q.reshape(s, h, d).transpose(1, 0, 2)
+    k = k.reshape(s, hkv, d).transpose(1, 0, 2)
+    v = v.reshape(s, hkv, d).transpose(1, 0, 2)
+    q, k = rope_ops.apply_rope(q, k, cos, sin)
+
+    zero = jnp.zeros((), jnp.int32)
+    k_full = lax.dynamic_update_slice(cache.k[0], k, (zero, write_at, zero))
+    v_full = lax.dynamic_update_slice(cache.v[0], v, (zero, write_at, zero))
+    attn = attend(q, k_full, v_full, attn_mask)
+    attn = attn.transpose(1, 0, 2).reshape(s, h * d)
+    attn = jnp.dot(attn, lp["wo"], preferred_element_type=jnp.float32).astype(x.dtype)
+
+    hidden = x + attn
+    residual = hidden
+    normed = rms_norm(hidden, lp["post_norm"], cfg.rms_norm_eps)
+    hidden = residual + swiglu_mlp(normed, lp["w_gate"], lp["w_up"], lp["w_down"])
+
+    cache = cache._replace(k=k_full[None], v=v_full[None])
+    return hidden, cache
+
+
+# ---------------------------------------------------------------------------
+# Prefill (compressed) and decode-append forwards
+# ---------------------------------------------------------------------------
+
+
+def prefill(
+    params: dict,
+    cfg: DraftConfig,
+    target_hidden: jax.Array,  # [pad_len, hidden] (padded original sequence)
+    embeds: jax.Array,  # [pad_len, hidden] — SHIFTED input embeds (the target's
+    # merged vision embeds shifted by one with the sampled token's embedding
+    # appended — cnets_ours.py:1066-1082 — so the adaptor sees vision features)
+    plan: PrefillPlan,
+    cache: KVCache,
+    max_span: int = 1,
+) -> Tuple[jax.Array, jax.Array, KVCache]:
+    """Compressed draft prefill.  Returns (last_hidden [hidden],
+    last_img [hidden], cache advanced to comp_len/real_len).
+
+    Reference: the stable_kv-less branch of Model.forward
+    (cnets_ours.py:896-975) followed by the KV save at :1108.
+    ``max_span`` is the static adaptor span bucket from make_prefill_plan.
+    """
+    pad_len = plan.gather_src.shape[0]
+    max_images = plan.span_start.shape[0]
+    embeds = embeds.astype(target_hidden.dtype)
+
+    # --- adaptor over each (padded) image span, vmapped over the image bucket.
+    # Zero-length padding spans produce garbage rows that nothing indexes.
+    span_cols = jnp.arange(max_span, dtype=jnp.int32)
+
+    def run_span(st, ln):
+        idx = jnp.clip(st + span_cols, 0, pad_len - 1)
+        span_embeds = jnp.take(embeds, idx, axis=0)
+        span_mask = span_cols < ln
+        return img_adaptor(params, cfg, span_embeds, span_mask)
+
+    adapted = jax.vmap(run_span)(plan.span_start, plan.span_len)  # [M, num_q, D]
+
+    # last-img lookup table: slot 0 = zeros, slot s = image s-1's final adapted tok
+    last_img_table = jnp.concatenate(
+        [jnp.zeros((1, cfg.hidden_size), target_hidden.dtype), adapted[:, -1, :]],
+        axis=0,
+    )  # [M+1, D]
+
+    # --- text slots: gather + img_fc + fc ---
+    txt_hidden = jnp.take(target_hidden, plan.gather_src, axis=0)
+    txt_embeds = jnp.take(embeds, plan.gather_src, axis=0)
+    txt_img = jnp.take(last_img_table, jnp.clip(plan.seg_id, 0, max_images), axis=0)
+    fused = _fuse_img_only(params, txt_hidden, txt_img)
+    text_out = _fc(params, txt_embeds, fused)  # [pad_len, D]
+
+    # --- adapted slots: first num_q-1 adapted tokens of each span ---
+    if cfg.num_q > 1:
+        adapted_flat = adapted[:, : cfg.num_q - 1, :].reshape(-1, cfg.hidden_size)
+    else:  # num_q == 1 -> no kept adapted tokens; dummy row keeps shapes static
+        adapted_flat = jnp.zeros((1, cfg.hidden_size), target_hidden.dtype)
+    ad_src = jnp.clip(plan.adapt_src, 0, adapted_flat.shape[0] - 1)
+    adapted_slots = jnp.take(adapted_flat, ad_src, axis=0)
+
+    x = jnp.where(plan.is_adapted[:, None], adapted_slots, text_out)
+
+    # --- run the decoder layer over the compressed sequence ---
+    rows = jnp.arange(pad_len, dtype=jnp.int32)
+    # plain causal over compressed slots (cnets_ours.py:971-975)
+    attn_mask = jnp.zeros((pad_len, cache.max_len), bool)
+    attn_mask = attn_mask.at[:, :pad_len].set(rows[None, :] <= rows[:, None])
+
+    write_at = jnp.zeros((), jnp.int32)
+    hidden, cache = layer_forward(params, cfg, x, plan.pos_ids, cache, write_at, attn_mask)
+    cache = advance(cache, plan.comp_len, plan.real_len)
+
+    last_hidden = jnp.take(hidden, plan.comp_len - 1, axis=0)
+    last_img = jnp.take(last_img_table, jnp.clip(plan.num_images, 0, max_images), axis=0)
+    return last_hidden, last_img, cache
+
+
+def append_accepted(
+    params: dict,
+    cfg: DraftConfig,
+    accept_hidden: jax.Array,  # [max_path+1, hidden] — padded accepted hiddens
+    accept_tokens: jax.Array,  # [max_path+1] int32 — paired (shifted) tokens
+    num_valid: jax.Array,  # scalar — acc+1 real rows
+    last_img: jax.Array,
+    cache: KVCache,
+) -> Tuple[jax.Array, KVCache]:
+    """Decode-path draft forward over newly accepted tokens, appending to the
+    stable KV (reference: topK_genrate's stable_kv branch, cnets_ours.py:1090-1097,
+    via the fuse path :976-988).  Returns (seed_hidden [hidden], cache)."""
+    s = accept_tokens.shape[0]
+    embeds = jnp.take(params["embed"], accept_tokens, axis=0).astype(accept_hidden.dtype)
+    x = fuse(params, embeds, accept_hidden, last_img)
+
+    pos_ids = cache.real_length + jnp.arange(s, dtype=jnp.int32)
+    cols = jnp.arange(cache.max_len, dtype=jnp.int32)
+    rows = jnp.arange(s, dtype=jnp.int32)
+    committed = cols[None, :] < cache.length
+    in_block = (cols[None, :] >= cache.length) & (
+        cols[None, :] <= cache.length + rows[:, None]
+    )
+    attn_mask = committed | in_block
+
+    hidden, cache = layer_forward(
+        params, cfg, x, pos_ids, cache, cache.length, attn_mask
+    )
+    cache = advance(cache, num_valid, num_valid)
+    seed = hidden[jnp.clip(num_valid - 1, 0, s - 1)]
+    return seed, cache
+
+
+# ---------------------------------------------------------------------------
+# Beam tree expansion (topK_genrate core)
+# ---------------------------------------------------------------------------
+
+
+def expand_tree(
+    params: dict,
+    cfg: DraftConfig,
+    spec: SpecConfig,
+    seed_hidden: jax.Array,  # [hidden] — draft output at the frontier token
+    sample_token: jax.Array,  # [] int32 — committed root token
+    last_img: jax.Array,  # [hidden]
+    head_w: jax.Array,  # [hidden, vocab] target lm_head (draft-device clone)
+    cache: KVCache,
+) -> Tuple[Tree, KVCache]:
+    """Depth-limited beam growth + global re-rank (cnets_ours.py:1109-1191).
+
+    The draft KV scratch region [cache.length, cache.length + depth*top_k) holds
+    the tree tokens; it is NOT committed (lengths unchanged), so the next round's
+    append simply overwrites it — the functional analogue of the reference
+    saving ``stable_kv`` before expansion (cnets_ours.py:1108).
+    """
+    k_beam = spec.top_k
+    depth = spec.depth
+    num_cand = spec.num_candidates
+    vdtype = seed_hidden.dtype
+
+    logits0 = jnp.dot(
+        seed_hidden, head_w, preferred_element_type=jnp.float32
+    )
+    logp0 = jax.nn.log_softmax(logits0)
+    top_p0, top_i0 = lax.top_k(logp0, k_beam)
+
+    tokens_flat = jnp.zeros((num_cand,), jnp.int32).at[:k_beam].set(top_i0)
+    scores_flat = jnp.full((num_cand,), -jnp.inf, jnp.float32).at[:k_beam].set(top_p0)
+    parent1_flat = jnp.zeros((num_cand,), jnp.int32)  # root children: parent 0
+
+    stable_len = cache.length
+    real_len = cache.real_length
+    scratch_cols = depth * k_beam
+
+    beam_scores = top_p0  # [K]
+    beam_tokens = top_i0
+    beam_hidden = jnp.broadcast_to(seed_hidden[None], (k_beam, cfg.hidden_size)).astype(vdtype)
+    beam_src = jnp.arange(k_beam, dtype=jnp.int32)  # global flat idx of each beam
+    # beam ancestry over scratch columns [K, depth*K]
+    beam_mask = jnp.zeros((k_beam, scratch_cols), bool)
+
+    cols_all = jnp.arange(cache.max_len, dtype=jnp.int32)
+
+    def depth_step(i, carry):
+        (beam_scores, beam_tokens, beam_hidden, beam_src, beam_mask,
+         tokens_flat, scores_flat, parent1_flat, cache_k, cache_v) = carry
+
+        # fuse + layer forward for the K beam tokens at position real_len + i
+        embeds = jnp.take(params["embed"], beam_tokens, axis=0).astype(vdtype)
+        x = fuse(params, embeds, beam_hidden, last_img)
+        pos_ids = jnp.full((k_beam,), real_len + i, jnp.int32)
+
+        write_at = stable_len + i * k_beam
+        # mask: committed stable rows + scratch ancestry + self (eye)
+        committed = cols_all[None, :] < stable_len
+        rel = jnp.clip(cols_all[None, :] - stable_len, 0, scratch_cols - 1)
+        in_scratch = (cols_all[None, :] >= stable_len) & (
+            cols_all[None, :] < stable_len + i * k_beam
+        )
+        anc = jnp.take_along_axis(
+            beam_mask, jnp.broadcast_to(rel, (k_beam, cache.max_len)), axis=1
+        )
+        self_block = (cols_all[None, :] >= write_at) & (
+            cols_all[None, :] < write_at + k_beam
+        )
+        eye_rel = (cols_all[None, :] - write_at) == jnp.arange(k_beam)[:, None]
+        attn_mask = committed | (in_scratch & anc) | (self_block & eye_rel)
+
+        tmp_cache = KVCache(cache_k, cache_v, stable_len, real_len)
+        hidden, tmp_cache = layer_forward(
+            params, cfg, x, pos_ids, tmp_cache, write_at, attn_mask
+        )
+
+        logits = jnp.dot(hidden, head_w, preferred_element_type=jnp.float32)
+        logp = jax.nn.log_softmax(logits, axis=-1)  # [K, V]
+        top_p, top_i = lax.top_k(logp, k_beam)  # [K, K]
+        cu = top_p + beam_scores[:, None]  # [K, K]
+
+        # record this depth's K*K candidates in reference flat order
+        block = k_beam + i * k_beam * k_beam
+        flat_tokens = top_i.reshape(-1).astype(jnp.int32)
+        flat_scores = cu.reshape(-1)
+        # parent of candidate (b, r) = 1 + global flat index of beam b
+        flat_parent = jnp.repeat(beam_src + 1, k_beam)
+        tokens_flat = lax.dynamic_update_slice(tokens_flat, flat_tokens, (block,))
+        scores_flat = lax.dynamic_update_slice(scores_flat, flat_scores, (block,))
+        parent1_flat = lax.dynamic_update_slice(parent1_flat, flat_parent, (block,))
+
+        # select next K beams from the K*K pool
+        new_scores, cs_idx = lax.top_k(cu.reshape(-1), k_beam)
+        out_ids = (cs_idx // k_beam).astype(jnp.int32)
+        new_tokens = flat_tokens[cs_idx]
+        new_hidden = hidden[out_ids]
+        new_src = block + cs_idx.astype(jnp.int32)
+
+        # ancestry: inherit selected parents' mask, mark own column
+        inherited = beam_mask[out_ids]
+        own_col = i * k_beam + out_ids  # parent row position in scratch == its slot
+        # each new beam descends from parent beam out_ids[b] whose scratch slot is
+        # (i*K + out_ids[b]); mark it
+        inherited = inherited | (
+            jnp.arange(scratch_cols)[None, :] == own_col[:, None]
+        )
+
+        return (new_scores, new_tokens, new_hidden, new_src, inherited,
+                tokens_flat, scores_flat, parent1_flat, tmp_cache.k, tmp_cache.v)
+
+    carry = (beam_scores, beam_tokens, beam_hidden, beam_src, beam_mask,
+             tokens_flat, scores_flat, parent1_flat, cache.k, cache.v)
+    carry = lax.fori_loop(0, depth, depth_step, carry)
+    (beam_scores, beam_tokens, beam_hidden, beam_src, beam_mask,
+     tokens_flat, scores_flat, parent1_flat, cache_k, cache_v) = carry
+
+    cache = cache._replace(k=cache_k, v=cache_v)  # lengths untouched => scratch
+    tree = build_tree(
+        sample_token,
+        tokens_flat,
+        scores_flat,
+        parent1_flat,
+        spec.total_tokens,
+        max_depth=depth + 1,
+    )
+    return tree, cache
+
+
+def init_params(cfg: DraftConfig, key: jax.Array, dtype=jnp.bfloat16) -> dict:
+    keys = jax.random.split(key, 12)
+    d, i = cfg.hidden_size, cfg.intermediate_size
+    hq = cfg.num_attention_heads * cfg.head_dim
+    hkv = cfg.num_key_value_heads * cfg.head_dim
+
+    def w(k, shape, scale=0.02):
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dtype)
+
+    layer = {
+        "post_norm": jnp.ones((d,), jnp.float32),
+        "wq": w(keys[0], (d, hq)),
+        "wk": w(keys[1], (d, hkv)),
+        "wv": w(keys[2], (d, hkv)),
+        "wo": w(keys[3], (hq, d)),
+        "w_gate": w(keys[4], (d, i)),
+        "w_up": w(keys[5], (d, i)),
+        "w_down": w(keys[6], (i, d)),
+    }
+    if cfg.qkv_bias:
+        layer["bq"] = jnp.zeros((hq,), dtype)
+        layer["bk"] = jnp.zeros((hkv,), dtype)
+        layer["bv"] = jnp.zeros((hkv,), dtype)
+
+    adaptor = {
+        "q": (jax.random.normal(keys[7], (cfg.num_q, cfg.num_attention_heads, cfg.head_dim), jnp.float32) * cfg.head_dim**-0.5).astype(dtype),
+        "wk": w(keys[8], (d, hq)),
+        "wv": w(keys[9], (d, hq)),
+        "wo": w(keys[10], (hq, d)),
+    }
+    if cfg.qkv_bias:
+        adaptor["bk"] = jnp.zeros((hq,), dtype)
+        adaptor["bv"] = jnp.zeros((hq,), dtype)
+
+    # img_fc initialized identity-on-hidden / zero-on-image (cnets_ours.py:752-757)
+    img_fc_w = jnp.concatenate(
+        [jnp.eye(d, dtype=jnp.float32), jnp.zeros((d, d), jnp.float32)], axis=0
+    ).astype(dtype)
+
+    params = {
+        "embed": w(keys[11], (cfg.vocab_size, d)),
+        "layer": layer,
+        "adaptor": adaptor,
+        "fc_w": w(keys[0], (2 * d, d)),
+        "img_fc_w": img_fc_w,
+    }
+    if cfg.fc_bias:
+        params["fc_b"] = jnp.zeros((d,), dtype)
+        params["img_fc_b"] = jnp.zeros((d,), dtype)
+    return params
+
+
+def init_draft_cache(cfg: DraftConfig, max_len: int, dtype=jnp.bfloat16) -> KVCache:
+    return init_cache(1, cfg.num_key_value_heads, max_len, cfg.head_dim, dtype)

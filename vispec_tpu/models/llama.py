@@ -1,0 +1,186 @@
+"""LLaMA-family target backbone (Vicuna / Qwen2 text models), TPU-native.
+
+Functional re-design of the reference target forks
+(vispec/model/modeling_llama_kv.py:446-1140, modeling_qwen2_kv.py — identical but
+qkv_bias=True).  Differences from the reference, by construction:
+
+- Parameters are a pytree with *stacked* per-layer arrays and the layer loop is a
+  ``lax.scan`` — one compiled layer body regardless of depth, pjit-shardable.
+- The KV cache is the functional preallocated cache in ops/kv_cache.py; attention
+  always runs over the full static cache with a boolean mask argument (no
+  ``model.tree_mask`` side channel — cf. modeling_llama_kv.py:916-922).
+- Batch size 1 (the reference's standing restriction, utils.py:541); activations
+  are [seq, hidden] and a future batched server vmaps this module.
+
+Weight layout (bf16 unless noted):
+  embed:      [vocab, hidden]
+  layers:
+    input_norm, post_norm: [L, hidden]  (float32)
+    wq: [L, hidden, n_heads*head_dim]   wk/wv: [L, hidden, n_kv*head_dim]
+    bq/bk/bv:  [L, ...] only if cfg.qkv_bias
+    wo: [L, n_heads*head_dim, hidden]
+    w_gate/w_up: [L, hidden, inter]     w_down: [L, inter, hidden]
+  final_norm: [hidden] (float32)
+  lm_head:    [hidden, vocab]
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..configs import LlamaConfig
+from ..ops import rope as rope_ops
+from ..ops.attention import attend
+from ..ops.kv_cache import KVCache
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    """float32 RMSNorm matching cnets_ours.py:513-527."""
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    normed = xf * lax.rsqrt(var + eps)
+    return (weight.astype(jnp.float32) * normed).astype(x.dtype)
+
+
+def swiglu_mlp(x: jax.Array, w_gate, w_up, w_down) -> jax.Array:
+    gate = jnp.dot(x, w_gate, preferred_element_type=jnp.float32)
+    up = jnp.dot(x, w_up, preferred_element_type=jnp.float32)
+    inter = (jax.nn.silu(gate) * up).astype(x.dtype)
+    return jnp.dot(inter, w_down, preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def attention_block(
+    x: jax.Array,  # [S, hidden]
+    lp: dict,  # this layer's params
+    cfg: LlamaConfig,
+    cos: jax.Array,
+    sin: jax.Array,
+    k_cache: jax.Array,  # [n_kv, max_len, head_dim]
+    v_cache: jax.Array,
+    write_at: jax.Array,  # scalar — row offset for the new block
+    attn_mask: jax.Array,  # [S, max_len]
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Returns (attn_out [S, hidden], k_new, v_new [n_kv, S, head_dim])."""
+    s = x.shape[0]
+    h, hkv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+
+    q = jnp.dot(x, lp["wq"], preferred_element_type=jnp.float32).astype(x.dtype)
+    k = jnp.dot(x, lp["wk"], preferred_element_type=jnp.float32).astype(x.dtype)
+    v = jnp.dot(x, lp["wv"], preferred_element_type=jnp.float32).astype(x.dtype)
+    if cfg.qkv_bias:
+        q = q + lp["bq"].astype(x.dtype)
+        k = k + lp["bk"].astype(x.dtype)
+        v = v + lp["bv"].astype(x.dtype)
+
+    q = q.reshape(s, h, d).transpose(1, 0, 2)  # [h, S, d]
+    k = k.reshape(s, hkv, d).transpose(1, 0, 2)
+    v = v.reshape(s, hkv, d).transpose(1, 0, 2)
+    q, k = rope_ops.apply_rope(q, k, cos, sin)
+
+    zero = jnp.zeros((), jnp.int32)
+    k_full = lax.dynamic_update_slice(k_cache, k, (zero, write_at, zero))
+    v_full = lax.dynamic_update_slice(v_cache, v, (zero, write_at, zero))
+
+    out = attend(q, k_full, v_full, attn_mask)  # [h, S, d]
+    out = out.transpose(1, 0, 2).reshape(s, h * d)
+    out = jnp.dot(out, lp["wo"], preferred_element_type=jnp.float32).astype(x.dtype)
+    return out, k, v
+
+
+def forward_hidden(
+    params: dict,
+    cfg: LlamaConfig,
+    inputs_embeds: jax.Array,  # [S, hidden]
+    position_ids: jax.Array,  # [S] int32, or [3, S] for M-RoPE
+    cache: KVCache,
+    attn_mask: jax.Array,  # [S, max_len] bool
+) -> Tuple[jax.Array, KVCache]:
+    """Run the decoder stack; returns (last hidden [S, hidden], cache with the
+    new block written at cache.length — call kv_cache.advance with the valid
+    row count afterwards)."""
+    if cfg.mrope_section is not None and position_ids.ndim == 2:
+        cos, sin = rope_ops.mrope_cos_sin(
+            position_ids, cfg.head_dim, cfg.mrope_section, cfg.rope_theta
+        )
+    else:
+        cos, sin = rope_ops.cos_sin(
+            position_ids,
+            cfg.head_dim,
+            cfg.rope_theta,
+            cfg.rope_scaling_factor if cfg.rope_scaling_type == "linear" else 1.0,
+        )
+
+    write_at = cache.length
+
+    def layer_step(hidden, xs):
+        lp, k_cache_l, v_cache_l = xs
+        residual = hidden
+        normed = rms_norm(hidden, lp["input_norm"], cfg.rms_norm_eps)
+        attn_out, k_new, v_new = attention_block(
+            normed, lp, cfg, cos, sin, k_cache_l, v_cache_l, write_at, attn_mask
+        )
+        hidden = residual + attn_out
+        residual = hidden
+        normed = rms_norm(hidden, lp["post_norm"], cfg.rms_norm_eps)
+        hidden = residual + swiglu_mlp(normed, lp["w_gate"], lp["w_up"], lp["w_down"])
+        return hidden, (k_new, v_new)
+
+    hidden, (k_blocks, v_blocks) = lax.scan(
+        layer_step, inputs_embeds, (params["layers"], cache.k, cache.v)
+    )
+    hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
+
+    # Write all layers' new rows into the cache in one shot.
+    zero = jnp.zeros((), jnp.int32)
+    new_k = lax.dynamic_update_slice(cache.k, k_blocks, (zero, zero, write_at, zero))
+    new_v = lax.dynamic_update_slice(cache.v, v_blocks, (zero, zero, write_at, zero))
+    return hidden, cache._replace(k=new_k, v=new_v)
+
+
+def embed(params: dict, token_ids: jax.Array) -> jax.Array:
+    return jnp.take(params["embed"], token_ids, axis=0)
+
+
+def lm_head(params: dict, hidden: jax.Array) -> jax.Array:
+    """[..., hidden] -> [..., vocab] float32 logits."""
+    return jnp.dot(
+        hidden, params["lm_head"], preferred_element_type=jnp.float32
+    )
+
+
+def init_params(cfg: LlamaConfig, key: jax.Array, dtype=jnp.bfloat16) -> dict:
+    """Random-initialized parameter pytree (tests / benches; real weights come
+    from convert/hf.py)."""
+    keys = jax.random.split(key, 10)
+    l, d, i = cfg.num_hidden_layers, cfg.hidden_size, cfg.intermediate_size
+    hq, hkv, hd = cfg.num_attention_heads * cfg.head_dim, cfg.num_key_value_heads * cfg.head_dim, cfg.head_dim
+    del hd
+
+    def w(k, shape, scale=0.02):
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dtype)
+
+    layers = {
+        "input_norm": jnp.ones((l, d), jnp.float32),
+        "post_norm": jnp.ones((l, d), jnp.float32),
+        "wq": w(keys[0], (l, d, hq)),
+        "wk": w(keys[1], (l, d, hkv)),
+        "wv": w(keys[2], (l, d, hkv)),
+        "wo": w(keys[3], (l, hq, d)),
+        "w_gate": w(keys[4], (l, d, i)),
+        "w_up": w(keys[5], (l, d, i)),
+        "w_down": w(keys[6], (l, i, d)),
+    }
+    if cfg.qkv_bias:
+        layers["bq"] = jnp.zeros((l, hq), dtype)
+        layers["bk"] = jnp.zeros((l, hkv), dtype)
+        layers["bv"] = jnp.zeros((l, hkv), dtype)
+    return {
+        "embed": w(keys[7], (cfg.vocab_size, d)),
+        "layers": layers,
+        "final_norm": jnp.ones((d,), jnp.float32),
+        "lm_head": w(keys[8], (d, cfg.vocab_size)),
+    }

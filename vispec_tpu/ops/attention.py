@@ -1,0 +1,78 @@
+"""Attention over the preallocated KV cache (XLA path + mask builders).
+
+The reference delegates to torch SDPA with a float32 additive mask patched with a
+mutable ``model.tree_mask`` side channel (modeling_llama_kv.py:916-922,
+cnets_ours.py:807-815).  Here masks are explicit boolean arguments and attention
+runs over the *whole* static cache with validity masking — shape-static, so the
+full decode round jits.  A Pallas kernel (ops/pallas_attention.py) specializes the
+hot verify path; this module is the reference XLA implementation and fallback.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = jnp.float32(-1e9)
+
+
+def repeat_kv(x: jax.Array, groups: int) -> jax.Array:
+    """[H_kv, S, D] -> [H_kv*groups, S, D] (GQA broadcast, cnets_ours.py:90-101)."""
+    if groups == 1:
+        return x
+    h, s, d = x.shape
+    return jnp.broadcast_to(x[:, None], (h, groups, s, d)).reshape(h * groups, s, d)
+
+
+def attend(
+    q: jax.Array,  # [num_heads, q_len, head_dim]
+    k: jax.Array,  # [num_kv_heads, kv_len, head_dim]
+    v: jax.Array,  # [num_kv_heads, kv_len, head_dim]
+    mask: jax.Array,  # [q_len, kv_len] bool (True = attend)
+) -> jax.Array:
+    """Masked SDPA in float32 accumulation; returns [num_heads, q_len, head_dim]."""
+    num_heads = q.shape[0]
+    groups = num_heads // k.shape[0]
+    k = repeat_kv(k, groups)
+    v = repeat_kv(v, groups)
+    scale = q.shape[-1] ** -0.5
+    scores = jnp.einsum(
+        "hqd,hkd->hqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    scores = jnp.where(mask[None], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "hqk,hkd->hqd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32
+    )
+    return out.astype(q.dtype)
+
+
+def causal_mask(q_len: int, kv_len: int, q_start) -> jax.Array:
+    """[q_len, kv_len] bool: query i (absolute pos q_start+i) sees cols <= its pos."""
+    q_pos = jnp.arange(q_len, dtype=jnp.int32) + jnp.asarray(q_start, jnp.int32)
+    k_pos = jnp.arange(kv_len, dtype=jnp.int32)
+    return k_pos[None, :] <= q_pos[:, None]
+
+
+def tree_verify_mask(
+    tree_mask: jax.Array,  # [T, T] bool ancestor-closure (incl. self)
+    tree_start,  # scalar: row where tree tokens were appended
+    kv_len: int,
+) -> jax.Array:
+    """[T, kv_len] bool mask for the target verify pass.
+
+    Tree token q sees: every committed row (< tree_start) plus its tree ancestors
+    (reference side-channel patch, modeling_llama_kv.py:916-922).
+    """
+    t = tree_mask.shape[0]
+    k_pos = jnp.arange(kv_len, dtype=jnp.int32)
+    start = jnp.asarray(tree_start, jnp.int32)
+    committed = k_pos[None, :] < start
+    in_tree = (k_pos[None, :] >= start) & (k_pos[None, :] < start + t)
+    rel = jnp.clip(k_pos[None, :] - start, 0, t - 1)
+    tree_ok = jnp.take_along_axis(
+        tree_mask, jnp.broadcast_to(rel, (t, kv_len)), axis=1
+    )
+    return committed | (in_tree & tree_ok)

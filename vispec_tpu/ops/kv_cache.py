@@ -1,0 +1,142 @@
+"""Functional, preallocated KV cache for speculative decoding.
+
+TPU-native redesign of the reference KV runtime (vispec/model/kv_cache.py:4-166 and
+the accept-compaction in vispec/model/utils.py:529-541):
+
+- One pair of HBM-resident arrays per model, stacked over layers:
+  ``k, v: [num_layers, num_kv_heads, max_len, head_dim]`` — static shapes so the
+  whole decode loop jits; a single ``length`` scalar tracks the committed prefix
+  (the reference keeps per-layer CPU scalars, kv_cache.py:104-131; on TPU a traced
+  int32 carried through the loop is free).
+- Append writes a *fixed-size* block at a dynamic offset via
+  ``lax.dynamic_update_slice`` and advances ``length`` by the (possibly smaller)
+  valid row count; garbage rows beyond ``length`` are never attended and are
+  overwritten by the next append.  This turns the reference's narrow+copy_
+  (kv_cache.py:52-66) into an XLA-fusable in-place update under buffer donation.
+- Commit (accept-compaction) gathers the accepted tree rows back to the contiguous
+  frontier — the reference's index_select+copy_ (utils.py:529-541) — again as a
+  fixed-size masked gather + dynamic slice write.
+
+The draft model additionally tracks ``real_length``: with image-token compression
+the draft cache holds fewer rows than the sequence has positions (reference
+cnets_ours.py:398-420, 845-853), so position ids advance by ``real_length`` while
+rows append at ``length``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class KVCache(NamedTuple):
+    """Stacked per-layer KV buffers plus committed length.
+
+    k, v: [num_layers, num_kv_heads, max_len, head_dim]
+    length: int32 scalar — number of committed (attendable) rows.
+    real_length: int32 scalar — logical sequence position count; equals ``length``
+        unless image compression dropped rows (draft cache only).
+    """
+
+    k: jax.Array
+    v: jax.Array
+    length: jax.Array
+    real_length: jax.Array
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+    @property
+    def num_layers(self) -> int:
+        return self.k.shape[0]
+
+
+def init_cache(
+    num_layers: int,
+    num_kv_heads: int,
+    max_len: int,
+    head_dim: int,
+    dtype=jnp.bfloat16,
+) -> KVCache:
+    shape = (num_layers, num_kv_heads, max_len, head_dim)
+    return KVCache(
+        k=jnp.zeros(shape, dtype),
+        v=jnp.zeros(shape, dtype),
+        length=jnp.zeros((), jnp.int32),
+        real_length=jnp.zeros((), jnp.int32),
+    )
+
+
+def reset(cache: KVCache) -> KVCache:
+    """Logical reset: zero the lengths, keep the buffers (cf. utils.py:341-358)."""
+    zero = jnp.zeros((), jnp.int32)
+    return cache._replace(length=zero, real_length=zero)
+
+
+def append_layer(
+    cache: KVCache,
+    layer: int,
+    k_new: jax.Array,
+    v_new: jax.Array,
+) -> KVCache:
+    """Write a [num_kv_heads, block, head_dim] block for one layer at ``length``.
+
+    Does NOT advance length — call :func:`advance` once after all layers have
+    appended the same block (lengths are shared across layers).
+    """
+    start = (jnp.asarray(layer, jnp.int32), jnp.zeros((), jnp.int32), cache.length, jnp.zeros((), jnp.int32))
+    k = lax.dynamic_update_slice(cache.k, k_new[None], start)
+    v = lax.dynamic_update_slice(cache.v, v_new[None], start)
+    return cache._replace(k=k, v=v)
+
+
+def advance(cache: KVCache, valid_rows, real_rows=None) -> KVCache:
+    """Advance lengths after a block append; only ``valid_rows`` of it count."""
+    valid_rows = jnp.asarray(valid_rows, jnp.int32)
+    real_rows = valid_rows if real_rows is None else jnp.asarray(real_rows, jnp.int32)
+    return cache._replace(
+        length=cache.length + valid_rows,
+        real_length=cache.real_length + real_rows,
+    )
+
+
+def commit_accepted(
+    cache: KVCache,
+    tree_start: jax.Array,
+    node_indices: jax.Array,
+    num_accepted: jax.Array,
+) -> KVCache:
+    """Compact accepted tree rows to the contiguous frontier.
+
+    After a verify pass, rows ``[tree_start, tree_start + tree_size)`` hold the
+    tree tokens' K/V.  ``node_indices`` [max_path] are accepted node offsets
+    within the tree (root-first chain, padded arbitrarily past ``num_accepted``),
+    so absolute rows are ``tree_start + node_indices``.  We gather those rows and
+    write them at ``tree_start``; ``length`` becomes ``tree_start + num_accepted``.
+
+    Equivalent to the reference's update_inference_inputs KV move
+    (vispec/model/utils.py:517-541).  Padded gather rows are written but sit
+    beyond the new length, so they are never attended and get overwritten by the
+    next tree append.
+    """
+    rows = tree_start + node_indices  # [max_path] absolute row ids
+    # Gather along the max_len axis for every layer/head at once.
+    k_sel = jnp.take(cache.k, rows, axis=2)  # [L, H, max_path, D]
+    v_sel = jnp.take(cache.v, rows, axis=2)
+    zero = jnp.zeros((), jnp.int32)
+    start = (zero, zero, tree_start, zero)
+    k = lax.dynamic_update_slice(cache.k, k_sel, start)
+    v = lax.dynamic_update_slice(cache.v, v_sel, start)
+    new_len = tree_start + jnp.asarray(num_accepted, jnp.int32)
+    delta = new_len - cache.length  # may be negative (rollback)
+    return KVCache(k=k, v=v, length=new_len, real_length=cache.real_length + delta)
+
+
+def valid_mask(cache: KVCache, extra: jax.Array | int = 0) -> jax.Array:
+    """[max_len] bool — True for committed rows plus ``extra`` in-flight rows."""
+    upto = cache.length + jnp.asarray(extra, jnp.int32)
+    return jnp.arange(cache.max_len, dtype=jnp.int32) < upto

@@ -1,0 +1,290 @@
+"""The speculative decode loop — draft-expand / verify / accept / commit as one
+jitted round.
+
+TPU-native redesign of the reference's host-driven loop
+(vispec/model/spec_model_ours.py:484-547 calling utils.py tree_decoding:389,
+evaluate_posterior:415, update_inference_inputs:496).  Every round is a single
+compiled function with static shapes: the verify forward appends the tree block
+to the target cache, acceptance is a vectorized tree walk, KV commit is a masked
+gather-compact, and the next draft tree is grown in the same graph — no host
+round-trips except reading the tiny ``done`` flag between rounds (the reference
+syncs host<->device several times per round for tree bookkeeping).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..configs import DraftConfig, LlamaConfig, SpecConfig
+from ..models import draft as draft_mod
+from ..models import llama
+from ..ops import kv_cache as kv
+from ..ops.attention import causal_mask, tree_verify_mask
+from ..ops.sampling import process_logits, sample_categorical
+from ..ops.tree import Tree, greedy_accept, path_to_root, sampling_accept
+
+
+class SpecState(NamedTuple):
+    """Device-resident carry between decode rounds."""
+
+    tree: Tree
+    target_cache: kv.KVCache
+    draft_cache: kv.KVCache
+    last_img: jax.Array  # [hidden]
+    output: jax.Array  # [max_out] int32 — tokens generated beyond the prompt
+    out_len: jax.Array  # [] int32
+    new_token: jax.Array  # [] int32 (reference's counter, spec_model_ours.py:582)
+    done: jax.Array  # [] bool
+    key: jax.Array
+
+
+class SamplingParams(NamedTuple):
+    """Static sampling configuration (hashable; part of the jit key)."""
+
+    temperature: float = 0.0
+    top_p: float = 0.0
+    top_k: int = 0
+
+    @property
+    def greedy(self) -> bool:
+        return self.temperature <= 1e-5
+
+
+# ---------------------------------------------------------------------------
+# Target prefill + first tree
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tcfg", "dcfg", "spec", "sampling", "max_out", "max_span"),
+)
+def spec_prefill(
+    tparams: dict,
+    dparams: dict,
+    tcfg: LlamaConfig,
+    dcfg: DraftConfig,
+    spec: SpecConfig,
+    plan: draft_mod.PrefillPlan,
+    sampling: SamplingParams,
+    inputs_embeds: jax.Array,  # [pad_len, hidden] merged (vision) embeds, padded
+    target_cache: kv.KVCache,
+    draft_cache: kv.KVCache,
+    key: jax.Array,
+    max_out: int,
+    max_span: int = 1,
+    position_ids: Optional[jax.Array] = None,  # override ([pad_len] or [3, pad_len])
+) -> SpecState:
+    """Target prompt prefill, first-token sample, draft prefill + first tree.
+
+    Reference: initialize_tree (utils.py:266-327) — the target full-prompt
+    forward, first sample, and the draft's compressed prefill + beam expansion.
+    Only bucket sizes (pad_len, max_span, max_images) key the jit — the plan
+    itself is traced, so new prompts reuse the compiled graph.
+    """
+    pad_len = inputs_embeds.shape[0]
+    real_len = plan.real_len
+
+    if position_ids is None:
+        position_ids = jnp.arange(pad_len, dtype=jnp.int32)
+    mask = causal_mask(pad_len, target_cache.max_len, 0)
+    hidden, target_cache = llama.forward_hidden(
+        tparams, tcfg, inputs_embeds, position_ids, target_cache, mask
+    )
+    target_cache = kv.advance(target_cache, real_len)
+
+    last_logits = llama.lm_head(tparams, jnp.take(hidden, real_len - 1, axis=0))
+    key, k_sample = jax.random.split(key)
+    if sampling.greedy:
+        first_token = jnp.argmax(last_logits).astype(jnp.int32)
+    else:
+        p = jax.nn.softmax(
+            process_logits(last_logits, sampling.temperature, sampling.top_p, sampling.top_k)
+        )
+        first_token = sample_categorical(k_sample, p).astype(jnp.int32)
+
+    # Draft prefill embeds: shifted merged embeds + the sampled token's embedding
+    # at slot real_len-1 (cnets_ours.py:1081-1082).
+    shifted = jnp.roll(inputs_embeds, -1, axis=0)
+    first_embed = jnp.take(dparams["embed"], first_token, axis=0).astype(shifted.dtype)
+    rows = jnp.arange(pad_len, dtype=jnp.int32)
+    shifted = jnp.where((rows == real_len - 1)[:, None], first_embed[None], shifted)
+
+    last_hidden, last_img, draft_cache = draft_mod.prefill(
+        dparams, dcfg, hidden, shifted, plan, draft_cache, max_span
+    )
+    head_w = tparams["lm_head"]
+    tree, draft_cache = draft_mod.expand_tree(
+        dparams, dcfg, spec, last_hidden, first_token, last_img, head_w, draft_cache
+    )
+
+    return SpecState(
+        tree=tree,
+        target_cache=target_cache,
+        draft_cache=draft_cache,
+        last_img=last_img,
+        output=jnp.zeros((max_out,), jnp.int32),
+        out_len=jnp.zeros((), jnp.int32),
+        new_token=jnp.zeros((), jnp.int32),
+        done=jnp.zeros((), bool),
+        key=key,
+    )
+
+
+# ---------------------------------------------------------------------------
+# One decode round
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tcfg", "dcfg", "spec", "sampling"),
+    donate_argnames=("state",),
+)
+def decode_round(
+    tparams: dict,
+    dparams: dict,
+    tcfg: LlamaConfig,
+    dcfg: DraftConfig,
+    spec: SpecConfig,
+    sampling: SamplingParams,
+    state: SpecState,
+    eos_id: int,
+    max_new_tokens: int,
+) -> SpecState:
+    """verify -> accept -> commit -> next draft tree, all on device."""
+    tree = state.tree
+    t = spec.total_tokens
+    max_path = spec.depth + 2
+    tree_start = state.target_cache.length
+
+    # ---- 1. target verify over the tree block (utils.py:389-412) ----
+    embeds = llama.embed(tparams, tree.tokens)
+    pos = tree_start + tree.depth
+    mask = tree_verify_mask(tree.mask, tree_start, state.target_cache.max_len)
+    hidden, target_cache = llama.forward_hidden(
+        tparams, tcfg, embeds, pos, state.target_cache, mask
+    )
+    logits = llama.lm_head(tparams, hidden)  # [T, V] float32
+
+    # ---- 2. acceptance (utils.py:415-493) ----
+    key, k_accept, k_bonus = jax.random.split(state.key, 3)
+    if sampling.greedy:
+        argmax_toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        best, acc = greedy_accept(tree, argmax_toks)
+        bonus = argmax_toks[best]
+    else:
+        probs = jax.nn.softmax(
+            process_logits(logits, sampling.temperature, sampling.top_p, sampling.top_k),
+            axis=-1,
+        )
+        best, acc, resid = sampling_accept(tree, probs, k_accept, spec.depth + 1)
+        bonus = sample_categorical(k_bonus, resid).astype(jnp.int32)
+
+    # ---- 3. commit accepted path (utils.py:496-541) ----
+    path = path_to_root(tree, best, max_path)
+    target_cache = kv.commit_accepted(target_cache, tree_start, path, acc + 1)
+
+    committed = tree.tokens[path]  # [max_path]; rows > acc are padding
+    jcols = jnp.arange(max_path, dtype=jnp.int32)
+    valid = jcols <= acc
+    eos_hit = jnp.any(valid & (committed == eos_id))
+
+    output = lax.dynamic_update_slice(state.output, committed, (state.out_len,))
+    out_len = state.out_len + acc + 1
+    new_token = state.new_token + acc + 1
+    done = state.done | eos_hit | (new_token > max_new_tokens)
+
+    # ---- 4. next draft tree (utils.py:557-580 -> cnets_ours.py:1090-1108) ----
+    accept_hidden = hidden[path]  # [max_path, hidden]
+    nxt = jnp.take(tree.tokens, path, axis=0)
+    tok_next = jnp.where(
+        jcols < acc, jnp.roll(nxt, -1), bonus
+    )  # row j pairs hidden[path[j]] with token[path[j+1]], last valid row w/ bonus
+    # jnp.roll wraps the last element; rows >= acc are overwritten with bonus.
+
+    seed, draft_cache = draft_mod.append_accepted(
+        dparams, dcfg, accept_hidden, tok_next, acc + 1, state.last_img, state.draft_cache
+    )
+    new_tree, draft_cache = draft_mod.expand_tree(
+        dparams, dcfg, spec, seed, bonus, state.last_img, tparams["lm_head"], draft_cache
+    )
+
+    return SpecState(
+        tree=new_tree,
+        target_cache=target_cache,
+        draft_cache=draft_cache,
+        last_img=state.last_img,
+        output=output,
+        out_len=out_len,
+        new_token=new_token,
+        done=done,
+        key=key,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Autoregressive baseline (for speedup measurement / parity tests)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("tcfg", "sampling"))
+def ar_step(
+    tparams: dict,
+    tcfg: LlamaConfig,
+    sampling: SamplingParams,
+    token: jax.Array,  # [] int32
+    cache: kv.KVCache,
+    key: jax.Array,
+) -> Tuple[jax.Array, kv.KVCache, jax.Array]:
+    """One greedy/sampled AR decode step over the same KV runtime.
+
+    Mirrors the baseline loop (gen_baseline_answer_sqa.py:146-165)."""
+    embeds = llama.embed(tparams, token[None])
+    pos = cache.length[None]
+    cols = jnp.arange(cache.max_len, dtype=jnp.int32)
+    mask = (cols <= cache.length)[None, :]
+    hidden, cache = llama.forward_hidden(tparams, tcfg, embeds, pos, cache, mask)
+    cache = kv.advance(cache, 1)
+    logits = llama.lm_head(tparams, hidden[0])
+    key, k_s = jax.random.split(key)
+    if sampling.greedy:
+        nxt = jnp.argmax(logits).astype(jnp.int32)
+    else:
+        p = jax.nn.softmax(
+            process_logits(logits, sampling.temperature, sampling.top_p, sampling.top_k)
+        )
+        nxt = sample_categorical(k_s, p).astype(jnp.int32)
+    return nxt, cache, key
+
+
+@functools.partial(jax.jit, static_argnames=("tcfg", "sampling"))
+def ar_prefill(
+    tparams: dict,
+    tcfg: LlamaConfig,
+    sampling: SamplingParams,
+    inputs_embeds: jax.Array,  # [pad_len, hidden]
+    real_len: jax.Array,
+    cache: kv.KVCache,
+    key: jax.Array,
+) -> Tuple[jax.Array, kv.KVCache, jax.Array]:
+    pad_len = inputs_embeds.shape[0]
+    pos = jnp.arange(pad_len, dtype=jnp.int32)
+    mask = causal_mask(pad_len, cache.max_len, 0)
+    hidden, cache = llama.forward_hidden(tparams, tcfg, inputs_embeds, pos, cache, mask)
+    cache = kv.advance(cache, real_len)
+    logits = llama.lm_head(tparams, hidden[real_len - 1])
+    key, k_s = jax.random.split(key)
+    if sampling.greedy:
+        nxt = jnp.argmax(logits).astype(jnp.int32)
+    else:
+        p = jax.nn.softmax(
+            process_logits(logits, sampling.temperature, sampling.top_p, sampling.top_k)
+        )
+        nxt = sample_categorical(k_s, p).astype(jnp.int32)
+    return nxt, cache, key
