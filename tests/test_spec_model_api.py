@@ -1,0 +1,68 @@
+"""End-to-end tests of the public SpecModel API + evaluation harness on tiny
+random models (offline: no checkpoints, no network)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vispec_tpu.configs import DraftConfig, LlamaConfig, SpecConfig
+from vispec_tpu.evaluation import speed
+from vispec_tpu.evaluation.harness import Question, run_eval
+from vispec_tpu.models import draft as draft_mod
+from vispec_tpu.models import llama
+from vispec_tpu.spec.spec_model import SpecModel
+
+TCFG = LlamaConfig(
+    vocab_size=128, hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+    num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=512,
+)
+DCFG = DraftConfig(
+    vocab_size=128, hidden_size=64, intermediate_size=128,
+    num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=512,
+)
+
+
+def make_model():
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    tparams = llama.init_params(TCFG, k1, jnp.float32)
+    dparams = draft_mod.init_params(DCFG, k2, jnp.float32)
+    dparams["embed"] = tparams["embed"]
+    return SpecModel(
+        TCFG, DCFG, SpecConfig(total_tokens=12, depth=3, top_k=4),
+        tparams, dparams, max_len=512, dtype=jnp.float32, eos_token_id=0,
+    )
+
+
+def test_specgenerate_matches_ar_generate():
+    model = make_model()
+    prompt = list(range(30, 60))
+    spec = model.specgenerate(prompt, max_new_tokens=25)
+    ar = model.ar_generate(prompt, max_new_tokens=25)
+    n = min(spec.new_tokens, ar.new_tokens, 25)
+    assert n >= 10
+    assert spec.sequences[: len(prompt) + n].tolist() == \
+        ar.sequences[: len(prompt) + n].tolist()
+    assert spec.rounds <= ar.rounds
+
+
+def test_harness_and_speed_aggregation(tmp_path):
+    model = make_model()
+    qs = [
+        Question(question_id=i, prompt_inputs={"input_ids": list(range(20 + i, 50 + i))})
+        for i in range(3)
+    ]
+    spec_file = str(tmp_path / "spec.jsonl")
+    base_file = str(tmp_path / "baseline.jsonl")
+    recs = run_eval(model, qs, spec_file, max_new_tokens=15, num_warmup=1)
+    run_eval(model, qs, base_file, baseline=True, max_new_tokens=15, num_warmup=0)
+    assert len(recs) == 3
+    rep = speed.speedup_report(spec_file, base_file)
+    assert rep["n_spec"] == 3 and rep["n_baseline"] == 3
+    assert rep["tau"] >= 1.0
+    assert rep["spec_tokens_per_s"] > 0 and rep["baseline_tokens_per_s"] > 0
+
+    # dedup: re-running appends then reorg keeps one record per question
+    run_eval(model, qs, spec_file, max_new_tokens=15, num_warmup=0)
+    assert len(speed.load_records(spec_file)) == 3

@@ -290,6 +290,100 @@ def layer_forward(
     return hidden, cache
 
 
+def layer_forward_nocache(
+    params: dict,
+    cfg: DraftConfig,
+    x: jax.Array,  # [S, hidden] — already fc-fused
+    position_ids: jax.Array,  # [S]
+    attn_mask: jax.Array,  # [S, S] bool
+) -> jax.Array:
+    """Cache-less decoder layer for training (full-sequence, differentiable)."""
+    lp = params["layer"]
+    cos, sin = rope_ops.cos_sin(position_ids, cfg.head_dim, cfg.rope_theta)
+    s = x.shape[0]
+    h, hkv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+
+    q = jnp.dot(x, lp["wq"], preferred_element_type=jnp.float32).astype(x.dtype)
+    k = jnp.dot(x, lp["wk"], preferred_element_type=jnp.float32).astype(x.dtype)
+    v = jnp.dot(x, lp["wv"], preferred_element_type=jnp.float32).astype(x.dtype)
+    if cfg.qkv_bias:
+        q = q + lp["bq"].astype(x.dtype)
+        k = k + lp["bk"].astype(x.dtype)
+        v = v + lp["bv"].astype(x.dtype)
+    q = q.reshape(s, h, d).transpose(1, 0, 2)
+    k = k.reshape(s, hkv, d).transpose(1, 0, 2)
+    v = v.reshape(s, hkv, d).transpose(1, 0, 2)
+    q, k = rope_ops.apply_rope(q, k, cos, sin)
+    attn = attend(q, k, v, attn_mask)
+    attn = attn.transpose(1, 0, 2).reshape(s, h * d)
+    attn = jnp.dot(attn, lp["wo"], preferred_element_type=jnp.float32).astype(x.dtype)
+
+    hidden = x + attn
+    residual = hidden
+    normed = rms_norm(hidden, lp["post_norm"], cfg.rms_norm_eps)
+    return residual + swiglu_mlp(normed, lp["w_gate"], lp["w_up"], lp["w_down"])
+
+
+def forward_train(
+    params: dict,
+    cfg: DraftConfig,
+    target_hidden: jax.Array,  # [pad_len, hidden] — (possibly noised) target hiddens
+    embeds: jax.Array,  # [pad_len, hidden] — input embeds (vision-merged)
+    plan: PrefillPlan,
+    max_span: int = 1,
+) -> jax.Array:
+    """Training-time full-sequence forward with compression + re-scatter.
+
+    Reference: cnets_ours.Model.forward's use_cache=False path with the
+    ``trans_mat`` einsum re-scatter (cnets_ours.py:1020-1030).  The scatter is
+    position-indexed: compressed slot s writes to original position
+    ``plan.pos_ids[s]`` (trans_mat columns are exactly those positions); dropped
+    image positions stay zero.  Returns [pad_len, hidden].
+    """
+    pad_len = plan.gather_src.shape[0]
+    max_images = plan.span_start.shape[0]
+    embeds = embeds.astype(target_hidden.dtype)
+
+    span_cols = jnp.arange(max_span, dtype=jnp.int32)
+
+    def run_span(st, ln):
+        idx = jnp.clip(st + span_cols, 0, pad_len - 1)
+        return img_adaptor(
+            params, cfg, jnp.take(embeds, idx, axis=0), span_cols < ln
+        )
+
+    adapted = jax.vmap(run_span)(plan.span_start, plan.span_len)
+    last_img_table = jnp.concatenate(
+        [jnp.zeros((1, cfg.hidden_size), target_hidden.dtype), adapted[:, -1, :]],
+        axis=0,
+    )
+
+    txt_hidden = jnp.take(target_hidden, plan.gather_src, axis=0)
+    txt_embeds = jnp.take(embeds, plan.gather_src, axis=0)
+    txt_img = jnp.take(last_img_table, jnp.clip(plan.seg_id, 0, max_images), axis=0)
+    text_out = _fc(params, txt_embeds, _fuse_img_only(params, txt_hidden, txt_img))
+
+    if cfg.num_q > 1:
+        adapted_flat = adapted[:, : cfg.num_q - 1, :].reshape(-1, cfg.hidden_size)
+    else:
+        adapted_flat = jnp.zeros((1, cfg.hidden_size), target_hidden.dtype)
+    ad_src = jnp.clip(plan.adapt_src, 0, adapted_flat.shape[0] - 1)
+    x = jnp.where(
+        plan.is_adapted[:, None], jnp.take(adapted_flat, ad_src, axis=0), text_out
+    )
+
+    rows = jnp.arange(pad_len, dtype=jnp.int32)
+    valid = rows < plan.comp_len
+    attn_mask = (rows[None, :] <= rows[:, None]) & valid[None, :]
+    hidden = layer_forward_nocache(params, cfg, x, plan.pos_ids, attn_mask)
+
+    # trans_mat re-scatter: slot s -> original position pos_ids[s]
+    out = jnp.zeros_like(hidden)
+    scatter_pos = jnp.where(valid, plan.pos_ids, pad_len - 1)
+    out = out.at[scatter_pos].add(jnp.where(valid[:, None], hidden, 0.0))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Prefill (compressed) and decode-append forwards
 # ---------------------------------------------------------------------------
@@ -539,7 +633,7 @@ def init_params(cfg: DraftConfig, key: jax.Array, dtype=jnp.bfloat16) -> dict:
     hkv = cfg.num_key_value_heads * cfg.head_dim
 
     def w(k, shape, scale=0.02):
-        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dtype)
+        return jax.random.normal(k, shape, dtype) * jnp.asarray(scale, dtype)
 
     layer = {
         "post_norm": jnp.ones((d,), jnp.float32),

@@ -161,7 +161,9 @@ def init_params(cfg: LlamaConfig, key: jax.Array, dtype=jnp.bfloat16) -> dict:
     del hd
 
     def w(k, shape, scale=0.02):
-        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dtype)
+        # generate directly in the target dtype: float32 intermediates for a 7B
+        # model would transiently double HBM use
+        return jax.random.normal(k, shape, dtype) * jnp.asarray(scale, dtype)
 
     layers = {
         "input_norm": jnp.ones((l, d), jnp.float32),

@@ -1,0 +1,83 @@
+"""PartitionSpecs for model parameter pytrees (GSPMD tensor parallelism).
+
+Replaces the reference's vestigial ``pretraining_tp`` serial weight-slicing
+(cnets_ours.py:334-360, 478-506) and ``device_map="auto"`` layer placement with
+real sharded matmuls: attention heads and MLP columns split over the ``tp``
+axis, row-parallel projections reduce over it (XLA inserts the collectives).
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..configs import DraftConfig, LlamaConfig
+
+
+def llama_param_specs(cfg: LlamaConfig) -> dict:
+    """PartitionSpec pytree matching models/llama.py's parameter layout."""
+    layers = {
+        "input_norm": P(None, None),
+        "post_norm": P(None, None),
+        "wq": P(None, None, "tp"),  # column-parallel (heads split)
+        "wk": P(None, None, "tp"),
+        "wv": P(None, None, "tp"),
+        "wo": P(None, "tp", None),  # row-parallel (psum output)
+        "w_gate": P(None, None, "tp"),
+        "w_up": P(None, None, "tp"),
+        "w_down": P(None, "tp", None),
+    }
+    if cfg.qkv_bias:
+        layers["bq"] = P(None, "tp")
+        layers["bk"] = P(None, "tp")
+        layers["bv"] = P(None, "tp")
+    return {
+        "embed": P("tp", None),  # vocab-sharded lookup (all-gathered rows)
+        "layers": layers,
+        "final_norm": P(None),
+        "lm_head": P(None, "tp"),  # vocab-sharded logits
+    }
+
+
+def draft_param_specs(cfg: DraftConfig) -> dict:
+    layer = {
+        "post_norm": P(None),
+        "wq": P(None, "tp"),
+        "wk": P(None, "tp"),
+        "wv": P(None, "tp"),
+        "wo": P("tp", None),
+        "w_gate": P(None, "tp"),
+        "w_up": P(None, "tp"),
+        "w_down": P("tp", None),
+    }
+    if cfg.qkv_bias:
+        layer.update({"bq": P("tp"), "bk": P("tp"), "bv": P("tp")})
+    adaptor = {
+        "q": P(None, "tp", None),  # heads split
+        "wk": P(None, "tp"),
+        "wv": P(None, "tp"),
+        "wo": P("tp", None),
+    }
+    if cfg.qkv_bias:
+        adaptor.update({"bk": P("tp"), "bv": P("tp")})
+    specs = {
+        "embed": P("tp", None),
+        "layer": layer,
+        "adaptor": adaptor,
+        "fc_w": P(None, "tp"),
+        "img_fc_w": P(None, "tp"),
+    }
+    if cfg.fc_bias:
+        specs["fc_b"] = P("tp")
+        specs["img_fc_b"] = P("tp")
+    return specs
+
+
+def apply_specs(mesh: Mesh, params: dict, specs: dict) -> dict:
+    """Device-put a parameter pytree with the given PartitionSpecs."""
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params,
+        specs,
+        is_leaf=lambda x: not isinstance(x, dict),
+    )

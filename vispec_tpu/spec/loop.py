@@ -41,6 +41,7 @@ class SpecState(NamedTuple):
     new_token: jax.Array  # [] int32 (reference's counter, spec_model_ours.py:582)
     done: jax.Array  # [] bool
     key: jax.Array
+    rope_delta: jax.Array  # [] int32 — Qwen M-RoPE offset (utils.py:398-402); 0 else
 
 
 class SamplingParams(NamedTuple):
@@ -79,6 +80,7 @@ def spec_prefill(
     max_out: int,
     max_span: int = 1,
     position_ids: Optional[jax.Array] = None,  # override ([pad_len] or [3, pad_len])
+    rope_delta: Optional[jax.Array] = None,  # [] int32 (Qwen M-RoPE)
 ) -> SpecState:
     """Target prompt prefill, first-token sample, draft prefill + first tree.
 
@@ -133,6 +135,8 @@ def spec_prefill(
         new_token=jnp.zeros((), jnp.int32),
         done=jnp.zeros((), bool),
         key=key,
+        rope_delta=(jnp.zeros((), jnp.int32) if rope_delta is None
+                    else jnp.asarray(rope_delta, jnp.int32)),
     )
 
 
@@ -165,7 +169,11 @@ def decode_round(
 
     # ---- 1. target verify over the tree block (utils.py:389-412) ----
     embeds = llama.embed(tparams, tree.tokens)
-    pos = tree_start + tree.depth
+    pos = tree_start + tree.depth + state.rope_delta
+    if tcfg.mrope_section is not None:
+        # Qwen M-RoPE: decode positions collapse to 1-D + rope_delta, broadcast
+        # over the 3 streams (utils.py:398-402)
+        pos = jnp.broadcast_to(pos[None], (3, t))
     mask = tree_verify_mask(tree.mask, tree_start, state.target_cache.max_len)
     hidden, target_cache = llama.forward_hidden(
         tparams, tcfg, embeds, pos, state.target_cache, mask
@@ -225,6 +233,7 @@ def decode_round(
         new_token=new_token,
         done=done,
         key=key,
+        rope_delta=state.rope_delta,
     )
 
 
@@ -241,12 +250,17 @@ def ar_step(
     token: jax.Array,  # [] int32
     cache: kv.KVCache,
     key: jax.Array,
+    rope_delta: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, kv.KVCache, jax.Array]:
     """One greedy/sampled AR decode step over the same KV runtime.
 
     Mirrors the baseline loop (gen_baseline_answer_sqa.py:146-165)."""
     embeds = llama.embed(tparams, token[None])
     pos = cache.length[None]
+    if rope_delta is not None:
+        pos = pos + jnp.asarray(rope_delta, jnp.int32)
+    if tcfg.mrope_section is not None:
+        pos = jnp.broadcast_to(pos[None], (3, 1))
     cols = jnp.arange(cache.max_len, dtype=jnp.int32)
     mask = (cols <= cache.length)[None, :]
     hidden, cache = llama.forward_hidden(tparams, tcfg, embeds, pos, cache, mask)
@@ -272,9 +286,11 @@ def ar_prefill(
     real_len: jax.Array,
     cache: kv.KVCache,
     key: jax.Array,
+    position_ids: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, kv.KVCache, jax.Array]:
     pad_len = inputs_embeds.shape[0]
-    pos = jnp.arange(pad_len, dtype=jnp.int32)
+    pos = (jnp.arange(pad_len, dtype=jnp.int32)
+           if position_ids is None else position_ids)
     mask = causal_mask(pad_len, cache.max_len, 0)
     hidden, cache = llama.forward_hidden(tparams, tcfg, inputs_embeds, pos, cache, mask)
     cache = kv.advance(cache, real_len)

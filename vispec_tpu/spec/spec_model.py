@@ -1,0 +1,443 @@
+"""User-facing speculative-decoding model — the reference `SpecModel` surface.
+
+Mirrors vispec/model/spec_model_ours.py: `from_pretrained` dispatches on the HF
+architecture string and loads target + draft weights (:109-177); `specgenerate`
+runs vision prefill + the draft/verify loop and returns
+(input_ids, new_token, idx[, acceptance_len][, decode_time]) (:247-582).
+
+Host/device split (TPU-native): tokenization, prompt bucketing, anyres/image
+planning are host integers; everything per-round is the two jitted graphs in
+spec/loop.py.  Prompt lengths bucket to multiples of 128 to bound recompiles.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import DraftConfig, LlamaConfig, SpecConfig
+from ..models import draft as draft_mod
+from ..models import llama, llava
+from ..models import qwen2_5_vl as qwen_vl
+from ..ops import kv_cache as kv
+from . import loop as spec_loop
+
+
+def _bucket(n: int, step: int = 128) -> int:
+    return max(step, ((n + step - 1) // step) * step)
+
+
+@dataclass
+class GenerationResult:
+    sequences: np.ndarray  # [total_len] prompt + generated (reference input_ids)
+    new_tokens: int
+    rounds: int
+    acceptance_lengths: List[int]
+    decode_time: float
+
+
+class SpecModel:
+    """Target + draft pair with preallocated KV runtime."""
+
+    def __init__(
+        self,
+        tcfg: LlamaConfig,
+        dcfg: DraftConfig,
+        spec: SpecConfig,
+        tparams: dict,
+        dparams: dict,
+        max_len: int = 2048,
+        dtype=jnp.bfloat16,
+        llava_cfg: Optional[llava.LlavaConfig] = None,
+        vparams: Optional[dict] = None,
+        eos_token_id: int = 2,
+        image_token_index: Optional[int] = None,
+        qwen_cfg: Optional[qwen_vl.QwenVisionConfig] = None,
+        vision_start_token_id: int = 151652,
+        video_token_index: Optional[int] = None,
+    ):
+        self.tcfg, self.dcfg, self.spec = tcfg, dcfg, spec
+        self.tparams, self.dparams = tparams, dparams
+        self.llava_cfg, self.vparams = llava_cfg, vparams
+        self.qwen_cfg = qwen_cfg
+        self.vision_start_token_id = vision_start_token_id
+        self.video_token_index = video_token_index
+        self.max_len = max_len
+        self.dtype = dtype
+        self.eos_token_id = eos_token_id
+        self.image_token_index = image_token_index
+        self.target_cache = kv.init_cache(
+            tcfg.num_hidden_layers, tcfg.num_key_value_heads, max_len,
+            tcfg.head_dim, dtype,
+        )
+        self.draft_cache = kv.init_cache(
+            dcfg.num_hidden_layers, dcfg.num_key_value_heads, max_len,
+            dcfg.head_dim, dtype,
+        )
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_pretrained(
+        cls,
+        base_model_path: str,
+        spec_model_path: str,
+        total_token: int = 30,
+        depth: int = 3,
+        top_k: int = 8,
+        threshold: float = 1.0,
+        num_q: int = 2,
+        max_len: int = 2048,
+        dtype=jnp.bfloat16,
+    ) -> "SpecModel":
+        """Architecture dispatch + weight conversion (spec_model_ours.py:109-177).
+
+        Supported: LlamaForCausalLM, Qwen2ForCausalLM,
+        Llava(Next)ForConditionalGeneration; Qwen2_5_VL and Mixtral follow.
+        """
+        from ..convert import hf as hf_convert
+
+        with open(os.path.join(base_model_path, "config.json")) as f:
+            hf_cfg = json.load(f)
+        arch = hf_cfg["architectures"][0]
+        spec_cfg = SpecConfig(total_tokens=total_token, depth=depth, top_k=top_k,
+                              threshold=threshold)
+
+        llava_cfg = None
+        vparams = None
+        image_token_index = None
+        if arch in ("LlavaForConditionalGeneration", "LlavaNextForConditionalGeneration"):
+            text_cfg = hf_convert.llama_config_from_hf(hf_cfg["text_config"])
+            # the reference forces 8192 positions on LLaVA (modeling_llava_next_kv.py:10-12)
+            text_cfg = dataclass_replace(text_cfg, max_position_embeddings=8192)
+            sd = hf_convert.load_state_dict(base_model_path)
+            tparams = hf_convert.convert_llama(
+                sd, text_cfg, dtype, prefix="language_model.model.",
+                lm_head_key="language_model.lm_head.weight",
+            )
+            vcfg_raw = hf_cfg["vision_config"]
+            vcfg = llava.clip_vit.ClipVisionConfig(
+                hidden_size=vcfg_raw["hidden_size"],
+                intermediate_size=vcfg_raw["intermediate_size"],
+                num_hidden_layers=vcfg_raw["num_hidden_layers"],
+                num_attention_heads=vcfg_raw["num_attention_heads"],
+                image_size=vcfg_raw["image_size"],
+                patch_size=vcfg_raw["patch_size"],
+                feature_layer=hf_cfg.get("vision_feature_layer", -2),
+            )
+            pinpoints = tuple(
+                tuple(p) for p in hf_cfg.get("image_grid_pinpoints", llava.DEFAULT_PINPOINTS)
+            )
+            llava_cfg = llava.LlavaConfig(
+                text=text_cfg, vision=vcfg,
+                image_token_index=hf_cfg.get("image_token_index", 32000),
+                anyres=(arch == "LlavaNextForConditionalGeneration"),
+                image_grid_pinpoints=pinpoints,
+            )
+            image_token_index = llava_cfg.image_token_index
+            vparams = hf_convert.convert_clip_and_projector(sd, vcfg, dtype)
+            tcfg = text_cfg
+        elif arch in ("LlamaForCausalLM", "Qwen2ForCausalLM"):
+            tcfg = hf_convert.llama_config_from_hf(hf_cfg)
+            sd = hf_convert.load_state_dict(base_model_path)
+            tparams = hf_convert.convert_llama(sd, tcfg, dtype)
+        elif arch == "Qwen2_5_VLForConditionalGeneration":
+            return cls._from_pretrained_qwen_vl(
+                base_model_path, spec_model_path, hf_cfg, spec_cfg, num_q,
+                max_len, dtype,
+            )
+        else:
+            raise NotImplementedError(f"architecture {arch} not yet supported")
+
+        dcfg = DraftConfig.from_json(
+            os.path.join(spec_model_path, "config.json"), num_q=num_q
+        )
+        dsd = hf_convert.load_state_dict(spec_model_path)
+        dparams = hf_convert.convert_draft(dsd, dcfg, dtype)
+
+        return cls(
+            tcfg, dcfg, spec_cfg, tparams, dparams, max_len=max_len, dtype=dtype,
+            llava_cfg=llava_cfg, vparams=vparams,
+            eos_token_id=hf_cfg.get("eos_token_id", 2) if not isinstance(
+                hf_cfg.get("eos_token_id", 2), list) else hf_cfg["eos_token_id"][0],
+            image_token_index=image_token_index,
+        )
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def _from_pretrained_qwen_vl(
+        cls, base_model_path, spec_model_path, hf_cfg, spec_cfg, num_q,
+        max_len, dtype,
+    ) -> "SpecModel":
+        from ..convert import hf as hf_convert
+
+        # the reference forces 4096 positions (modeling_qwen2_5_vl_kv.py:1758)
+        text_raw = dict(hf_cfg)
+        tcfg = hf_convert.llama_config_from_hf(text_raw)
+        tcfg = dataclass_replace(tcfg, max_position_embeddings=4096, qkv_bias=True)
+        sd = hf_convert.load_state_dict(base_model_path)
+        tparams = hf_convert.convert_llama(sd, tcfg, dtype, prefix="model.")
+        vraw = hf_cfg["vision_config"]
+        qcfg = qwen_vl.QwenVisionConfig(
+            hidden_size=vraw["hidden_size"],
+            out_hidden_size=vraw.get("out_hidden_size", hf_cfg["hidden_size"]),
+            intermediate_size=vraw["intermediate_size"],
+            depth=vraw["depth"],
+            num_heads=vraw["num_heads"],
+            patch_size=vraw["patch_size"],
+            temporal_patch_size=vraw["temporal_patch_size"],
+            spatial_merge_size=vraw["spatial_merge_size"],
+            window_size=vraw["window_size"],
+            fullatt_block_indexes=tuple(vraw["fullatt_block_indexes"]),
+            tokens_per_second=vraw.get("tokens_per_second", 2),
+        )
+        vparams = hf_convert.convert_qwen_vision(sd, qcfg, dtype)
+        dcfg = DraftConfig.from_json(
+            os.path.join(spec_model_path, "config.json"), num_q=num_q
+        )
+        dsd = hf_convert.load_state_dict(spec_model_path)
+        dparams = hf_convert.convert_draft(dsd, dcfg, dtype)
+        eos = hf_cfg.get("eos_token_id", 151645)
+        return cls(
+            tcfg, dcfg, spec_cfg, tparams, dparams, max_len=max_len, dtype=dtype,
+            vparams=vparams, qwen_cfg=qcfg,
+            eos_token_id=eos[0] if isinstance(eos, list) else eos,
+            image_token_index=hf_cfg.get("image_token_id", 151655),
+            video_token_index=hf_cfg.get("video_token_id", 151656),
+            vision_start_token_id=hf_cfg.get("vision_start_token_id", 151652),
+        )
+
+    # ------------------------------------------------------------------
+    def _prompt_embeds(
+        self,
+        input_ids: np.ndarray,  # [L]
+        pixel_values: Optional[jax.Array] = None,  # [H, W, 3] in [0,1]
+        image_size: Optional[Tuple[int, int]] = None,
+    ) -> Tuple[jax.Array, Optional[np.ndarray], Optional[jax.Array], int]:
+        """Token embeds with vision features scattered in; returns
+        (embeds [L, D], image_mask [L] or None, position_ids or None,
+        rope_delta)."""
+        ids = jnp.asarray(input_ids, jnp.int32)
+        embeds = llama.embed(self.tparams, ids)
+        image_mask = None
+        position_ids = None
+        rope_delta = 0
+        if pixel_values is not None and self.llava_cfg is not None:
+            assert self.vparams is not None
+            oh, ow = image_size if image_size is not None else pixel_values.shape[:2]
+            if self.llava_cfg.anyres:
+                plan = llava.plan_anyres(oh, ow, self.llava_cfg)
+                tiles = llava.preprocess_anyres(pixel_values, plan, self.llava_cfg)
+            else:
+                plan = None
+                size = self.llava_cfg.vision.image_size
+                tiles = llava.normalize(
+                    llava.resize_image(pixel_values, size, size)
+                )[None]
+            feats = llava.encode_image(self.vparams, self.llava_cfg, tiles, plan)
+            positions = np.nonzero(np.asarray(input_ids) == self.image_token_index)[0]
+            if positions.size != feats.shape[0]:
+                raise ValueError(
+                    f"image token count {positions.size} != features {feats.shape[0]}"
+                )
+            embeds = llava.merge_image_embeds(
+                embeds, feats, jnp.asarray(positions, jnp.int32)
+            )
+            image_mask = np.asarray(input_ids) == self.image_token_index
+        elif self.qwen_cfg is not None:
+            qcfg = self.qwen_cfg
+            grids = []
+            if pixel_values is not None:
+                oh, ow = image_size if image_size is not None else pixel_values.shape[:2]
+                rh, rw = qwen_vl.smart_resize(oh, ow)
+                resized = jax.image.resize(pixel_values, (rh, rw, 3), method="bicubic")
+                patches = qwen_vl.patchify_image(resized, qcfg)
+                grid = (1, rh // qcfg.patch_size, rw // qcfg.patch_size)
+                grids = [grid]
+                n_pat = patches.shape[0]
+                pad_pat = _bucket(n_pat, 64)
+                patches = jnp.pad(patches, ((0, pad_pat - n_pat), (0, 0)))
+                vplan = qwen_vl.plan_vision(grids, qcfg, pad_pat)
+                feats = qwen_vl.forward(self.vparams, qcfg, patches, vplan)
+                feats = feats[: vplan.n_merged]
+                positions = np.nonzero(
+                    np.asarray(input_ids) == self.image_token_index
+                )[0]
+                if positions.size != vplan.n_merged:
+                    raise ValueError(
+                        f"image token count {positions.size} != merged "
+                        f"features {vplan.n_merged}"
+                    )
+                embeds = llava.merge_image_embeds(
+                    embeds, feats, jnp.asarray(positions, jnp.int32)
+                )
+                image_mask = np.asarray(input_ids) == self.image_token_index
+            pos_np, rope_delta = qwen_vl.get_rope_index_host(
+                np.asarray(input_ids), grids, qcfg,
+                self.image_token_index or -1, self.video_token_index or -2,
+                self.vision_start_token_id,
+            )
+            position_ids = pos_np  # [3, L] numpy; padded by caller
+        return embeds, image_mask, position_ids, rope_delta
+
+    # ------------------------------------------------------------------
+    def specgenerate(
+        self,
+        input_ids: Sequence[int],
+        temperature: float = 0.0,
+        top_p: float = 0.0,
+        top_k: int = 0,
+        max_new_tokens: int = 512,
+        pixel_values=None,
+        image_size=None,
+        seed: int = 0,
+        log: bool = False,
+    ) -> GenerationResult:
+        input_ids = np.asarray(input_ids, np.int64)
+        l = int(input_ids.shape[0])
+        if l == 0:
+            raise ValueError("input_ids must be non-empty")
+        if l + self.spec.total_tokens + 10 > self.max_len:
+            raise ValueError(
+                f"prompt length {l} too long for max_len={self.max_len} "
+                f"(need room for the {self.spec.total_tokens}-token verify tree)"
+            )
+        pad_len = _bucket(l)
+        sampling = spec_loop.SamplingParams(temperature, top_p, int(top_k))
+
+        embeds, image_mask, position_ids, rope_delta = self._prompt_embeds(
+            input_ids, pixel_values, image_size
+        )
+        embeds = jnp.pad(embeds, ((0, pad_len - l), (0, 0)))
+        if position_ids is not None:
+            # pad 3-D positions by continuing the text counter
+            cont = position_ids[:, -1:] + 1 + np.arange(pad_len - l)[None, :]
+            position_ids = jnp.asarray(
+                np.concatenate([position_ids, cont], axis=1), jnp.int32
+            )
+
+        shifted_mask = image_mask[1:] if image_mask is not None else None
+        plan, max_span = draft_mod.make_prefill_plan(
+            shifted_mask, l, self.dcfg.num_q, pad_len,
+            max_images=4, max_span=_bucket(1, 64),
+        )
+        max_span = _bucket(max_span, 64)
+
+        target_cache = kv.reset(self.target_cache)
+        draft_cache = kv.reset(self.draft_cache)
+        max_out = min(self.max_len, max_new_tokens + 2 * (self.spec.depth + 2))
+
+        state = spec_loop.spec_prefill(
+            self.tparams, self.dparams, self.tcfg, self.dcfg, self.spec, plan,
+            sampling, embeds, target_cache, draft_cache,
+            jax.random.PRNGKey(seed), max_out, max_span,
+            position_ids=position_ids,
+            rope_delta=jnp.asarray(rope_delta, jnp.int32),
+        )
+        # cap rounds so the cache cannot overflow
+        budget = min(
+            max_new_tokens,
+            self.max_len - l - self.spec.total_tokens - 10,
+        )
+        t0 = time.perf_counter()
+        accept_lengths: List[int] = []
+        rounds = 0
+        eos = np.int32(self.eos_token_id)
+        cap = np.int32(budget)
+        while True:
+            prev = int(state.new_token)
+            state = spec_loop.decode_round(
+                self.tparams, self.dparams, self.tcfg, self.dcfg, self.spec,
+                sampling, state, eos, cap,
+            )
+            rounds += 1
+            accept_lengths.append(int(state.new_token) - prev - 1)
+            if bool(state.done) or rounds >= budget:
+                break
+        decode_time = time.perf_counter() - t0
+
+        out_len = int(state.out_len)
+        out = np.asarray(state.output)[:out_len]
+        # trim at EOS (the reference stops the loop but keeps the full round's
+        # tokens in input_ids; we match by keeping tokens up to and incl. EOS)
+        eos_pos = np.nonzero(out == self.eos_token_id)[0]
+        if eos_pos.size:
+            out = out[: eos_pos[0] + 1]
+        seq = np.concatenate([input_ids, out])
+        # persist caches for reuse (buffer reuse across calls)
+        self.target_cache = kv.reset(state.target_cache)
+        self.draft_cache = kv.reset(state.draft_cache)
+        return GenerationResult(
+            sequences=seq,
+            new_tokens=int(out.shape[0]),
+            rounds=rounds,
+            acceptance_lengths=accept_lengths,
+            decode_time=decode_time,
+        )
+
+    # ------------------------------------------------------------------
+    def ar_generate(
+        self,
+        input_ids: Sequence[int],
+        temperature: float = 0.0,
+        top_p: float = 0.0,
+        top_k: int = 0,
+        max_new_tokens: int = 512,
+        pixel_values=None,
+        image_size=None,
+        seed: int = 0,
+    ) -> GenerationResult:
+        """Plain AR baseline over the same runtime (gen_baseline_answer_*.py)."""
+        input_ids = np.asarray(input_ids, np.int64)
+        l = int(input_ids.shape[0])
+        if l == 0:
+            raise ValueError("input_ids must be non-empty")
+        if l + 2 > self.max_len:
+            raise ValueError(f"prompt length {l} too long for max_len={self.max_len}")
+        pad_len = _bucket(l)
+        sampling = spec_loop.SamplingParams(temperature, top_p, int(top_k))
+        embeds, _, position_ids, rope_delta = self._prompt_embeds(
+            input_ids, pixel_values, image_size
+        )
+        embeds = jnp.pad(embeds, ((0, pad_len - l), (0, 0)))
+        if position_ids is not None:
+            cont = position_ids[:, -1:] + 1 + np.arange(pad_len - l)[None, :]
+            position_ids = jnp.asarray(
+                np.concatenate([position_ids, cont], axis=1), jnp.int32
+            )
+        cache = kv.reset(self.target_cache)
+        key = jax.random.PRNGKey(seed)
+        tok, cache, key = spec_loop.ar_prefill(
+            self.tparams, self.tcfg, sampling, embeds,
+            jnp.asarray(l, jnp.int32), cache, key, position_ids=position_ids,
+        )
+        t0 = time.perf_counter()
+        out = [int(tok)]
+        budget = min(max_new_tokens, self.max_len - l - 2)
+        delta = jnp.asarray(rope_delta, jnp.int32)
+        while len(out) < budget and out[-1] != self.eos_token_id:
+            tok, cache, key = spec_loop.ar_step(
+                self.tparams, self.tcfg, sampling, tok, cache, key, rope_delta=delta
+            )
+            out.append(int(tok))
+        decode_time = time.perf_counter() - t0
+        self.target_cache = kv.reset(cache)
+        return GenerationResult(
+            sequences=np.concatenate([input_ids, np.asarray(out, np.int64)]),
+            new_tokens=len(out),
+            rounds=len(out),
+            acceptance_lengths=[],
+            decode_time=decode_time,
+        )
+
+
+def dataclass_replace(obj, **kwargs):
+    import dataclasses
+
+    return dataclasses.replace(obj, **kwargs)

@@ -1,0 +1,123 @@
+"""Training-data generation: target-model continuations with hidden-state capture.
+
+Reference layer L5 (SURVEY.md §2.5): ge_data_all_{llava,qwen}_pretrain_gen.py run
+``bigmodel.generate(output_hidden_states=True)`` on image prompts (with a
+"Please answer with at least 1000 words." suffix to elicit long outputs,
+ge_data_all_llava_pretrain_gen.py:80-85), concatenate per-step last-layer
+hiddens, and save {inputs_embeds, hidden_state, loss_mask, image_mask} per
+sample (:141-166).  The anti-shortcut property — the draft trains on text the
+*target generated*, never ground truth — lives here.
+
+TPU-native: one jitted prefill + a jitted AR step that also returns the last
+hidden state; samples stream to .npz shards (the torch .ckpt equivalent).
+Process-level sharding replaces the reference's per-GPU subprocess fan-out
+(allocation_*.py): run N processes with disjoint [start, end) ranges.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import LlamaConfig
+from ..models import llama
+from ..ops import kv_cache as kv
+from ..ops.attention import causal_mask
+
+
+@functools.partial(jax.jit, static_argnames=("tcfg",))
+def _prefill_with_hidden(tparams, tcfg: LlamaConfig, embeds, real_len, cache,
+                         position_ids=None):
+    pad_len = embeds.shape[0]
+    pos = jnp.arange(pad_len, dtype=jnp.int32) if position_ids is None else position_ids
+    mask = causal_mask(pad_len, cache.max_len, 0)
+    hidden, cache = llama.forward_hidden(tparams, tcfg, embeds, pos, cache, mask)
+    cache = kv.advance(cache, real_len)
+    logits = llama.lm_head(tparams, jnp.take(hidden, real_len - 1, axis=0))
+    return hidden, jnp.argmax(logits).astype(jnp.int32), cache
+
+
+@functools.partial(jax.jit, static_argnames=("tcfg",), donate_argnames=("cache",))
+def _step_with_hidden(tparams, tcfg: LlamaConfig, token, cache):
+    embeds = llama.embed(tparams, token[None])
+    cols = jnp.arange(cache.max_len, dtype=jnp.int32)
+    mask = (cols <= cache.length)[None, :]
+    hidden, cache = llama.forward_hidden(
+        tparams, tcfg, embeds, cache.length[None], cache, mask
+    )
+    cache = kv.advance(cache, 1)
+    logits = llama.lm_head(tparams, hidden[0])
+    return hidden[0], jnp.argmax(logits).astype(jnp.int32), cache
+
+
+def generate_sample(
+    tparams: dict,
+    tcfg: LlamaConfig,
+    prompt_embeds: jax.Array,  # [pad_len, D] (vision-merged, padded)
+    prompt_len: int,
+    image_mask: Optional[np.ndarray],
+    cache: kv.KVCache,
+    max_new_tokens: int = 512,
+    eos_token_id: int = 2,
+) -> Tuple[Dict[str, np.ndarray], kv.KVCache]:
+    """One training sample: prompt + greedy continuation with hiddens.
+
+    Returns arrays shaped like the reference .ckpt records:
+      input_ids   [S]  (generated portion only has real ids; prompt ids must be
+                        merged by the caller if needed)
+      hidden_state[S, D] — last-layer hidden per position
+      inputs_embeds[S, D]
+      loss_mask   [S] — 1 on generated continuation (pretrain_gen semantics)
+      image_mask  [S]
+    """
+    cache = kv.reset(cache)
+    hidden_prefix, token, cache = _prefill_with_hidden(
+        tparams, tcfg, prompt_embeds, jnp.asarray(prompt_len, jnp.int32), cache
+    )
+    hiddens = [np.asarray(hidden_prefix[:prompt_len])]
+    embeds = [np.asarray(prompt_embeds[:prompt_len])]
+    gen_ids = []
+    for _ in range(max_new_tokens):
+        tid = int(token)
+        gen_ids.append(tid)
+        if tid == eos_token_id:
+            break
+        h, token, cache = _step_with_hidden(tparams, tcfg, token, cache)
+        hiddens.append(np.asarray(h)[None])
+        embeds.append(np.asarray(llama.embed(tparams, jnp.asarray([tid])))[:1])
+
+    hidden_state = np.concatenate(hiddens, axis=0)
+    inputs_embeds = np.concatenate(embeds, axis=0)
+    s = hidden_state.shape[0]
+    loss_mask = np.zeros(s, np.float32)
+    loss_mask[prompt_len:] = 1.0
+    img = np.zeros(s, bool)
+    if image_mask is not None:
+        img[: len(image_mask)] = image_mask[:s]
+    sample = {
+        "input_ids": np.asarray(
+            [0] * prompt_len + gen_ids[: s - prompt_len], np.int32
+        ),
+        "hidden_state": hidden_state,
+        "inputs_embeds": inputs_embeds,
+        "loss_mask": loss_mask,
+        "image_mask": img,
+    }
+    return sample, cache
+
+
+def save_sample(outdir: str, index: int, sample: Dict[str, np.ndarray]) -> str:
+    os.makedirs(outdir, exist_ok=True)
+    path = os.path.join(outdir, f"data_{index}.npz")
+    np.savez_compressed(path, **sample)
+    return path
+
+
+def load_sample(path: str) -> Dict[str, np.ndarray]:
+    with np.load(path) as z:
+        return {k: z[k] for k in z.files}

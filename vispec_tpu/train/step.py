@@ -1,0 +1,126 @@
+"""Draft training step (stage-2 / MTP) — pjit over a dp x tp mesh.
+
+Reference: vispec/train/main_mtp.py:624-718.  The accelerate/DDP wrapper and
+NCCL all-reduce become GSPMD: the batch is sharded over ``dp``, parameters over
+``tp`` (parallel/sharding.py), and XLA inserts the gradient psum / activation
+collectives.  Grad clip is by-value 0.5 (main_mtp.py:48, clip_grad_value_),
+optimizer AdamW(b1=0.9, b2=0.95) with linear warmup (main_mtp.py:600-607).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..configs import DraftConfig
+from ..models import draft as draft_mod
+from .losses import draft_loss
+
+
+class TrainBatch(NamedTuple):
+    """One device batch (leading batch axis; bs=1 per reference, we allow B).
+
+    hidden_states: [B, S, D] target hiddens (noise-augmented upstream)
+    embeds:        [B, S, D] vision-merged input embeds
+    target:        [B, S, D] next-position target hiddens
+    loss_mask:     [B, S]
+    plans:         batched PrefillPlan (each field with leading B)
+    """
+
+    hidden_states: jax.Array
+    embeds: jax.Array
+    target: jax.Array
+    loss_mask: jax.Array
+    plans: draft_mod.PrefillPlan
+
+
+def make_optimizer(
+    lr: float = 3e-5,
+    warmup_steps: int = 2000,
+    total_steps: int = 800_000,
+    grad_clip: float = 0.5,
+) -> optax.GradientTransformation:
+    schedule = optax.linear_schedule(0.0, lr, warmup_steps)
+    decay = optax.linear_schedule(lr, 0.0, max(total_steps - warmup_steps, 1))
+    lr_fn = optax.join_schedules([schedule, decay], [warmup_steps])
+    return optax.chain(
+        optax.clip(grad_clip),  # by-value, matching clip_grad_value_
+        optax.scale_by_adam(b1=0.9, b2=0.95),
+        optax.scale_by_learning_rate(lr_fn),
+    )
+
+
+def mtp_forward(
+    dparams: dict,
+    dcfg: DraftConfig,
+    head_w: jax.Array,  # [D, V] frozen target lm_head
+    batch: TrainBatch,
+    mtp_steps: int,
+    max_span: int,
+) -> Tuple[jax.Array, dict]:
+    """Stacked multi-token-prediction forward + loss (main_mtp.py:630-654)."""
+
+    def single(hidden, embeds, plan):
+        return draft_mod.forward_train(dparams, dcfg, hidden, embeds, plan, max_span)
+
+    vforward = jax.vmap(single)
+
+    predict = vforward(batch.hidden_states, batch.embeds, batch.plans)
+    predicts = [predict]
+    cur = predict
+    for _ in range(mtp_steps):
+        cur = jnp.concatenate(
+            [batch.hidden_states[:, :1], cur[:, :-1]], axis=1
+        )
+        cur = vforward(cur, batch.embeds, batch.plans)
+        predicts.append(cur)
+    stacked = jnp.concatenate(predicts, axis=0)  # [(m+1)*B, S, D]
+
+    n = mtp_steps + 1
+    target_logits = jnp.einsum(
+        "bsd,dv->bsv", batch.target, head_w, preferred_element_type=jnp.float32
+    )
+    target_p = jax.lax.stop_gradient(jax.nn.softmax(target_logits, axis=-1))
+    target_p = jnp.tile(target_p, (n, 1, 1))
+    mask = jnp.tile(batch.loss_mask, (n, 1))
+
+    student_logits = jnp.einsum(
+        "bsd,dv->bsv", stacked, head_w, preferred_element_type=jnp.float32
+    )
+    return draft_loss(student_logits, target_p, mask)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dcfg", "mtp_steps", "max_span", "optimizer"),
+    donate_argnames=("dparams", "opt_state"),
+)
+def train_step(
+    dparams: dict,
+    opt_state,
+    dcfg: DraftConfig,
+    head_w: jax.Array,
+    batch: TrainBatch,
+    optimizer: optax.GradientTransformation,
+    mtp_steps: int = 2,
+    max_span: int = 1,
+):
+    """One optimization step; under a mesh context with sharded inputs this is
+    the full dp x tp distributed training step."""
+
+    def loss_fn(p):
+        loss, metrics = mtp_forward(p, dcfg, head_w, batch, mtp_steps, max_span)
+        return loss, metrics
+
+    (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(dparams)
+    # embed_tokens is frozen (cnets_ours.py:761-762)
+    grads = dict(grads)
+    grads["embed"] = jax.tree.map(jnp.zeros_like, dparams["embed"])
+    updates, opt_state = optimizer.update(grads, opt_state, dparams)
+    dparams = optax.apply_updates(dparams, updates)
+    metrics = dict(metrics, loss=loss)
+    return dparams, opt_state, metrics

