@@ -47,6 +47,55 @@ def test_specgenerate_matches_ar_generate():
     assert spec.rounds <= ar.rounds
 
 
+def test_medusa_losslessness():
+    """Medusa drafter: greedy spec output must equal AR output too."""
+    from vispec_tpu.models import medusa as medusa_mod
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(5))
+    tparams = llama.init_params(TCFG, k1, jnp.float32)
+    dparams = draft_mod.init_params(DCFG, k2, jnp.float32)
+    dparams["embed"] = tparams["embed"]
+    mparams = medusa_mod.init_params(TCFG.hidden_size, k2, jnp.float32)
+    # non-zero heads so trees are non-trivial
+    mparams = jax.tree.map(
+        lambda x: x + 0.01 * jax.random.normal(k2, x.shape, x.dtype), mparams
+    )
+    model = SpecModel(
+        TCFG, DCFG, SpecConfig(total_tokens=12, depth=3, top_k=4),
+        tparams, dparams, max_len=512, dtype=jnp.float32, eos_token_id=0,
+        mparams=mparams,
+    )
+    prompt = list(range(40, 70))
+    spec = model.specgenerate(prompt, max_new_tokens=20)
+    model.mparams = None
+    ar = model.ar_generate(prompt, max_new_tokens=20)
+    n = min(spec.new_tokens, ar.new_tokens, 20)
+    assert n >= 8
+    assert spec.sequences[: len(prompt) + n].tolist() == \
+        ar.sequences[: len(prompt) + n].tolist()
+
+
+def test_eagle_draft_losslessness():
+    """EAGLE (no-vision) drafter config end-to-end."""
+    ecfg = DCFG.__class__(**{**DCFG.__dict__, "vision": False})
+    k1, k2 = jax.random.split(jax.random.PRNGKey(9))
+    tparams = llama.init_params(TCFG, k1, jnp.float32)
+    dparams = draft_mod.init_params(ecfg, k2, jnp.float32)
+    assert "img_fc_w" not in dparams and "adaptor" not in dparams
+    dparams["embed"] = tparams["embed"]
+    model = SpecModel(
+        TCFG, ecfg, SpecConfig(total_tokens=12, depth=3, top_k=4),
+        tparams, dparams, max_len=512, dtype=jnp.float32, eos_token_id=0,
+    )
+    prompt = list(range(15, 45))
+    spec = model.specgenerate(prompt, max_new_tokens=20)
+    ar = model.ar_generate(prompt, max_new_tokens=20)
+    n = min(spec.new_tokens, ar.new_tokens, 20)
+    assert n >= 8
+    assert spec.sequences[: len(prompt) + n].tolist() == \
+        ar.sequences[: len(prompt) + n].tolist()
+
+
 def test_harness_and_speed_aggregation(tmp_path):
     model = make_model()
     qs = [

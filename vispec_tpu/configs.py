@@ -71,6 +71,9 @@ class DraftConfig:
     qkv_bias: bool = False
     fc_bias: bool = True  # `bias` key of the draft config JSON (spec_model_ours.py:61-64)
     num_q: int = 2  # learned image-compression queries (cnets_ours.py:603-611)
+    # False => EAGLE-2 baseline draft (reference cnets.py): no ImgAdaptor, no
+    # img_fc — input fusion is fc([embed; target_hidden]) only.
+    vision: bool = True
 
     @property
     def head_dim(self) -> int:

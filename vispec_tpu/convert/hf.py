@@ -105,27 +105,30 @@ def convert_draft(sd: Dict[str, np.ndarray], cfg: DraftConfig, dtype=jnp.bfloat1
         layer["bk"] = jnp.asarray(sd[p + "self_attn.k_proj.bias"], dtype)
         layer["bv"] = jnp.asarray(sd[p + "self_attn.v_proj.bias"], dtype)
 
-    adaptor = {
-        "q": jnp.asarray(sd["imadpt.q"], dtype),
-        "wk": jnp.asarray(_t(sd, "imadpt.k_proj.weight"), dtype),
-        "wv": jnp.asarray(_t(sd, "imadpt.v_proj.weight"), dtype),
-        "wo": jnp.asarray(_t(sd, "imadpt.o_proj.weight"), dtype),
-    }
-    if cfg.qkv_bias and "imadpt.k_proj.bias" in sd:
-        adaptor["bk"] = jnp.asarray(sd["imadpt.k_proj.bias"], dtype)
-        adaptor["bv"] = jnp.asarray(sd["imadpt.v_proj.bias"], dtype)
-
     params = {
         "embed": jnp.asarray(sd["embed_tokens.weight"], dtype),
         "layer": layer,
-        "adaptor": adaptor,
         "fc_w": jnp.asarray(_t(sd, "fc.weight"), dtype),
-        "img_fc_w": jnp.asarray(_t(sd, "img_fc.weight"), dtype),
     }
     if "fc.bias" in sd:
         params["fc_b"] = jnp.asarray(sd["fc.bias"], dtype)
-    if "img_fc.bias" in sd:
-        params["img_fc_b"] = jnp.asarray(sd["img_fc.bias"], dtype)
+
+    # vision components are absent in EAGLE-2 draft checkpoints (cnets.py)
+    if "imadpt.q" in sd:
+        adaptor = {
+            "q": jnp.asarray(sd["imadpt.q"], dtype),
+            "wk": jnp.asarray(_t(sd, "imadpt.k_proj.weight"), dtype),
+            "wv": jnp.asarray(_t(sd, "imadpt.v_proj.weight"), dtype),
+            "wo": jnp.asarray(_t(sd, "imadpt.o_proj.weight"), dtype),
+        }
+        if cfg.qkv_bias and "imadpt.k_proj.bias" in sd:
+            adaptor["bk"] = jnp.asarray(sd["imadpt.k_proj.bias"], dtype)
+            adaptor["bv"] = jnp.asarray(sd["imadpt.v_proj.bias"], dtype)
+        params["adaptor"] = adaptor
+    if "img_fc.weight" in sd:
+        params["img_fc_w"] = jnp.asarray(_t(sd, "img_fc.weight"), dtype)
+        if "img_fc.bias" in sd:
+            params["img_fc_b"] = jnp.asarray(sd["img_fc.bias"], dtype)
     return params
 
 

@@ -214,14 +214,19 @@ def fuse(params: dict, embeds: jax.Array, hidden: jax.Array, last_img: jax.Array
     """img_fc + fc input fusion for decode-path tokens (cnets_ours.py:976-988).
 
     embeds/hidden: [S, hidden]; last_img: [hidden] broadcast to every token.
+    Without img_fc weights (EAGLE-2 drafts, cnets.py) the img_fc stage is
+    skipped and fusion is fc([embed; hidden]) only.
     """
-    img_in = jnp.concatenate(
-        [hidden, jnp.broadcast_to(last_img[None], hidden.shape)], axis=-1
-    )
-    fused = jnp.dot(img_in, params["img_fc_w"], preferred_element_type=jnp.float32)
-    if "img_fc_b" in params:
-        fused = fused + params["img_fc_b"]
-    fused = fused.astype(hidden.dtype)
+    if "img_fc_w" in params:
+        img_in = jnp.concatenate(
+            [hidden, jnp.broadcast_to(last_img[None], hidden.shape)], axis=-1
+        )
+        fused = jnp.dot(img_in, params["img_fc_w"], preferred_element_type=jnp.float32)
+        if "img_fc_b" in params:
+            fused = fused + params["img_fc_b"]
+        fused = fused.astype(hidden.dtype)
+    else:
+        fused = hidden
     fc_in = jnp.concatenate([embeds, fused], axis=-1)
     out = jnp.dot(fc_in, params["fc_w"], preferred_element_type=jnp.float32)
     if "fc_b" in params:
@@ -230,6 +235,8 @@ def fuse(params: dict, embeds: jax.Array, hidden: jax.Array, last_img: jax.Array
 
 
 def _fuse_img_only(params: dict, hidden: jax.Array, last_img_per_tok: jax.Array) -> jax.Array:
+    if "img_fc_w" not in params:  # EAGLE-2 draft: no vision fusion
+        return hidden
     img_in = jnp.concatenate([hidden, last_img_per_tok], axis=-1)
     fused = jnp.dot(img_in, params["img_fc_w"], preferred_element_type=jnp.float32)
     if "img_fc_b" in params:
@@ -352,7 +359,12 @@ def forward_train(
             params, cfg, jnp.take(embeds, idx, axis=0), span_cols < ln
         )
 
-    adapted = jax.vmap(run_span)(plan.span_start, plan.span_len)
+    if "adaptor" in params:
+        adapted = jax.vmap(run_span)(plan.span_start, plan.span_len)
+    else:
+        adapted = jnp.zeros(
+            (max_images, cfg.num_q, cfg.hidden_size), target_hidden.dtype
+        )
     last_img_table = jnp.concatenate(
         [jnp.zeros((1, cfg.hidden_size), target_hidden.dtype), adapted[:, -1, :]],
         axis=0,
@@ -421,7 +433,12 @@ def prefill(
         span_mask = span_cols < ln
         return img_adaptor(params, cfg, span_embeds, span_mask)
 
-    adapted = jax.vmap(run_span)(plan.span_start, plan.span_len)  # [M, num_q, D]
+    if "adaptor" in params:  # EAGLE-2 drafts have no ImgAdaptor (cnets.py)
+        adapted = jax.vmap(run_span)(plan.span_start, plan.span_len)  # [M, num_q, D]
+    else:
+        adapted = jnp.zeros(
+            (max_images, cfg.num_q, cfg.hidden_size), target_hidden.dtype
+        )
 
     # last-img lookup table: slot 0 = zeros, slot s = image s-1's final adapted tok
     last_img_table = jnp.concatenate(
@@ -650,31 +667,31 @@ def init_params(cfg: DraftConfig, key: jax.Array, dtype=jnp.bfloat16) -> dict:
         layer["bk"] = jnp.zeros((hkv,), dtype)
         layer["bv"] = jnp.zeros((hkv,), dtype)
 
-    adaptor = {
-        "q": (jax.random.normal(keys[7], (cfg.num_q, cfg.num_attention_heads, cfg.head_dim), jnp.float32) * cfg.head_dim**-0.5).astype(dtype),
-        "wk": w(keys[8], (d, hq)),
-        "wv": w(keys[9], (d, hq)),
-        "wo": w(keys[10], (hq, d)),
-    }
-    if cfg.qkv_bias:
-        adaptor["bk"] = jnp.zeros((hq,), dtype)
-        adaptor["bv"] = jnp.zeros((hq,), dtype)
-
-    # img_fc initialized identity-on-hidden / zero-on-image (cnets_ours.py:752-757)
-    img_fc_w = jnp.concatenate(
-        [jnp.eye(d, dtype=jnp.float32), jnp.zeros((d, d), jnp.float32)], axis=0
-    ).astype(dtype)
-
     params = {
         "embed": w(keys[11], (cfg.vocab_size, d)),
         "layer": layer,
-        "adaptor": adaptor,
         "fc_w": w(keys[0], (2 * d, d)),
-        "img_fc_w": img_fc_w,
     }
     if cfg.fc_bias:
         params["fc_b"] = jnp.zeros((d,), dtype)
-        params["img_fc_b"] = jnp.zeros((d,), dtype)
+
+    if cfg.vision:
+        adaptor = {
+            "q": (jax.random.normal(keys[7], (cfg.num_q, cfg.num_attention_heads, cfg.head_dim), jnp.float32) * cfg.head_dim**-0.5).astype(dtype),
+            "wk": w(keys[8], (d, hq)),
+            "wv": w(keys[9], (d, hq)),
+            "wo": w(keys[10], (hq, d)),
+        }
+        if cfg.qkv_bias:
+            adaptor["bk"] = jnp.zeros((hq,), dtype)
+            adaptor["bv"] = jnp.zeros((hq,), dtype)
+        params["adaptor"] = adaptor
+        # img_fc initialized identity-on-hidden / zero-on-image (cnets_ours.py:752-757)
+        params["img_fc_w"] = jnp.concatenate(
+            [jnp.eye(d, dtype=jnp.float32), jnp.zeros((d, d), jnp.float32)], axis=0
+        ).astype(dtype)
+        if cfg.fc_bias:
+            params["img_fc_b"] = jnp.zeros((d,), dtype)
     return params
 
 

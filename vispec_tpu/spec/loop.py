@@ -145,26 +145,22 @@ def spec_prefill(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("tcfg", "dcfg", "spec", "sampling"),
-    donate_argnames=("state",),
-)
-def decode_round(
+def _verify_accept_commit(
     tparams: dict,
-    dparams: dict,
     tcfg: LlamaConfig,
-    dcfg: DraftConfig,
-    spec: SpecConfig,
     sampling: SamplingParams,
     state: SpecState,
-    eos_id: int,
-    max_new_tokens: int,
-) -> SpecState:
-    """verify -> accept -> commit -> next draft tree, all on device."""
+    eos_id,
+    max_new_tokens,
+    max_path: int,
+    max_accept_depth: int,
+):
+    """Shared core of every drafter's decode round: target verify over the tree
+    block, tree-walk acceptance, KV commit, output append.
+
+    Returns (hidden [T, D], path, acc, bonus, partial-state fields)."""
     tree = state.tree
-    t = spec.total_tokens
-    max_path = spec.depth + 2
+    t = tree.size
     tree_start = state.target_cache.length
 
     # ---- 1. target verify over the tree block (utils.py:389-412) ----
@@ -191,7 +187,7 @@ def decode_round(
             process_logits(logits, sampling.temperature, sampling.top_p, sampling.top_k),
             axis=-1,
         )
-        best, acc, resid = sampling_accept(tree, probs, k_accept, spec.depth + 1)
+        best, acc, resid = sampling_accept(tree, probs, k_accept, max_accept_depth)
         bonus = sample_categorical(k_bonus, resid).astype(jnp.int32)
 
     # ---- 3. commit accepted path (utils.py:496-541) ----
@@ -207,6 +203,34 @@ def decode_round(
     out_len = state.out_len + acc + 1
     new_token = state.new_token + acc + 1
     done = state.done | eos_hit | (new_token > max_new_tokens)
+
+    return hidden, path, jcols, acc, bonus, target_cache, output, out_len, new_token, done, key
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tcfg", "dcfg", "spec", "sampling"),
+    donate_argnames=("state",),
+)
+def decode_round(
+    tparams: dict,
+    dparams: dict,
+    tcfg: LlamaConfig,
+    dcfg: DraftConfig,
+    spec: SpecConfig,
+    sampling: SamplingParams,
+    state: SpecState,
+    eos_id: int,
+    max_new_tokens: int,
+) -> SpecState:
+    """verify -> accept -> commit -> next draft tree, all on device."""
+    tree = state.tree
+    max_path = spec.depth + 2
+    (hidden, path, jcols, acc, bonus, target_cache, output, out_len,
+     new_token, done, key) = _verify_accept_commit(
+        tparams, tcfg, sampling, state, eos_id, max_new_tokens,
+        max_path, spec.depth + 1,
+    )
 
     # ---- 4. next draft tree (utils.py:557-580 -> cnets_ours.py:1090-1108) ----
     accept_hidden = hidden[path]  # [max_path, hidden]
@@ -227,6 +251,109 @@ def decode_round(
         tree=new_tree,
         target_cache=target_cache,
         draft_cache=draft_cache,
+        last_img=state.last_img,
+        output=output,
+        out_len=out_len,
+        new_token=new_token,
+        done=done,
+        key=key,
+        rope_delta=state.rope_delta,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Medusa decode (no draft transformer — heads on the target's hidden)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tcfg", "spec", "sampling", "max_out"),
+)
+def medusa_prefill(
+    tparams: dict,
+    mparams: dict,
+    tcfg: LlamaConfig,
+    spec: SpecConfig,
+    sampling: SamplingParams,
+    inputs_embeds: jax.Array,
+    real_len: jax.Array,
+    target_cache: kv.KVCache,
+    key: jax.Array,
+    max_out: int,
+) -> SpecState:
+    from ..models import medusa as medusa_mod
+
+    pad_len = inputs_embeds.shape[0]
+    position_ids = jnp.arange(pad_len, dtype=jnp.int32)
+    mask = causal_mask(pad_len, target_cache.max_len, 0)
+    hidden, target_cache = llama.forward_hidden(
+        tparams, tcfg, inputs_embeds, position_ids, target_cache, mask
+    )
+    target_cache = kv.advance(target_cache, real_len)
+    last_hidden = jnp.take(hidden, real_len - 1, axis=0)
+    last_logits = llama.lm_head(tparams, last_hidden)
+    key, k_sample = jax.random.split(key)
+    if sampling.greedy:
+        first_token = jnp.argmax(last_logits).astype(jnp.int32)
+    else:
+        p = jax.nn.softmax(
+            process_logits(last_logits, sampling.temperature, sampling.top_p, sampling.top_k)
+        )
+        first_token = sample_categorical(k_sample, p).astype(jnp.int32)
+
+    tree = medusa_mod.expand_tree(
+        mparams, spec, last_hidden, first_token, tparams["lm_head"]
+    )
+    dummy_cache = kv.init_cache(1, 1, 8, 8, inputs_embeds.dtype)
+    return SpecState(
+        tree=tree,
+        target_cache=target_cache,
+        draft_cache=dummy_cache,
+        last_img=jnp.zeros((tcfg.hidden_size,), inputs_embeds.dtype),
+        output=jnp.zeros((max_out,), jnp.int32),
+        out_len=jnp.zeros((), jnp.int32),
+        new_token=jnp.zeros((), jnp.int32),
+        done=jnp.zeros((), bool),
+        key=key,
+        rope_delta=jnp.zeros((), jnp.int32),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tcfg", "spec", "sampling"),
+    donate_argnames=("state",),
+)
+def medusa_decode_round(
+    tparams: dict,
+    mparams: dict,
+    tcfg: LlamaConfig,
+    spec: SpecConfig,
+    sampling: SamplingParams,
+    state: SpecState,
+    eos_id: int,
+    max_new_tokens: int,
+) -> SpecState:
+    """Medusa round: same verify/accept/commit; the next tree comes from the
+    heads applied to the deepest accepted node's hidden state
+    (cnets_medusa.py topK_genrate via utils.py update_inference_inputs)."""
+    from ..models import medusa as medusa_mod
+
+    max_path = medusa_mod.NUM_HEADS + 1
+    (hidden, path, jcols, acc, bonus, target_cache, output, out_len,
+     new_token, done, key) = _verify_accept_commit(
+        tparams, tcfg, sampling, state, eos_id, max_new_tokens,
+        max_path, medusa_mod.NUM_HEADS,
+    )
+    best_hidden = hidden[path[jnp.clip(acc, 0, max_path - 1)]]
+    new_tree = medusa_mod.expand_tree(
+        mparams, spec, best_hidden, bonus, tparams["lm_head"]
+    )
+    return SpecState(
+        tree=new_tree,
+        target_cache=target_cache,
+        draft_cache=state.draft_cache,
         last_img=state.last_img,
         output=output,
         out_len=out_len,

@@ -62,9 +62,11 @@ class SpecModel:
         qwen_cfg: Optional[qwen_vl.QwenVisionConfig] = None,
         vision_start_token_id: int = 151652,
         video_token_index: Optional[int] = None,
+        mparams: Optional[dict] = None,  # Medusa heads => medusa decode path
     ):
         self.tcfg, self.dcfg, self.spec = tcfg, dcfg, spec
         self.tparams, self.dparams = tparams, dparams
+        self.mparams = mparams
         self.llava_cfg, self.vparams = llava_cfg, vparams
         self.qwen_cfg = qwen_cfg
         self.vision_start_token_id = vision_start_token_id
@@ -95,11 +97,13 @@ class SpecModel:
         num_q: int = 2,
         max_len: int = 2048,
         dtype=jnp.bfloat16,
+        method: str = "vispec",  # "vispec" | "eagle" | "medusa"
     ) -> "SpecModel":
-        """Architecture dispatch + weight conversion (spec_model_ours.py:109-177).
+        """Architecture dispatch + weight conversion (spec_model_ours.py:109-177;
+        EAGLE/Medusa orchestrators spec_model.py / spec_model_medusa.py).
 
-        Supported: LlamaForCausalLM, Qwen2ForCausalLM,
-        Llava(Next)ForConditionalGeneration; Qwen2_5_VL and Mixtral follow.
+        Supported targets: LlamaForCausalLM, Qwen2ForCausalLM,
+        Llava(Next)ForConditionalGeneration, Qwen2_5_VLForConditionalGeneration.
         """
         from ..convert import hf as hf_convert
 
@@ -155,18 +159,35 @@ class SpecModel:
         else:
             raise NotImplementedError(f"architecture {arch} not yet supported")
 
-        dcfg = DraftConfig.from_json(
-            os.path.join(spec_model_path, "config.json"), num_q=num_q
-        )
         dsd = hf_convert.load_state_dict(spec_model_path)
-        dparams = hf_convert.convert_draft(dsd, dcfg, dtype)
+        mparams = None
+        cfg_path = os.path.join(spec_model_path, "config.json")
+        if os.path.exists(cfg_path):
+            dcfg = DraftConfig.from_json(cfg_path, num_q=num_q)
+        else:
+            dcfg = DraftConfig(
+                vocab_size=tcfg.vocab_size, hidden_size=tcfg.hidden_size,
+                intermediate_size=tcfg.intermediate_size,
+                num_attention_heads=tcfg.num_attention_heads,
+                num_key_value_heads=tcfg.num_key_value_heads, num_q=num_q,
+            )
+        if method == "medusa":
+            from ..models.medusa import convert_medusa
 
+            mparams = convert_medusa(dsd, dtype)
+            dparams = {"embed": tparams["embed"], "layer": {}, "fc_w": jnp.zeros((1,), dtype)}
+        else:
+            if method == "eagle":
+                dcfg = dataclass_replace(dcfg, vision=False)
+            dparams = hf_convert.convert_draft(dsd, dcfg, dtype)
+
+        eos = hf_cfg.get("eos_token_id", 2)
         return cls(
             tcfg, dcfg, spec_cfg, tparams, dparams, max_len=max_len, dtype=dtype,
             llava_cfg=llava_cfg, vparams=vparams,
-            eos_token_id=hf_cfg.get("eos_token_id", 2) if not isinstance(
-                hf_cfg.get("eos_token_id", 2), list) else hf_cfg["eos_token_id"][0],
+            eos_token_id=eos[0] if isinstance(eos, list) else eos,
             image_token_index=image_token_index,
+            mparams=mparams,
         )
 
     # ------------------------------------------------------------------
@@ -331,15 +352,25 @@ class SpecModel:
 
         target_cache = kv.reset(self.target_cache)
         draft_cache = kv.reset(self.draft_cache)
-        max_out = min(self.max_len, max_new_tokens + 2 * (self.spec.depth + 2))
+        from ..models.medusa import NUM_HEADS
 
-        state = spec_loop.spec_prefill(
-            self.tparams, self.dparams, self.tcfg, self.dcfg, self.spec, plan,
-            sampling, embeds, target_cache, draft_cache,
-            jax.random.PRNGKey(seed), max_out, max_span,
-            position_ids=position_ids,
-            rope_delta=jnp.asarray(rope_delta, jnp.int32),
-        )
+        pad_block = max(self.spec.depth + 2, NUM_HEADS + 1)
+        max_out = min(self.max_len, max_new_tokens + 2 * pad_block)
+
+        if self.mparams is not None:
+            state = spec_loop.medusa_prefill(
+                self.tparams, self.mparams, self.tcfg, self.spec, sampling,
+                embeds, jnp.asarray(l, jnp.int32), target_cache,
+                jax.random.PRNGKey(seed), max_out,
+            )
+        else:
+            state = spec_loop.spec_prefill(
+                self.tparams, self.dparams, self.tcfg, self.dcfg, self.spec, plan,
+                sampling, embeds, target_cache, draft_cache,
+                jax.random.PRNGKey(seed), max_out, max_span,
+                position_ids=position_ids,
+                rope_delta=jnp.asarray(rope_delta, jnp.int32),
+            )
         # cap rounds so the cache cannot overflow
         budget = min(
             max_new_tokens,
@@ -352,10 +383,16 @@ class SpecModel:
         cap = np.int32(budget)
         while True:
             prev = int(state.new_token)
-            state = spec_loop.decode_round(
-                self.tparams, self.dparams, self.tcfg, self.dcfg, self.spec,
-                sampling, state, eos, cap,
-            )
+            if self.mparams is not None:
+                state = spec_loop.medusa_decode_round(
+                    self.tparams, self.mparams, self.tcfg, self.spec,
+                    sampling, state, eos, cap,
+                )
+            else:
+                state = spec_loop.decode_round(
+                    self.tparams, self.dparams, self.tcfg, self.dcfg, self.spec,
+                    sampling, state, eos, cap,
+                )
             rounds += 1
             accept_lengths.append(int(state.new_token) - prev - 1)
             if bool(state.done) or rounds >= budget:
