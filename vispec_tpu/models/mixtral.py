@@ -1,0 +1,165 @@
+"""Mixtral MoE target backbone (reference modeling_mixtral_kv.py).
+
+The reference computes top-2 routing with a dense per-expert loop on one GPU
+(MixtralSparseMoeBlock, :488-571 — no expert parallelism).  TPU-native at bs=1
+speculative decoding the token count per forward is tiny (<= tree size), so we
+evaluate every expert as one stacked einsum and weight by the router's top-2
+softmax — MXU-friendly, no gathers of weight matrices.  At scale the expert
+dimension shards over an 'ep'/'tp' mesh axis (parallel/sharding.py) and the
+same einsum becomes an all-to-all-free sharded matmul.
+
+Weights: like llama.py plus per-layer
+  router: [L, hidden, num_experts]
+  we_gate/we_up: [L, E, hidden, inter], we_down: [L, E, inter, hidden]
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..configs import LlamaConfig
+from ..ops import rope as rope_ops
+from ..ops.kv_cache import KVCache
+from .llama import attention_block, rms_norm
+
+
+@dataclass(frozen=True)
+class MixtralConfig(LlamaConfig):
+    num_local_experts: int = 8
+    num_experts_per_tok: int = 2
+
+
+def moe_block(x: jax.Array, lp: dict, cfg: MixtralConfig) -> jax.Array:
+    """Top-k routed sparse MLP, computed densely over experts.
+
+    Matches MixtralSparseMoeBlock semantics: softmax over router logits, top-k
+    per token, renormalize the top-k weights (:123-160 of HF impl)."""
+    router_logits = jnp.dot(
+        x, lp["router"], preferred_element_type=jnp.float32
+    )  # [S, E]
+    probs = jax.nn.softmax(router_logits, axis=-1)
+    top_w, top_i = lax.top_k(probs, cfg.num_experts_per_tok)  # [S, k]
+    top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
+    # dense per-token expert weights [S, E]
+    weights = jnp.zeros_like(probs).at[
+        jnp.arange(x.shape[0])[:, None], top_i
+    ].set(top_w)
+
+    gate = jnp.einsum("sd,edi->sei", x, lp["we_gate"], preferred_element_type=jnp.float32)
+    up = jnp.einsum("sd,edi->sei", x, lp["we_up"], preferred_element_type=jnp.float32)
+    inter = (jax.nn.silu(gate) * up).astype(x.dtype)
+    out = jnp.einsum("sei,eid->sed", inter, lp["we_down"], preferred_element_type=jnp.float32)
+    return jnp.einsum("sed,se->sd", out, weights.astype(jnp.float32)).astype(x.dtype)
+
+
+def forward_hidden(
+    params: dict,
+    cfg: MixtralConfig,
+    inputs_embeds: jax.Array,
+    position_ids: jax.Array,
+    cache: KVCache,
+    attn_mask: jax.Array,
+) -> Tuple[jax.Array, KVCache]:
+    cos, sin = rope_ops.cos_sin(position_ids, cfg.head_dim, cfg.rope_theta)
+    write_at = cache.length
+
+    def layer_step(hidden, xs):
+        lp, k_cache_l, v_cache_l = xs
+        residual = hidden
+        normed = rms_norm(hidden, lp["input_norm"], cfg.rms_norm_eps)
+        attn_out, k_new, v_new = attention_block(
+            normed, lp, cfg, cos, sin, k_cache_l, v_cache_l, write_at, attn_mask
+        )
+        hidden = residual + attn_out
+        residual = hidden
+        normed = rms_norm(hidden, lp["post_norm"], cfg.rms_norm_eps)
+        hidden = residual + moe_block(normed, lp, cfg)
+        return hidden, (k_new, v_new)
+
+    hidden, (k_blocks, v_blocks) = lax.scan(
+        layer_step, inputs_embeds, (params["layers"], cache.k, cache.v)
+    )
+    hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
+    zero = jnp.zeros((), jnp.int32)
+    new_k = lax.dynamic_update_slice(cache.k, k_blocks, (zero, zero, write_at, zero))
+    new_v = lax.dynamic_update_slice(cache.v, v_blocks, (zero, zero, write_at, zero))
+    return hidden, cache._replace(k=new_k, v=new_v)
+
+
+def init_params(cfg: MixtralConfig, key: jax.Array, dtype=jnp.bfloat16) -> dict:
+    ks = jax.random.split(key, 12)
+    l, d, i, e = cfg.num_hidden_layers, cfg.hidden_size, cfg.intermediate_size, cfg.num_local_experts
+    hq = cfg.num_attention_heads * cfg.head_dim
+    hkv = cfg.num_key_value_heads * cfg.head_dim
+
+    def w(k, shape, scale=0.02):
+        return jax.random.normal(k, shape, dtype) * jnp.asarray(scale, dtype)
+
+    layers = {
+        "input_norm": jnp.ones((l, d), jnp.float32),
+        "post_norm": jnp.ones((l, d), jnp.float32),
+        "wq": w(ks[0], (l, d, hq)),
+        "wk": w(ks[1], (l, d, hkv)),
+        "wv": w(ks[2], (l, d, hkv)),
+        "wo": w(ks[3], (l, hq, d)),
+        "router": w(ks[4], (l, d, e)),
+        "we_gate": w(ks[5], (l, e, d, i)),
+        "we_up": w(ks[6], (l, e, d, i)),
+        "we_down": w(ks[7], (l, e, i, d)),
+    }
+    return {
+        "embed": w(ks[8], (cfg.vocab_size, d)),
+        "layers": layers,
+        "final_norm": jnp.ones((d,), jnp.float32),
+        "lm_head": w(ks[9], (d, cfg.vocab_size)),
+    }
+
+
+def convert_mixtral(sd, cfg: MixtralConfig, dtype=jnp.bfloat16, prefix="model.") -> dict:
+    """HF Mixtral state dict -> pytree (block_sparse_moe.experts.{e}.w1/w3/w2)."""
+    import numpy as np
+
+    l, e = cfg.num_hidden_layers, cfg.num_local_experts
+
+    def t(key):
+        return np.ascontiguousarray(sd[key].T)
+
+    def stack(fmt, transpose=True):
+        return np.stack([
+            t(prefix + fmt.format(i)) if transpose else sd[prefix + fmt.format(i)]
+            for i in range(l)
+        ])
+
+    def stack_experts(fmt):
+        return np.stack([
+            np.stack([t(prefix + fmt.format(i, j)) for j in range(e)])
+            for i in range(l)
+        ])
+
+    layers = {
+        "input_norm": jnp.asarray(stack("layers.{}.input_layernorm.weight", False), jnp.float32),
+        "post_norm": jnp.asarray(stack("layers.{}.post_attention_layernorm.weight", False), jnp.float32),
+        "wq": jnp.asarray(stack("layers.{}.self_attn.q_proj.weight"), dtype),
+        "wk": jnp.asarray(stack("layers.{}.self_attn.k_proj.weight"), dtype),
+        "wv": jnp.asarray(stack("layers.{}.self_attn.v_proj.weight"), dtype),
+        "wo": jnp.asarray(stack("layers.{}.self_attn.o_proj.weight"), dtype),
+        "router": jnp.asarray(stack("layers.{}.block_sparse_moe.gate.weight"), dtype),
+        # HF names: w1=gate, w3=up, w2=down
+        "we_gate": jnp.asarray(stack_experts("layers.{}.block_sparse_moe.experts.{}.w1.weight"), dtype),
+        "we_up": jnp.asarray(stack_experts("layers.{}.block_sparse_moe.experts.{}.w3.weight"), dtype),
+        "we_down": jnp.asarray(stack_experts("layers.{}.block_sparse_moe.experts.{}.w2.weight"), dtype),
+    }
+    embed = sd[prefix + "embed_tokens.weight"]
+    head = (np.ascontiguousarray(sd["lm_head.weight"].T)
+            if "lm_head.weight" in sd else np.ascontiguousarray(embed.T))
+    return {
+        "embed": jnp.asarray(embed, dtype),
+        "layers": layers,
+        "final_norm": jnp.asarray(sd[prefix + "norm.weight"], jnp.float32),
+        "lm_head": jnp.asarray(head, dtype),
+    }

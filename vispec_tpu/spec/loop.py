@@ -29,6 +29,15 @@ from ..ops.sampling import process_logits, sample_categorical
 from ..ops.tree import Tree, greedy_accept, path_to_root, sampling_accept
 
 
+def target_forward(tparams, tcfg, embeds, pos, cache, mask):
+    """Dispatch dense vs MoE target backbones on the parameter pytree."""
+    if "router" in tparams["layers"]:
+        from ..models import mixtral
+
+        return mixtral.forward_hidden(tparams, tcfg, embeds, pos, cache, mask)
+    return llama.forward_hidden(tparams, tcfg, embeds, pos, cache, mask)
+
+
 class SpecState(NamedTuple):
     """Device-resident carry between decode rounds."""
 
@@ -95,7 +104,7 @@ def spec_prefill(
     if position_ids is None:
         position_ids = jnp.arange(pad_len, dtype=jnp.int32)
     mask = causal_mask(pad_len, target_cache.max_len, 0)
-    hidden, target_cache = llama.forward_hidden(
+    hidden, target_cache = target_forward(
         tparams, tcfg, inputs_embeds, position_ids, target_cache, mask
     )
     target_cache = kv.advance(target_cache, real_len)
@@ -171,7 +180,7 @@ def _verify_accept_commit(
         # over the 3 streams (utils.py:398-402)
         pos = jnp.broadcast_to(pos[None], (3, t))
     mask = tree_verify_mask(tree.mask, tree_start, state.target_cache.max_len)
-    hidden, target_cache = llama.forward_hidden(
+    hidden, target_cache = target_forward(
         tparams, tcfg, embeds, pos, state.target_cache, mask
     )
     logits = llama.lm_head(tparams, hidden)  # [T, V] float32
@@ -287,7 +296,7 @@ def medusa_prefill(
     pad_len = inputs_embeds.shape[0]
     position_ids = jnp.arange(pad_len, dtype=jnp.int32)
     mask = causal_mask(pad_len, target_cache.max_len, 0)
-    hidden, target_cache = llama.forward_hidden(
+    hidden, target_cache = target_forward(
         tparams, tcfg, inputs_embeds, position_ids, target_cache, mask
     )
     target_cache = kv.advance(target_cache, real_len)
@@ -390,7 +399,7 @@ def ar_step(
         pos = jnp.broadcast_to(pos[None], (3, 1))
     cols = jnp.arange(cache.max_len, dtype=jnp.int32)
     mask = (cols <= cache.length)[None, :]
-    hidden, cache = llama.forward_hidden(tparams, tcfg, embeds, pos, cache, mask)
+    hidden, cache = target_forward(tparams, tcfg, embeds, pos, cache, mask)
     cache = kv.advance(cache, 1)
     logits = llama.lm_head(tparams, hidden[0])
     key, k_s = jax.random.split(key)
@@ -419,7 +428,7 @@ def ar_prefill(
     pos = (jnp.arange(pad_len, dtype=jnp.int32)
            if position_ids is None else position_ids)
     mask = causal_mask(pad_len, cache.max_len, 0)
-    hidden, cache = llama.forward_hidden(tparams, tcfg, inputs_embeds, pos, cache, mask)
+    hidden, cache = target_forward(tparams, tcfg, inputs_embeds, pos, cache, mask)
     cache = kv.advance(cache, real_len)
     logits = llama.lm_head(tparams, hidden[real_len - 1])
     key, k_s = jax.random.split(key)
