@@ -1,0 +1,120 @@
+"""Training stack tests: data gen -> MTP training -> loss decreases -> getkacc,
+plus checkpoint round-trip export."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vispec_tpu.configs import DraftConfig, LlamaConfig
+from vispec_tpu.models import draft as draft_mod
+from vispec_tpu.models import llama
+from vispec_tpu.ops import kv_cache as kv
+from vispec_tpu.train import data_gen, trainer
+from vispec_tpu.train.step import TrainBatch, make_optimizer, train_step, train_step_stage1
+
+TCFG = LlamaConfig(
+    vocab_size=96, hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+    num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=256,
+)
+DCFG = DraftConfig(
+    vocab_size=96, hidden_size=32, intermediate_size=64,
+    num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=256,
+)
+
+
+def gen_dataset(tmp_path, n=4):
+    tparams = llama.init_params(TCFG, jax.random.PRNGKey(0), jnp.float32)
+    cache = kv.init_cache(2, 2, 128, 8, jnp.float32)
+    rng = np.random.default_rng(0)
+    for i in range(n):
+        ids = rng.integers(1, 90, 20)
+        embeds = llama.embed(tparams, jnp.asarray(ids))
+        embeds = jnp.pad(embeds, ((0, 64 - len(ids)), (0, 0)))
+        sample, cache = data_gen.generate_sample(
+            tparams, TCFG, embeds, len(ids), None, cache,
+            max_new_tokens=24, eos_token_id=999,
+        )
+        data_gen.save_sample(str(tmp_path), i, sample)
+    return tparams
+
+
+def test_data_gen_and_train_loss_decreases(tmp_path):
+    tparams = gen_dataset(tmp_path)
+    head_w = tparams["lm_head"].astype(jnp.float32)
+    cfg = trainer.TrainConfig(
+        lr=2e-3, bs=2, num_epochs=1, max_len=64, mtp_steps=1,
+        warmup_steps=2, total_steps=1000, max_images=1, max_span_bucket=8,
+    )
+    dparams = draft_mod.init_params(DCFG, jax.random.PRNGKey(1), jnp.float32)
+    optimizer = make_optimizer(cfg.lr, cfg.warmup_steps, cfg.total_steps, cfg.grad_clip)
+    opt_state = optimizer.init(dparams)
+
+    losses = []
+    for epoch in range(6):
+        for batch, ms in trainer.data_iterator(str(tmp_path), cfg, DCFG, seed=epoch):
+            dparams, opt_state, metrics = train_step(
+                dparams, opt_state, DCFG, head_w, batch, optimizer,
+                mtp_steps=cfg.mtp_steps, max_span=cfg.max_span_bucket,
+            )
+            losses.append(float(metrics["loss"]))
+    assert len(losses) >= 6
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-3:]) < np.mean(losses[:3]), losses
+
+    # getkacc runs and yields probabilities
+    sample = data_gen.load_sample(os.path.join(str(tmp_path), "data_0.npz"))
+    accs = trainer.getkacc(dparams, DCFG, head_w, sample, max_length=3,
+                           max_prefixes=4, max_len=64, max_span=8)
+    assert len(accs) == 3
+    assert all(0.0 <= a <= 1.0 for a in accs)
+
+
+def test_stage1_step_runs(tmp_path):
+    tparams = gen_dataset(tmp_path, n=2)
+    head_w = tparams["lm_head"].astype(jnp.float32)
+    cfg = trainer.TrainConfig(lr=1e-3, bs=1, max_len=64, max_images=1, max_span_bucket=8)
+    dparams = draft_mod.init_params(DCFG, jax.random.PRNGKey(1), jnp.float32)
+    optimizer = make_optimizer(cfg.lr, 2, 100, 0.5)
+    opt_state = optimizer.init(dparams)
+    it = trainer.data_iterator(str(tmp_path), cfg, DCFG, seed=0)
+    batch, ms = next(it)
+    dparams, opt_state, metrics = train_step_stage1(
+        dparams, opt_state, DCFG, head_w, batch, optimizer, max_span=8,
+    )
+    assert np.isfinite(float(metrics["loss"]))
+    assert "vloss" in metrics
+
+
+def test_checkpoint_save_resume(tmp_path):
+    dparams = draft_mod.init_params(DCFG, jax.random.PRNGKey(2), jnp.float32)
+    optimizer = make_optimizer(1e-3, 2, 100, 0.5)
+    opt_state = optimizer.init(dparams)
+    cp = str(tmp_path / "ck")
+    trainer.save_state(cp, 3, dparams, opt_state)
+    latest = trainer.latest_state(cp)
+    assert latest and "state_3" in latest
+    epoch, params, _ = trainer.load_state(latest)
+    assert epoch == 3
+    np.testing.assert_allclose(
+        np.asarray(params["fc_w"]), np.asarray(dparams["fc_w"])
+    )
+
+
+def test_export_roundtrip():
+    from vispec_tpu.convert.export import draft_to_hf_state_dict
+    from vispec_tpu.convert.hf import convert_draft
+
+    dparams = draft_mod.init_params(DCFG, jax.random.PRNGKey(3), jnp.float32)
+    sd = draft_to_hf_state_dict(dparams)
+    assert "imadpt.q" in sd and "img_fc.weight" in sd
+    back = convert_draft(sd, DCFG, jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(back["layer"]["wq"]), np.asarray(dparams["layer"]["wq"]),
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(back["adaptor"]["q"]), np.asarray(dparams["adaptor"]["q"]),
+        rtol=1e-6,
+    )

@@ -1,0 +1,92 @@
+"""Unified evaluation CLI — the reference's gen_{spec,baseline}_answer_<bench>
+scripts behind one entry point:
+
+  python -m vispec_tpu.evaluation.gen_answer \
+      --bench sqa --model <target ckpt dir> --spec-model <draft ckpt dir> \
+      --answer-file out/sqa.jsonl --data-root /data [--baseline] \
+      --total-token 30 --depth 3 --top-k 8 --num-q 2 --temperature 0.0
+
+Flags mirror gen_spec_answer_sqa.py:343-512 (canonical values exp.sh:10-14);
+--method selects ours/eagle/medusa (the reference's --use-ours/--use-medusa).
+Scale-out: run several processes with disjoint --question-begin/--question-end
+(the reference's ray sharding, gen_spec_answer_sqa.py:89-122).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--bench", required=True)
+    p.add_argument("--model", required=True, help="target model checkpoint dir")
+    p.add_argument("--spec-model", default=None, help="draft checkpoint dir")
+    p.add_argument("--method", default="vispec",
+                   choices=["vispec", "eagle", "medusa"])
+    p.add_argument("--baseline", action="store_true")
+    p.add_argument("--answer-file", required=True)
+    p.add_argument("--data-root", default="data")
+    p.add_argument("--model-id", default=None)
+    p.add_argument("--question-begin", type=int, default=0)
+    p.add_argument("--question-end", type=int, default=10**9)
+    p.add_argument("--total-token", type=int, default=30)
+    p.add_argument("--depth", type=int, default=3)
+    p.add_argument("--top-k", type=int, default=8)
+    p.add_argument("--num-q", type=int, default=2)
+    p.add_argument("--temperature", type=float, default=0.0)
+    p.add_argument("--max-new-tokens", type=int, default=512)
+    p.add_argument("--max-len", type=int, default=2048)
+    p.add_argument("--seed", type=int, default=42)
+    args = p.parse_args()
+
+    from transformers import AutoProcessor, AutoTokenizer
+
+    from ..spec.spec_model import SpecModel
+    from .benchmarks import iter_questions
+    from .harness import run_eval
+
+    try:
+        processor = AutoProcessor.from_pretrained(args.model)
+        tokenizer = getattr(processor, "tokenizer", processor)
+    except Exception:
+        tokenizer = AutoTokenizer.from_pretrained(args.model)
+        processor = tokenizer
+
+    model = SpecModel.from_pretrained(
+        base_model_path=args.model,
+        spec_model_path=args.spec_model or args.model,
+        total_token=args.total_token,
+        depth=args.depth,
+        top_k=args.top_k,
+        num_q=args.num_q,
+        max_len=args.max_len,
+        method=args.method,
+    )
+
+    questions = list(
+        iter_questions(args.bench, processor, args.data_root,
+                       args.question_begin, args.question_end)
+    )
+    print(f"[gen_answer] {args.bench}: {len(questions)} questions")
+
+    records = run_eval(
+        model,
+        questions,
+        args.answer_file,
+        baseline=args.baseline,
+        temperature=args.temperature,
+        max_new_tokens=args.max_new_tokens,
+        decode_fn=lambda ids: tokenizer.decode(ids, skip_special_tokens=True),
+        model_id=args.model_id or f"{os.path.basename(args.model)}-{args.method}",
+        seed_base=args.seed,
+    )
+    taus = [a + 1 for r in records for a in r.get("acceptance_length", [])]
+    if taus:
+        print(f"[gen_answer] mean tau = {sum(taus) / len(taus):.3f}")
+
+
+if __name__ == "__main__":
+    main()

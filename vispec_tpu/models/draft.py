@@ -47,6 +47,7 @@ from ..ops import rope as rope_ops
 from ..ops.attention import attend
 from ..ops.kv_cache import KVCache, advance, init_cache
 from ..ops.tree import Tree, build_tree
+from ..ops.topk import top_k as fast_top_k
 from .llama import rms_norm, swiglu_mlp
 
 
@@ -542,7 +543,7 @@ def expand_tree(
         seed_hidden, head_w, preferred_element_type=jnp.float32
     )
     logp0 = jax.nn.log_softmax(logits0)
-    top_p0, top_i0 = lax.top_k(logp0, k_beam)
+    top_p0, top_i0 = fast_top_k(logp0, k_beam)
 
     tokens_flat = jnp.zeros((num_cand,), jnp.int32).at[:k_beam].set(top_i0)
     scores_flat = jnp.full((num_cand,), -jnp.inf, jnp.float32).at[:k_beam].set(top_p0)
@@ -593,7 +594,7 @@ def expand_tree(
 
         logits = jnp.dot(hidden, head_w, preferred_element_type=jnp.float32)
         logp = jax.nn.log_softmax(logits, axis=-1)  # [K, V]
-        top_p, top_i = lax.top_k(logp, k_beam)  # [K, K]
+        top_p, top_i = fast_top_k(logp, k_beam)  # [K, K]
         cu = top_p + beam_scores[:, None]  # [K, K]
 
         # record this depth's K*K candidates in reference flat order
@@ -627,7 +628,11 @@ def expand_tree(
 
     carry = (beam_scores, beam_tokens, beam_hidden, beam_src, beam_mask,
              tokens_flat, scores_flat, parent1_flat, cache.k, cache.v)
-    carry = lax.fori_loop(0, depth, depth_step, carry)
+    # depth is static and small (3): unroll instead of lax.fori_loop — the
+    # on-device loop construct costs ~0.3ms/iteration of launch overhead, which
+    # at ~1ms/step of real work would dominate the draft's latency budget
+    for i in range(depth):
+        carry = depth_step(i, carry)
     (beam_scores, beam_tokens, beam_hidden, beam_src, beam_mask,
      tokens_flat, scores_flat, parent1_flat, cache_k, cache_v) = carry
 

@@ -17,6 +17,7 @@ from jax import lax
 
 from ..configs import SpecConfig
 from ..ops.tree import Tree, build_tree
+from ..ops.topk import top_k as fast_top_k
 
 NUM_HEADS = 5  # medusa_num_heads (cnets_medusa.py:158)
 
@@ -49,7 +50,7 @@ def expand_tree(
     logits = jnp.einsum("hd,dv->hv", mh, head_w, preferred_element_type=jnp.float32)
     logp = jax.nn.log_softmax(logits, axis=-1)  # [H, V]
 
-    top_p0, top_i0 = lax.top_k(logp[0], k_beam)
+    top_p0, top_i0 = fast_top_k(logp[0], k_beam)
     tokens_flat = jnp.zeros((num_cand,), jnp.int32).at[:k_beam].set(top_i0)
     scores_flat = jnp.full((num_cand,), -jnp.inf, jnp.float32).at[:k_beam].set(top_p0)
     parent1_flat = jnp.zeros((num_cand,), jnp.int32)
@@ -60,7 +61,7 @@ def expand_tree(
     def level_step(i, carry):
         beam_scores, beam_src, tokens_flat, scores_flat, parent1_flat = carry
         lvl_logp = jax.lax.dynamic_index_in_dim(logp, i + 1, keepdims=False)
-        top_p, top_i = lax.top_k(lvl_logp, k_beam)  # same for every beam
+        top_p, top_i = fast_top_k(lvl_logp, k_beam)  # same for every beam
         cu = top_p[None, :] + beam_scores[:, None]  # [K, K]
         block = k_beam + i * k_beam * k_beam
         flat_tokens = jnp.tile(top_i.astype(jnp.int32), (k_beam,))
@@ -74,7 +75,8 @@ def expand_tree(
         return new_scores, new_src, tokens_flat, scores_flat, parent1_flat
 
     carry = (beam_scores, beam_src, tokens_flat, scores_flat, parent1_flat)
-    carry = lax.fori_loop(0, levels, level_step, carry)
+    for i in range(levels):  # static trip count: unroll
+        carry = level_step(i, carry)
     _, _, tokens_flat, scores_flat, parent1_flat = carry
 
     return build_tree(

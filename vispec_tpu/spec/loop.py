@@ -189,7 +189,7 @@ def _verify_accept_commit(
     key, k_accept, k_bonus = jax.random.split(state.key, 3)
     if sampling.greedy:
         argmax_toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        best, acc = greedy_accept(tree, argmax_toks)
+        best, acc = greedy_accept(tree, argmax_toks, max_depth=max_accept_depth)
         bonus = argmax_toks[best]
     else:
         probs = jax.nn.softmax(

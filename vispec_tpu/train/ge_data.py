@@ -1,0 +1,144 @@
+"""Training-data generation CLI — the reference's allocation_* + ge_data_all_*
+pair (SURVEY.md §2.5) as one entry point with process-level sharding.
+
+  python -m vispec_tpu.train.ge_data --basepath <target ckpt> \
+      --dataset sharegpt --data-file ShareGPT.json --outdir data/stage1 \
+      --start 0 --end 10000 --shard-id 0 --num-shards 8
+
+- sharegpt (stage-1): vicuna-template conversations; the target forward's
+  hidden states are captured per token; loss mask covers assistant turns
+  (ge_data_all_llava_shargpt.py:85-116).
+- pretrain_gen (stage-2): LLaVA-Pretrain blip_laion image prompts with the
+  "Please answer with at least 1000 words." suffix; the target *generates* the
+  continuation (anti-shortcut: the draft never trains on ground-truth text —
+  ge_data_all_llava_pretrain_gen.py:80-85, README.md:15).
+
+Sharding: each process handles indices [start + shard_id :: num_shards] — the
+reference's per-GPU subprocess fan-out (allocation_llava_pretrain_gen.py:34-93)
+without the os.system machinery.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+VICUNA_SYSTEM = (
+    "A chat between a curious user and an artificial intelligence assistant. "
+    "The assistant gives helpful, detailed, and polite answers to the user's "
+    "questions."
+)
+LONG_ANSWER_SUFFIX = "Please answer with at least 1000 words."
+
+
+def build_sharegpt_sample(tokenizer, conv: dict, max_len: int):
+    """Vicuna-template render + assistant-turn loss mask
+    (ge_data_all_llava_shargpt.py:44-116 semantics)."""
+    import numpy as np
+
+    text = VICUNA_SYSTEM
+    spans = []  # (start_char, end_char) of assistant outputs
+    for turn in conv.get("conversations", []):
+        role = turn.get("from")
+        msg = turn.get("value", "")
+        if role == "human":
+            text += f" USER: {msg} ASSISTANT:"
+        else:
+            start = len(text) + 1
+            text += f" {msg}</s>"
+            spans.append((start, len(text)))
+    enc = tokenizer(text, return_offsets_mapping=True, truncation=True,
+                    max_length=max_len)
+    ids = np.asarray(enc["input_ids"], np.int32)
+    offsets = enc["offset_mapping"]
+    mask = np.zeros(len(ids), np.float32)
+    for i, (a, b) in enumerate(offsets):
+        if any(s <= a < e for s, e in spans):
+            mask[i] = 1.0
+    return ids, mask
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--basepath", required=True)
+    p.add_argument("--dataset", choices=["sharegpt", "pretrain_gen"], required=True)
+    p.add_argument("--data-file", required=True)
+    p.add_argument("--image-root", default=None)
+    p.add_argument("--outdir", required=True)
+    p.add_argument("--start", type=int, default=0)
+    p.add_argument("--end", type=int, default=10**9)
+    p.add_argument("--shard-id", type=int, default=0)
+    p.add_argument("--num-shards", type=int, default=1)
+    p.add_argument("--max-len", type=int, default=2048)
+    p.add_argument("--max-new-tokens", type=int, default=1024)
+    args = p.parse_args()
+
+    import jax.numpy as jnp
+    import numpy as np
+    from transformers import AutoProcessor, AutoTokenizer
+
+    from ..convert import hf as hf_convert
+    from ..models import llama
+    from ..ops import kv_cache as kv
+    from .data_gen import generate_sample, save_sample
+
+    with open(os.path.join(args.basepath, "config.json")) as f:
+        hf_cfg = json.load(f)
+    text_cfg = hf_cfg.get("text_config", hf_cfg)
+    tcfg = hf_convert.llama_config_from_hf(text_cfg)
+    sd = hf_convert.load_state_dict(args.basepath)
+    prefix = "language_model.model." if "text_config" in hf_cfg else "model."
+    head_key = ("language_model.lm_head.weight" if "text_config" in hf_cfg
+                else "lm_head.weight")
+    tparams = hf_convert.convert_llama(sd, tcfg, jnp.bfloat16, prefix, head_key)
+    tokenizer = AutoTokenizer.from_pretrained(args.basepath, use_fast=True)
+
+    with open(args.data_file) as f:
+        data = json.load(f)
+    indices = list(range(args.start, min(args.end, len(data))))[args.shard_id::args.num_shards]
+    print(f"[ge_data] shard {args.shard_id}/{args.num_shards}: {len(indices)} samples")
+
+    cache = kv.init_cache(
+        tcfg.num_hidden_layers, tcfg.num_key_value_heads,
+        args.max_len + args.max_new_tokens + 8, tcfg.head_dim, jnp.bfloat16,
+    )
+    eos = tokenizer.eos_token_id or 2
+
+    for idx in indices:
+        item = data[idx]
+        if args.dataset == "sharegpt":
+            ids, mask = build_sharegpt_sample(tokenizer, item, args.max_len)
+            if mask.sum() == 0:
+                continue
+            embeds = llama.embed(tparams, jnp.asarray(ids))
+            pad = ((len(ids) + 127) // 128) * 128
+            embeds = jnp.pad(embeds, ((0, pad - len(ids)), (0, 0)))
+            # teacher-forced forward only (no generation): capture hiddens
+            sample, cache = generate_sample(
+                tparams, tcfg, embeds, len(ids), None, cache,
+                max_new_tokens=1, eos_token_id=eos,
+            )
+            sample["input_ids"] = ids
+            sample["loss_mask"] = np.concatenate(
+                [mask, np.zeros(sample["loss_mask"].shape[0] - len(mask), np.float32)]
+            )[: sample["loss_mask"].shape[0]]
+        else:  # pretrain_gen: target generates the continuation
+            prompt = item.get("conversations", [{}])[0].get("value", "")
+            prompt = prompt.replace("<image>", "").strip()
+            text = (f"{VICUNA_SYSTEM} USER: {prompt} {LONG_ANSWER_SUFFIX} ASSISTANT:")
+            ids = np.asarray(tokenizer(text, truncation=True,
+                                       max_length=args.max_len)["input_ids"], np.int32)
+            embeds = llama.embed(tparams, jnp.asarray(ids))
+            pad = ((len(ids) + 127) // 128) * 128
+            embeds = jnp.pad(embeds, ((0, pad - len(ids)), (0, 0)))
+            sample, cache = generate_sample(
+                tparams, tcfg, embeds, len(ids), None, cache,
+                max_new_tokens=args.max_new_tokens, eos_token_id=eos,
+            )
+        save_sample(args.outdir, idx, sample)
+    print("[ge_data] done")
+
+
+if __name__ == "__main__":
+    main()

@@ -43,3 +43,43 @@ def draft_loss(
     tgt_tok = jnp.argmax(target_p, axis=-1)
     acc = ((pred_tok == tgt_tok) * mask).sum() / denom
     return loss, {"ploss": ploss, "rloss": rloss, "acc": acc}
+
+
+def smooth_l1(x: jax.Array, y: jax.Array, beta: float = 1.0) -> jax.Array:
+    d = jnp.abs(x - y)
+    return jnp.where(d < beta, 0.5 * d * d / beta, d - 0.5 * beta)
+
+
+def stage1_loss(
+    predict_hidden: jax.Array,  # [S, D] draft hidden predictions
+    target_hidden: jax.Array,  # [S, D]
+    student_logits: jax.Array,  # [S, V]
+    target_p: jax.Array,  # [S, V]
+    loss_mask: jax.Array,  # [S]
+    v_w: float = 1.0,
+    p_w: float = 0.1,
+    topk: int = 10,
+):
+    """Stage-1 text-only distillation loss (reference main.py compute_loss
+    :313-333 with weights v_w=1.0, p_w=0.1, main.py:541): SmoothL1 on hidden
+    states + soft cross-entropy to the target's probs + top-k Plackett-Luce."""
+    mask = loss_mask.astype(jnp.float32)
+    denom = jnp.maximum(mask.sum(), 1.0)
+
+    vloss = (smooth_l1(predict_hidden.astype(jnp.float32),
+                       target_hidden.astype(jnp.float32)).mean(-1) * mask).sum() / denom
+
+    logp = jax.nn.log_softmax(student_logits, axis=-1)
+    ploss = -((target_p * logp).sum(-1) * mask).sum() / denom
+
+    _, topk_idx = jax.lax.top_k(target_p, topk)
+    s_topk = jnp.take_along_axis(student_logits, topk_idx, axis=-1)
+    rev = jnp.flip(s_topk, axis=-1)
+    log_denom = jnp.flip(jax.lax.cumlogsumexp(rev, axis=-1), axis=-1)
+    rloss = -(((s_topk - log_denom).sum(-1)) * mask).sum() / denom
+
+    loss = v_w * vloss + p_w * ploss + 0.1 * rloss
+    pred_tok = jnp.argmax(student_logits, axis=-1)
+    tgt_tok = jnp.argmax(target_p, axis=-1)
+    acc = ((pred_tok == tgt_tok) * mask).sum() / denom
+    return loss, {"vloss": vloss, "ploss": ploss, "rloss": rloss, "acc": acc}

@@ -96,6 +96,56 @@ def mtp_forward(
 
 @functools.partial(
     jax.jit,
+    static_argnames=("dcfg", "max_span", "optimizer", "v_w", "p_w"),
+    donate_argnames=("dparams", "opt_state"),
+)
+def train_step_stage1(
+    dparams: dict,
+    opt_state,
+    dcfg: DraftConfig,
+    head_w: jax.Array,
+    batch: TrainBatch,
+    optimizer: optax.GradientTransformation,
+    v_w: float = 1.0,
+    p_w: float = 0.1,
+    max_span: int = 1,
+):
+    """Stage-1 text-only distillation step (reference main.py:313-333, 541):
+    SmoothL1 on predicted hidden states + soft-CE + ranking loss."""
+    from .losses import stage1_loss
+
+    def loss_fn(p):
+        def single(hidden, embeds, plan):
+            return draft_mod.forward_train(p, dcfg, hidden, embeds, plan, max_span)
+
+        predict = jax.vmap(single)(batch.hidden_states, batch.embeds, batch.plans)
+        student_logits = jnp.einsum(
+            "bsd,dv->bsv", predict, head_w, preferred_element_type=jnp.float32
+        )
+        target_logits = jnp.einsum(
+            "bsd,dv->bsv", batch.target, head_w, preferred_element_type=jnp.float32
+        )
+        target_p = jax.lax.stop_gradient(jax.nn.softmax(target_logits, axis=-1))
+        loss, metrics = stage1_loss(
+            predict.reshape(-1, predict.shape[-1]),
+            batch.target.reshape(-1, batch.target.shape[-1]),
+            student_logits.reshape(-1, student_logits.shape[-1]),
+            target_p.reshape(-1, target_p.shape[-1]),
+            batch.loss_mask.reshape(-1),
+            v_w=v_w, p_w=p_w,
+        )
+        return loss, metrics
+
+    (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(dparams)
+    grads = dict(grads)
+    grads["embed"] = jax.tree.map(jnp.zeros_like, dparams["embed"])
+    updates, opt_state = optimizer.update(grads, opt_state, dparams)
+    dparams = optax.apply_updates(dparams, updates)
+    return dparams, opt_state, dict(metrics, loss=loss)
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("dcfg", "mtp_steps", "max_span", "optimizer"),
     donate_argnames=("dparams", "opt_state"),
 )

@@ -261,8 +261,11 @@ def train(
     cfg: TrainConfig = TrainConfig(),
     dparams: Optional[dict] = None,
     log_every: int = 20,
+    stage1: bool = False,
 ) -> dict:
     """Full training loop with auto-resume.  Returns the final draft params."""
+    from .step import train_step_stage1
+
     optimizer = make_optimizer(cfg.lr, cfg.warmup_steps, cfg.total_steps, cfg.grad_clip)
     begin_epoch = 0
     resume = latest_state(cpdir)
@@ -282,10 +285,16 @@ def train(
     step = 0
     for epoch in range(begin_epoch, cfg.num_epochs):
         for batch, max_span in data_iterator(datadir, cfg, dcfg, seed=epoch):
-            dparams, opt_state, metrics = train_step(
-                dparams, opt_state, dcfg, head_w, batch, optimizer,
-                mtp_steps=cfg.mtp_steps, max_span=cfg.max_span_bucket,
-            )
+            if stage1:
+                dparams, opt_state, metrics = train_step_stage1(
+                    dparams, opt_state, dcfg, head_w, batch, optimizer,
+                    max_span=cfg.max_span_bucket,
+                )
+            else:
+                dparams, opt_state, metrics = train_step(
+                    dparams, opt_state, dcfg, head_w, batch, optimizer,
+                    mtp_steps=cfg.mtp_steps, max_span=cfg.max_span_bucket,
+                )
             if step % log_every == 0:
                 print(
                     f"[train] epoch {epoch} step {step} "
