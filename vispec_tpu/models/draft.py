@@ -44,7 +44,7 @@ from jax import lax
 
 from ..configs import DraftConfig, SpecConfig
 from ..ops import rope as rope_ops
-from ..ops.attention import attend
+from ..ops.attention import attend, attend_region
 from ..ops.kv_cache import KVCache, advance, init_cache
 from ..ops.tree import Tree, build_tree
 from ..ops.topk import top_k as fast_top_k
@@ -261,6 +261,7 @@ def layer_forward(
     cache: KVCache,
     write_at: jax.Array,
     attn_mask: jax.Array,  # [S, max_len]
+    region=None,  # optional (start, mask[S, T_reg]) => Pallas decode kernel
 ) -> Tuple[jax.Array, KVCache]:
     """One llama decoder layer with layer-0 semantics (no input layernorm,
     cnets_ours.py:537-539, 570-590).  Single-layer drafts only (all reference
@@ -285,7 +286,7 @@ def layer_forward(
     zero = jnp.zeros((), jnp.int32)
     k_full = lax.dynamic_update_slice(cache.k[0], k, (zero, write_at, zero))
     v_full = lax.dynamic_update_slice(cache.v[0], v, (zero, write_at, zero))
-    attn = attend(q, k_full, v_full, attn_mask)
+    attn = attend_region(q, k_full, v_full, attn_mask, region)
     attn = attn.transpose(1, 0, 2).reshape(s, h * d)
     attn = jnp.dot(attn, lp["wo"], preferred_element_type=jnp.float32).astype(x.dtype)
 
@@ -504,8 +505,10 @@ def append_accepted(
     )
     attn_mask = committed | in_block
 
+    tri = jnp.tril(jnp.ones((s, s), bool))
     hidden, cache = layer_forward(
-        params, cfg, x, pos_ids, cache, cache.length, attn_mask
+        params, cfg, x, pos_ids, cache, cache.length, attn_mask,
+        region=(cache.length, tri),
     )
     cache = advance(cache, num_valid, num_valid)
     seed = hidden[jnp.clip(num_valid - 1, 0, s - 1)]
@@ -587,9 +590,16 @@ def expand_tree(
         eye_rel = (cols_all[None, :] - write_at) == jnp.arange(k_beam)[:, None]
         attn_mask = committed | (in_scratch & anc) | (self_block & eye_rel)
 
+        # region-relative visibility over the scratch window for the kernel path
+        sc = jnp.arange(scratch_cols)
+        reg_prior = (sc[None, :] < i * k_beam) & beam_mask
+        reg_self = (sc[None, :] - i * k_beam) == jnp.arange(k_beam)[:, None]
+        reg_mask = reg_prior | reg_self  # [K, scratch_cols]
+
         tmp_cache = KVCache(cache_k, cache_v, stable_len, real_len)
         hidden, tmp_cache = layer_forward(
-            params, cfg, x, pos_ids, tmp_cache, write_at, attn_mask
+            params, cfg, x, pos_ids, tmp_cache, write_at, attn_mask,
+            region=(stable_len, reg_mask),
         )
 
         logits = jnp.dot(hidden, head_w, preferred_element_type=jnp.float32)
@@ -628,11 +638,10 @@ def expand_tree(
 
     carry = (beam_scores, beam_tokens, beam_hidden, beam_src, beam_mask,
              tokens_flat, scores_flat, parent1_flat, cache.k, cache.v)
-    # depth is static and small (3): unroll instead of lax.fori_loop — the
-    # on-device loop construct costs ~0.3ms/iteration of launch overhead, which
-    # at ~1ms/step of real work would dominate the draft's latency budget
-    for i in range(depth):
-        carry = depth_step(i, carry)
+    # fori_loop (not unrolled): the loop carries the multi-MB cache arrays and
+    # XLA keeps the carried dynamic_update_slice in place; unrolling was
+    # measured ~1.4ms/round SLOWER at 7B (buffer copies between steps).
+    carry = lax.fori_loop(0, depth, depth_step, carry, unroll=False)
     (beam_scores, beam_tokens, beam_hidden, beam_src, beam_mask,
      tokens_flat, scores_flat, parent1_flat, cache_k, cache_v) = carry
 

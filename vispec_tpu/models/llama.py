@@ -34,7 +34,7 @@ from jax import lax
 
 from ..configs import LlamaConfig
 from ..ops import rope as rope_ops
-from ..ops.attention import attend
+from ..ops.attention import attend, attend_region
 from ..ops.kv_cache import KVCache
 
 
@@ -63,6 +63,7 @@ def attention_block(
     v_cache: jax.Array,
     write_at: jax.Array,  # scalar — row offset for the new block
     attn_mask: jax.Array,  # [S, max_len]
+    region=None,  # optional (start, mask[S, T_reg]) => Pallas decode kernel
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Returns (attn_out [S, hidden], k_new, v_new [n_kv, S, head_dim])."""
     s = x.shape[0]
@@ -85,7 +86,7 @@ def attention_block(
     k_full = lax.dynamic_update_slice(k_cache, k, (zero, write_at, zero))
     v_full = lax.dynamic_update_slice(v_cache, v, (zero, write_at, zero))
 
-    out = attend(q, k_full, v_full, attn_mask)  # [h, S, d]
+    out = attend_region(q, k_full, v_full, attn_mask, region)  # [h, S, d]
     out = out.transpose(1, 0, 2).reshape(s, h * d)
     out = jnp.dot(out, lp["wo"], preferred_element_type=jnp.float32).astype(x.dtype)
     return out, k, v
@@ -98,6 +99,7 @@ def forward_hidden(
     position_ids: jax.Array,  # [S] int32, or [3, S] for M-RoPE
     cache: KVCache,
     attn_mask: jax.Array,  # [S, max_len] bool
+    region=None,  # optional (start, mask[S, T_reg]) => Pallas decode kernel
 ) -> Tuple[jax.Array, KVCache]:
     """Run the decoder stack; returns (last hidden [S, hidden], cache with the
     new block written at cache.length — call kv_cache.advance with the valid
@@ -121,7 +123,8 @@ def forward_hidden(
         residual = hidden
         normed = rms_norm(hidden, lp["input_norm"], cfg.rms_norm_eps)
         attn_out, k_new, v_new = attention_block(
-            normed, lp, cfg, cos, sin, k_cache_l, v_cache_l, write_at, attn_mask
+            normed, lp, cfg, cos, sin, k_cache_l, v_cache_l, write_at, attn_mask,
+            region,
         )
         hidden = residual + attn_out
         residual = hidden

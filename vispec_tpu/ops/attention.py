@@ -10,12 +10,61 @@ hot verify path; this module is the reference XLA implementation and fallback.
 
 from __future__ import annotations
 
-from typing import Optional
+import os
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 NEG_INF = jnp.float32(-1e9)
+
+_PALLAS_OK: Optional[bool] = None
+
+
+def use_pallas() -> bool:
+    """Use the Mosaic decode-attention kernel? (real TPU only; override with
+    VISPEC_NO_PALLAS=1)."""
+    global _PALLAS_OK
+    if _PALLAS_OK is None:
+        if os.environ.get("VISPEC_NO_PALLAS") == "1":
+            _PALLAS_OK = False
+        else:
+            try:
+                dev = jax.devices()[0]
+                _PALLAS_OK = dev.platform in ("tpu", "axon") or "TPU" in str(
+                    getattr(dev, "device_kind", "")
+                )
+            except Exception:
+                _PALLAS_OK = False
+    return _PALLAS_OK
+
+
+def pick_block(max_len: int) -> int:
+    """Largest power-of-two KV block <= 512 dividing max_len (kernel constraint)."""
+    for b in (512, 256, 128, 64, 32, 16, 8):
+        if max_len % b == 0 and max_len >= b:
+            return b
+    return max_len
+
+
+def attend_region(
+    q: jax.Array,  # [num_heads, S, head_dim]
+    k_full: jax.Array,  # [num_kv_heads, max_len, head_dim] (new rows written)
+    v_full: jax.Array,
+    attn_mask: jax.Array,  # [S, max_len] — XLA fallback mask
+    region: Optional[Tuple[jax.Array, jax.Array]],  # (start, mask[S, T_reg])
+) -> jax.Array:
+    """Decode/verify attention: Pallas length-aware kernel on TPU, masked XLA
+    everywhere else.  ``region`` describes visibility as committed-prefix +
+    masked appended region; None forces the XLA path (e.g. prefill)."""
+    if region is not None and use_pallas():
+        from .pallas_attention import verify_attention
+
+        start, small_mask = region
+        return verify_attention(
+            q, k_full, v_full, start, small_mask, block=pick_block(k_full.shape[1])
+        )
+    return attend(q, k_full, v_full, attn_mask)
 
 
 def repeat_kv(x: jax.Array, groups: int) -> jax.Array:

@@ -1,0 +1,178 @@
+"""Pallas TPU kernel: length-aware tree-verify / decode attention.
+
+The XLA path (ops/attention.py) computes scores over the *entire* preallocated
+KV cache (static shapes) and masks — reading `max_len - length` garbage rows
+from HBM every layer, every round.  This kernel keeps K/V in HBM and manually
+DMAs only ``ceil((tree_start + S) / BLOCK)`` blocks with double buffering (the
+guide's pattern), doing online-softmax accumulation in VMEM:
+
+- grid over KV heads; each program handles that head's GQA query group
+  (rows laid out group-major: row = g * S + tree_row);
+- the committed prefix [0, tree_start) is fully visible; the appended tree
+  block [tree_start, tree_start + S) is masked by the tree's ancestor closure
+  (the reference's side-channel tree mask, modeling_llama_kv.py:916-922, made
+  explicit) — applied via a one-hot MXU matmul, no gathers;
+- blocks beyond the live length are neither DMA'd nor computed.
+
+Numerics match ops/attention.attend (f32 scores/softmax, f32-accumulated PV).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30  # python float: a jnp constant would be a captured array in pallas
+
+
+def _kernel(
+    start_ref,  # [1] int32 scalar prefetch — tree_start (committed length)
+    q_ref,  # [1, GS, D] VMEM — this kv-head's query group
+    tm_ref,  # [GS, S] VMEM f32 — per-query-row tree mask (group-expanded)
+    k_hbm,  # [Hkv, max_len, D] ANY/HBM
+    v_hbm,
+    out_ref,  # [1, GS, D] VMEM
+    k_buf,  # [2, B, D] VMEM scratch
+    v_buf,
+    acc_ref,  # [GS, D] f32
+    ml_ref,  # [GS, 256] f32 — cols 0:128 running max, 128:256 running sum
+    sem,  # DMA semaphores [2, 2]
+    *,
+    block: int,
+    t_reg: int,  # width of the masked tree region appended at tree_start
+    scale: float,
+):
+    head = pl.program_id(0)
+    gs = q_ref.shape[1]
+    start = start_ref[0]
+    total = start + t_reg  # live rows incl. the appended tree region
+    nb = pl.cdiv(total, block)
+
+    def dma(slot, j, buf, hbm, s):
+        return pltpu.make_async_copy(
+            hbm.at[head, pl.ds(j * block, block)], buf.at[slot], s.at[slot]
+        )
+
+    dma(0, 0, k_buf, k_hbm, sem.at[0]).start()
+    dma(0, 0, v_buf, v_hbm, sem.at[1]).start()
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    ml_ref[:, :128] = jnp.full((gs, 128), NEG_INF, jnp.float32)
+    ml_ref[:, 128:] = jnp.zeros((gs, 128), jnp.float32)
+
+    q = q_ref[0].astype(jnp.float32) * scale  # [GS, D]
+    tmask = tm_ref[:]  # [GS, S] f32 (1.0 = attend)
+
+    def body(j, _):
+        slot = jax.lax.rem(j, 2)
+        nxt = jax.lax.rem(j + 1, 2)
+
+        @pl.when(j + 1 < nb)
+        def _():
+            dma(nxt, j + 1, k_buf, k_hbm, sem.at[0]).start()
+            dma(nxt, j + 1, v_buf, v_hbm, sem.at[1]).start()
+
+        dma(slot, j, k_buf, k_hbm, sem.at[0]).wait()
+        dma(slot, j, v_buf, v_hbm, sem.at[1]).wait()
+
+        k = k_buf[slot]  # [B, D]
+        v = v_buf[slot]
+        scores = jax.lax.dot_general(
+            q, k.astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [GS, B]
+
+        # visibility: absolute col = j*block + c
+        cols = jax.lax.broadcasted_iota(jnp.int32, (gs, block), 1) + j * block
+        committed = (cols < start).astype(jnp.float32)
+        # tree part via one-hot matmul: oh[c, t] = (col_c == start + t)
+        ccols = jax.lax.broadcasted_iota(jnp.int32, (block, t_reg), 0) + j * block
+        trows = jax.lax.broadcasted_iota(jnp.int32, (block, t_reg), 1)
+        onehot = (ccols - start == trows).astype(jnp.float32)  # [B, S]
+        tree_ok = jax.lax.dot_general(
+            tmask, onehot,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [GS, B]
+        allowed = committed + tree_ok  # disjoint => 0/1
+        scores = jnp.where(allowed > 0.5, scores, NEG_INF)
+
+        m_prev = ml_ref[:, :1]
+        m_cur = jnp.max(scores, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(scores - m_new)
+        p = jnp.where(allowed > 0.5, p, 0.0)
+
+        ml_ref[:, 128:129] = ml_ref[:, 128:129] * alpha + jnp.sum(
+            p, axis=1, keepdims=True
+        )
+        ml_ref[:, :1] = m_new
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[:] = acc_ref[:] * alpha + pv
+        return 0
+
+    jax.lax.fori_loop(0, nb, body, 0)
+    out = acc_ref[:] / jnp.maximum(ml_ref[:, 128:129], 1e-20)
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def verify_attention(
+    q: jax.Array,  # [H, S, D]
+    k_cache: jax.Array,  # [Hkv, max_len, D] (tree rows already written)
+    v_cache: jax.Array,
+    tree_start: jax.Array,  # [] int32 — committed prefix length
+    tree_mask: jax.Array,  # [S, T_reg] bool — per-query visibility of the
+    # region appended at tree_start (ancestor closure for verify; ones for AR;
+    # scratch ancestry for draft beam expansion)
+    block: int = 512,
+) -> jax.Array:
+    """Length-aware fused attention over the cache; returns [H, S, D]."""
+    h, s, d = q.shape
+    hkv = k_cache.shape[0]
+    groups = h // hkv
+    gs = groups * s
+    t_reg = tree_mask.shape[1]
+    assert k_cache.shape[1] % block == 0, "max_len must be a block multiple"
+
+    qg = q.reshape(hkv, gs, d)
+    tm_g = jnp.tile(tree_mask.astype(jnp.float32), (groups, 1))  # [GS, T_reg]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(hkv,),
+        in_specs=[
+            pl.BlockSpec((1, gs, d), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gs, t_reg), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, gs, d), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, block, d), k_cache.dtype),
+            pltpu.VMEM((2, block, d), v_cache.dtype),
+            pltpu.VMEM((gs, d), jnp.float32),
+            pltpu.VMEM((gs, 256), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+
+    wrapped = functools.partial(_kernel, block=block, t_reg=t_reg, scale=d**-0.5)
+    out = pl.pallas_call(
+        wrapped,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((hkv, gs, d), q.dtype),
+    )(jnp.asarray(tree_start, jnp.int32)[None], qg, tm_g, k_cache, v_cache)
+    return out.reshape(h, s, d)

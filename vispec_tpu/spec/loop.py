@@ -29,13 +29,13 @@ from ..ops.sampling import process_logits, sample_categorical
 from ..ops.tree import Tree, greedy_accept, path_to_root, sampling_accept
 
 
-def target_forward(tparams, tcfg, embeds, pos, cache, mask):
+def target_forward(tparams, tcfg, embeds, pos, cache, mask, region=None):
     """Dispatch dense vs MoE target backbones on the parameter pytree."""
     if "router" in tparams["layers"]:
         from ..models import mixtral
 
         return mixtral.forward_hidden(tparams, tcfg, embeds, pos, cache, mask)
-    return llama.forward_hidden(tparams, tcfg, embeds, pos, cache, mask)
+    return llama.forward_hidden(tparams, tcfg, embeds, pos, cache, mask, region)
 
 
 class SpecState(NamedTuple):
@@ -181,7 +181,8 @@ def _verify_accept_commit(
         pos = jnp.broadcast_to(pos[None], (3, t))
     mask = tree_verify_mask(tree.mask, tree_start, state.target_cache.max_len)
     hidden, target_cache = target_forward(
-        tparams, tcfg, embeds, pos, state.target_cache, mask
+        tparams, tcfg, embeds, pos, state.target_cache, mask,
+        region=(tree_start, tree.mask),
     )
     logits = llama.lm_head(tparams, hidden)  # [T, V] float32
 
@@ -399,7 +400,10 @@ def ar_step(
         pos = jnp.broadcast_to(pos[None], (3, 1))
     cols = jnp.arange(cache.max_len, dtype=jnp.int32)
     mask = (cols <= cache.length)[None, :]
-    hidden, cache = target_forward(tparams, tcfg, embeds, pos, cache, mask)
+    hidden, cache = target_forward(
+        tparams, tcfg, embeds, pos, cache, mask,
+        region=(cache.length, jnp.ones((1, 1), bool)),
+    )
     cache = kv.advance(cache, 1)
     logits = llama.lm_head(tparams, hidden[0])
     key, k_s = jax.random.split(key)

@@ -235,6 +235,48 @@ class SpecModel:
         )
 
     # ------------------------------------------------------------------
+    def autotune_total_token(self, cans=(40, 48, 50, 56, 60),
+                             weights=(1.0, 1.05, 1.07, 1.1, 1.13),
+                             iters: int = 20) -> int:
+        """Pick total_token by timing target forwards at candidate tree widths
+        (the reference's total_token == -1 path, spec_model_ours.py:179-202):
+        run ``iters`` forwards of each candidate width, divide by the expected
+        acceptance uplift ``weights``, keep the argmin."""
+        import time as _time
+
+        from ..ops.attention import causal_mask
+
+        times = []
+        cache = kv.reset(self.target_cache)
+        for length in cans:
+            ids = jnp.asarray(
+                np.random.default_rng(0).integers(
+                    0, self.tcfg.vocab_size - 200, length
+                ),
+                jnp.int32,
+            )
+            embeds = llama.embed(self.tparams, ids)
+
+            @jax.jit
+            def fwd(embeds, cache):
+                mask = causal_mask(embeds.shape[0], cache.max_len, 0)
+                pos = jnp.arange(embeds.shape[0], dtype=jnp.int32)
+                h, _ = spec_loop.target_forward(
+                    self.tparams, self.tcfg, embeds, pos, cache, mask
+                )
+                return h
+
+            jax.block_until_ready(fwd(embeds, cache))
+            t0 = _time.perf_counter()
+            for _ in range(iters):
+                out = fwd(embeds, cache)
+            jax.block_until_ready(out)
+            times.append((_time.perf_counter() - t0) / weights[cans.index(length)])
+        best = cans[times.index(min(times))]
+        self.spec = dataclass_replace(self.spec, total_tokens=best)
+        return best
+
+    # ------------------------------------------------------------------
     def _prompt_embeds(
         self,
         input_ids: np.ndarray,  # [L]
