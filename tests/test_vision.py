@@ -156,3 +156,33 @@ def test_qwen_rope_index_host():
 def test_smart_resize_multiples():
     h, w = qvl.smart_resize(1023, 767)
     assert h % 28 == 0 and w % 28 == 0
+
+
+def test_qwen_video_patchify_and_plan():
+    # 6 frames of 56x84 -> temporal pairs: grid (3, 4, 6)
+    frames = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 1, (6, 56, 84, 3)), jnp.float32
+    )
+    patches = qvl.patchify_video(frames, QCFG)
+    t, gh, gw = 3, 4, 6
+    assert patches.shape == (t * gh * gw, 3 * 2 * 14 * 14)
+    plan = qvl.plan_vision([(t, gh, gw)], QCFG, pad_len=128)
+    assert plan.n_tokens == t * gh * gw
+    assert plan.n_merged == t * gh * gw // 4
+    params = qwen_params(jax.random.PRNGKey(2))
+    feats = qvl.forward(params, QCFG, jnp.pad(patches, ((0, 128 - t * gh * gw), (0, 0))), plan)
+    assert bool(jnp.all(jnp.isfinite(feats[: plan.n_merged])))
+
+
+def test_qwen_video_rope_index():
+    img_tok, vid_tok, vstart = 9, 10, 8
+    ids = np.asarray([1, 2, vstart] + [vid_tok] * 18 + [4, 5])
+    pos, delta = qvl.get_rope_index_host(
+        ids, [(3, 4, 6)], QCFG, img_tok, vid_tok, vstart,
+        second_per_grid_ts=[1.0],
+    )
+    # temporal stream advances by tokens_per_second per grid step within video
+    block = pos[0, 3:21]
+    assert block.min() == 3
+    assert (np.unique(block) == np.asarray([3, 5, 7])).all()  # 3 + 2*t
+    assert pos[0, 21] == int(pos.max() - 2 + 1) or pos[0, 21] > block.max()

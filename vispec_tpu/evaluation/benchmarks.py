@@ -243,18 +243,52 @@ def load_vicuna(root, begin, end):
                    category=d.get("category", ""))
 
 
-def load_msvd_qa(root, begin, end):
-    raise NotImplementedError(
-        "msvd_qa is a video benchmark: supply frames via --data-root "
-        "{root}/msvd/frames/<video_id>/*.jpg and annotations qa_test.json"
+MAX_FRAMES = 8  # reference mvbench_prompt.py:24-52 (qwen_vl_utils max_frames)
+
+
+def _load_frames(frame_dir: str):
+    """Up to MAX_FRAMES uniformly-sampled frames from a directory of images
+    (video decode is host-side; pre-extract frames with ffmpeg)."""
+    import numpy as np
+
+    files = sorted(
+        f for f in os.listdir(frame_dir) if f.lower().endswith((".jpg", ".png"))
     )
+    if not files:
+        raise FileNotFoundError(f"no frames in {frame_dir}")
+    idx = np.linspace(0, len(files) - 1, min(MAX_FRAMES, len(files))).astype(int)
+    return [_img(os.path.join(frame_dir, files[i])) for i in idx]
+
+
+def load_msvd_qa(root, begin, end):
+    """MSVD-QA: {root}/msvd/qa_test.json + frames/<video_id>/*.jpg."""
+    data = json.load(open(os.path.join(root, "msvd", "qa_test.json")))
+    for d in data[begin:end]:
+        frames = _load_frames(os.path.join(root, "msvd", "frames", str(d["video_id"])))
+        yield dict(qid=d.get("id", d["video_id"]), text=d["question"],
+                   image=None, frames=frames, category="video")
 
 
 def load_mvbench(root, begin, end):
-    raise NotImplementedError(
-        "mvbench is a video benchmark: supply frames via --data-root; "
-        "video decode is host-side (reference used qwen_vl_utils, max_frames=8)"
-    )
+    """MVBench: {root}/mvbench/json/<task>.json + frames/<video>/*.jpg."""
+    base = os.path.join(root, "mvbench")
+    idx = 0
+    for task_file in sorted(os.listdir(os.path.join(base, "json"))):
+        task = task_file[:-5]
+        for d in json.load(open(os.path.join(base, "json", task_file))):
+            if begin <= idx < end:
+                frames = _load_frames(
+                    os.path.join(base, "frames", os.path.splitext(d["video"])[0])
+                )
+                opts = "".join(
+                    f"\n({chr(ord('A') + j)}) {c}"
+                    for j, c in enumerate(d.get("candidates", []))
+                )
+                text = (f"{d['question']}{opts}\n"
+                        "Answer with the option's letter from the given choices directly.")
+                yield dict(qid=idx, text=text, image=None, frames=frames,
+                           category=task)
+            idx += 1
 
 
 # instruction appended per benchmark (mirrors each *_prompt.py)
@@ -297,7 +331,9 @@ def iter_questions(bench: str, processor, data_root: str, begin: int = 0,
         extra = EXTRA_INSTRUCTION.get(bench)
         if extra:
             parts.append(extra)
-        if d["image"] is not None:
+        if d.get("frames"):
+            inputs = build_video_inputs(processor, parts, d["frames"])
+        elif d["image"] is not None:
             messages = _msg(parts, n_images=1)
             inputs = build_inputs(processor, messages, [d["image"]])
         else:
@@ -305,3 +341,21 @@ def iter_questions(bench: str, processor, data_root: str, begin: int = 0,
             inputs = build_inputs(processor, messages, [])
         yield Question(question_id=d["qid"], prompt_inputs=inputs,
                        category=d.get("category", ""))
+
+
+def build_video_inputs(processor, text_parts: List[str], frames) -> Dict[str, Any]:
+    """Video prompt: chat template with a video slot + stacked raw frames
+    (Qwen targets; reference mvbench/msvd prompt modules)."""
+    content = [{"type": "text", "text": t} for t in text_parts]
+    content.append({"type": "video"})
+    messages = [
+        {"role": "system", "content": [{"type": "text", "text": SYSTEM_PROMPT}]},
+        {"role": "user", "content": content},
+    ]
+    prompt = processor.apply_chat_template(messages, add_generation_prompt=True)
+    enc = processor(videos=[frames], text=prompt, return_tensors="np")
+    arr = np.stack([np.asarray(f, np.float32) / 255.0 for f in frames])
+    return {
+        "input_ids": np.asarray(enc["input_ids"][0]),
+        "pixel_values_videos": arr[..., :3],
+    }

@@ -293,6 +293,24 @@ def patchify_image(pixels01: jax.Array, cfg: QwenVisionConfig) -> jax.Array:
     return x.reshape(h * w, 3 * cfg.temporal_patch_size * p * p)
 
 
+def patchify_video(frames01: jax.Array, cfg: QwenVisionConfig) -> jax.Array:
+    """[T, H, W, 3] in [0,1] (T even, H/W multiples of 2*patch) ->
+    [T//tp * H/p * W/p, C*tp*p*p] — temporal pairs of frames per patch
+    (Qwen2VLImageProcessor video path; reference spec_model_ours.py:422-453)."""
+    p, sms, tp = cfg.patch_size, cfg.spatial_merge_size, cfg.temporal_patch_size
+    t, hh, ww, _ = frames01.shape
+    if t % tp:
+        # repeat the last frame to an even temporal count (HF pads likewise)
+        frames01 = jnp.concatenate([frames01, frames01[-1:]], axis=0)
+        t += 1
+    x = (frames01 - QWEN_IMAGE_MEAN) / QWEN_IMAGE_STD
+    h, w = hh // p, ww // p
+    x = x.reshape(t // tp, tp, h // sms, sms, p, w // sms, sms, p, 3)
+    # token order (t, gh, gw, sms_h, sms_w); feature (C, tp, ph, pw)
+    x = x.transpose(0, 2, 5, 3, 6, 8, 1, 4, 7)
+    return x.reshape((t // tp) * h * w, 3 * tp * p * p)
+
+
 def get_rope_index_host(
     input_ids: np.ndarray,  # [S]
     image_grid_thw: Sequence[Tuple[int, int, int]],

@@ -282,6 +282,8 @@ class SpecModel:
         input_ids: np.ndarray,  # [L]
         pixel_values: Optional[jax.Array] = None,  # [H, W, 3] in [0,1]
         image_size: Optional[Tuple[int, int]] = None,
+        pixel_values_videos: Optional[jax.Array] = None,  # [T, H, W, 3] (Qwen)
+        second_per_grid_ts: float = 1.0,
     ) -> Tuple[jax.Array, Optional[np.ndarray], Optional[jax.Array], int]:
         """Token embeds with vision features scattered in; returns
         (embeds [L, D], image_mask [L] or None, position_ids or None,
@@ -316,7 +318,43 @@ class SpecModel:
         elif self.qwen_cfg is not None:
             qcfg = self.qwen_cfg
             grids = []
-            if pixel_values is not None:
+            spgs = []
+            if pixel_values_videos is not None:
+                # video path (reference spec_model_ours.py:422-453): frames
+                # resized uniformly, temporal patching in pairs, features merged
+                # at video-token positions; the draft's special_image_mask is
+                # the video mask (:453)
+                t, oh, ow = pixel_values_videos.shape[:3]
+                rh, rw = qwen_vl.smart_resize(
+                    oh, ow, max_pixels=int(768 * 28 * 28)
+                )
+                frames = jax.image.resize(
+                    pixel_values_videos, (t, rh, rw, 3), method="bicubic"
+                )
+                patches = qwen_vl.patchify_video(frames, qcfg)
+                tt = (t + qcfg.temporal_patch_size - 1) // qcfg.temporal_patch_size
+                grid = (tt, rh // qcfg.patch_size, rw // qcfg.patch_size)
+                grids = [grid]
+                spgs = [second_per_grid_ts]
+                n_pat = patches.shape[0]
+                pad_pat = _bucket(n_pat, 64)
+                patches = jnp.pad(patches, ((0, pad_pat - n_pat), (0, 0)))
+                vplan = qwen_vl.plan_vision(grids, qcfg, pad_pat)
+                feats = qwen_vl.forward(self.vparams, qcfg, patches, vplan)
+                feats = feats[: vplan.n_merged]
+                positions = np.nonzero(
+                    np.asarray(input_ids) == self.video_token_index
+                )[0]
+                if positions.size != vplan.n_merged:
+                    raise ValueError(
+                        f"video token count {positions.size} != merged "
+                        f"features {vplan.n_merged}"
+                    )
+                embeds = llava.merge_image_embeds(
+                    embeds, feats, jnp.asarray(positions, jnp.int32)
+                )
+                image_mask = np.asarray(input_ids) == self.video_token_index
+            elif pixel_values is not None:
                 oh, ow = image_size if image_size is not None else pixel_values.shape[:2]
                 rh, rw = qwen_vl.smart_resize(oh, ow)
                 resized = jax.image.resize(pixel_values, (rh, rw, 3), method="bicubic")
@@ -345,6 +383,7 @@ class SpecModel:
                 np.asarray(input_ids), grids, qcfg,
                 self.image_token_index or -1, self.video_token_index or -2,
                 self.vision_start_token_id,
+                second_per_grid_ts=spgs if pixel_values_videos is not None else (),
             )
             position_ids = pos_np  # [3, L] numpy; padded by caller
         return embeds, image_mask, position_ids, rope_delta
@@ -359,6 +398,8 @@ class SpecModel:
         max_new_tokens: int = 512,
         pixel_values=None,
         image_size=None,
+        pixel_values_videos=None,
+        second_per_grid_ts: float = 1.0,
         seed: int = 0,
         log: bool = False,
     ) -> GenerationResult:
@@ -375,7 +416,8 @@ class SpecModel:
         sampling = spec_loop.SamplingParams(temperature, top_p, int(top_k))
 
         embeds, image_mask, position_ids, rope_delta = self._prompt_embeds(
-            input_ids, pixel_values, image_size
+            input_ids, pixel_values, image_size, pixel_values_videos,
+            second_per_grid_ts,
         )
         embeds = jnp.pad(embeds, ((0, pad_len - l), (0, 0)))
         if position_ids is not None:
@@ -470,6 +512,8 @@ class SpecModel:
         max_new_tokens: int = 512,
         pixel_values=None,
         image_size=None,
+        pixel_values_videos=None,
+        second_per_grid_ts: float = 1.0,
         seed: int = 0,
     ) -> GenerationResult:
         """Plain AR baseline over the same runtime (gen_baseline_answer_*.py)."""
@@ -482,7 +526,8 @@ class SpecModel:
         pad_len = _bucket(l)
         sampling = spec_loop.SamplingParams(temperature, top_p, int(top_k))
         embeds, _, position_ids, rope_delta = self._prompt_embeds(
-            input_ids, pixel_values, image_size
+            input_ids, pixel_values, image_size, pixel_values_videos,
+            second_per_grid_ts,
         )
         embeds = jnp.pad(embeds, ((0, pad_len - l), (0, 0)))
         if position_ids is not None:

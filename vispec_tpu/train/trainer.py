@@ -282,26 +282,51 @@ def train(
             dparams = draft_mod.init_params(dcfg, jax.random.PRNGKey(0), jnp.float32)
         opt_state = optimizer.init(dparams)
 
+    # metrics stream: JSONL scalars (the reference's TensorBoard writer,
+    # main_mtp.py:90-93, 707-715, without the TB dependency)
+    os.makedirs(cpdir, exist_ok=True)
+    metrics_path = os.path.join(cpdir, "metrics.jsonl")
+
     step = 0
     for epoch in range(begin_epoch, cfg.num_epochs):
-        for batch, max_span in data_iterator(datadir, cfg, dcfg, seed=epoch):
-            if stage1:
-                dparams, opt_state, metrics = train_step_stage1(
-                    dparams, opt_state, dcfg, head_w, batch, optimizer,
+        with open(metrics_path, "a") as mf:
+            for batch, max_span in data_iterator(datadir, cfg, dcfg, seed=epoch):
+                if stage1:
+                    dparams, opt_state, metrics = train_step_stage1(
+                        dparams, opt_state, dcfg, head_w, batch, optimizer,
+                        max_span=cfg.max_span_bucket,
+                    )
+                else:
+                    dparams, opt_state, metrics = train_step(
+                        dparams, opt_state, dcfg, head_w, batch, optimizer,
+                        mtp_steps=cfg.mtp_steps, max_span=cfg.max_span_bucket,
+                    )
+                if step % log_every == 0:
+                    scalars = {k: float(v) for k, v in metrics.items()}
+                    scalars.update(epoch=epoch, step=step)
+                    mf.write(json.dumps(scalars) + "\n")
+                    mf.flush()
+                    print(
+                        f"[train] epoch {epoch} step {step} "
+                        f"loss={scalars['loss']:.4f} acc={scalars['acc']:.4f}"
+                    )
+                step += 1
+
+            # per-epoch k-step rollout accuracy (main_mtp.py:750-758)
+            eval_files = sorted(
+                glob.glob(os.path.join(datadir, "data_*.npz"))
+            )[:2]
+            if eval_files:
+                from .data_gen import load_sample
+
+                accs = getkacc(
+                    dparams, dcfg, head_w, load_sample(eval_files[0]),
+                    max_length=3, max_prefixes=4, max_len=cfg.max_len,
                     max_span=cfg.max_span_bucket,
                 )
-            else:
-                dparams, opt_state, metrics = train_step(
-                    dparams, opt_state, dcfg, head_w, batch, optimizer,
-                    mtp_steps=cfg.mtp_steps, max_span=cfg.max_span_bucket,
-                )
-            if step % log_every == 0:
-                print(
-                    f"[train] epoch {epoch} step {step} "
-                    f"loss={float(metrics['loss']):.4f} "
-                    f"acc={float(metrics['acc']):.4f}"
-                )
-            step += 1
+                mf.write(json.dumps(
+                    {"epoch": epoch, "getkacc": accs}) + "\n")
+                print(f"[train] epoch {epoch} getkacc={accs}")
         if (epoch + 1) % cfg.save_freq == 0 or epoch == cfg.num_epochs - 1:
             save_state(cpdir, epoch, dparams, opt_state)
     return dparams
