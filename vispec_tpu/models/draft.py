@@ -211,6 +211,38 @@ def img_adaptor(params: dict, cfg: DraftConfig, span_embeds: jax.Array, span_mas
     return jnp.dot(out, a["wo"], preferred_element_type=jnp.float32).astype(span_embeds.dtype)
 
 
+def decode_fuse_weights(params: dict, cfg: DraftConfig, last_img: jax.Array):
+    """Fold the decode-path fc(img_fc(.)) composition into two D x D matmuls.
+
+    fc([e; img_fc([h; L])]) = e @ F1 + h @ (G1 @ F2) + (L @ G2 + gb) @ F2 + fb
+    where fc_w = [F1; F2], img_fc_w = [G1; G2] and L (last_img) is constant for
+    the whole generation (cnets_ours.py:976-988).  Halves the fuse-stage weight
+    traffic per draft step and collapses 4 matmuls + 2 concats into 2 matmuls
+    + adds.  Returns (W_e [D, D], W_h [D, D], b_eff [D]).
+    """
+    d = cfg.hidden_size
+    f1 = params["fc_w"][:d]
+    f2 = params["fc_w"][d:]
+    b = params.get("fc_b", jnp.zeros((d,), f1.dtype)).astype(jnp.float32)
+    if "img_fc_w" in params:
+        g1 = params["img_fc_w"][:d]
+        g2 = params["img_fc_w"][d:]
+        gb = params.get("img_fc_b", jnp.zeros((d,), f1.dtype)).astype(jnp.float32)
+        w_h = jnp.dot(g1, f2, preferred_element_type=jnp.float32).astype(f1.dtype)
+        bias = (jnp.dot(last_img.astype(jnp.float32), g2.astype(jnp.float32))
+                + gb) @ f2.astype(jnp.float32) + b
+    else:  # EAGLE: no img_fc stage
+        w_h = f2
+        bias = b
+    return f1, w_h, bias.astype(jnp.float32)
+
+
+def fused_input(w_e, w_h, b_eff, embeds: jax.Array, hidden: jax.Array) -> jax.Array:
+    out = (jnp.dot(embeds, w_e, preferred_element_type=jnp.float32)
+           + jnp.dot(hidden, w_h, preferred_element_type=jnp.float32) + b_eff)
+    return out.astype(hidden.dtype)
+
+
 def fuse(params: dict, embeds: jax.Array, hidden: jax.Array, last_img: jax.Array) -> jax.Array:
     """img_fc + fc input fusion for decode-path tokens (cnets_ours.py:976-988).
 
@@ -488,13 +520,17 @@ def append_accepted(
     num_valid: jax.Array,  # scalar — acc+1 real rows
     last_img: jax.Array,
     cache: KVCache,
+    fuse_w=None,  # optional (w_e, w_h, b_eff) from decode_fuse_weights
 ) -> Tuple[jax.Array, KVCache]:
     """Decode-path draft forward over newly accepted tokens, appending to the
     stable KV (reference: topK_genrate's stable_kv branch, cnets_ours.py:1090-1097,
     via the fuse path :976-988).  Returns (seed_hidden [hidden], cache)."""
     s = accept_tokens.shape[0]
     embeds = jnp.take(params["embed"], accept_tokens, axis=0).astype(accept_hidden.dtype)
-    x = fuse(params, embeds, accept_hidden, last_img)
+    if fuse_w is not None:
+        x = fused_input(fuse_w[0], fuse_w[1], fuse_w[2], embeds, accept_hidden)
+    else:
+        x = fuse(params, embeds, accept_hidden, last_img)
 
     pos_ids = cache.real_length + jnp.arange(s, dtype=jnp.int32)
     cols = jnp.arange(cache.max_len, dtype=jnp.int32)
@@ -529,6 +565,7 @@ def expand_tree(
     last_img: jax.Array,  # [hidden]
     head_w: jax.Array,  # [hidden, vocab] target lm_head (draft-device clone)
     cache: KVCache,
+    fuse_w=None,  # optional (w_e, w_h, b_eff) from decode_fuse_weights
 ) -> Tuple[Tree, KVCache]:
     """Depth-limited beam growth + global re-rank (cnets_ours.py:1109-1191).
 
@@ -571,7 +608,10 @@ def expand_tree(
 
         # fuse + layer forward for the K beam tokens at position real_len + i
         embeds = jnp.take(params["embed"], beam_tokens, axis=0).astype(vdtype)
-        x = fuse(params, embeds, beam_hidden, last_img)
+        if fuse_w is not None:
+            x = fused_input(fuse_w[0], fuse_w[1], fuse_w[2], embeds, beam_hidden)
+        else:
+            x = fuse(params, embeds, beam_hidden, last_img)
         pos_ids = jnp.full((k_beam,), real_len + i, jnp.int32)
 
         write_at = stable_len + i * k_beam

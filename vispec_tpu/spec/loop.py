@@ -51,6 +51,8 @@ class SpecState(NamedTuple):
     done: jax.Array  # [] bool
     key: jax.Array
     rope_delta: jax.Array  # [] int32 — Qwen M-RoPE offset (utils.py:398-402); 0 else
+    fuse_wh: jax.Array  # [hidden, hidden] — folded img_fc->fc hidden weight
+    fuse_b: jax.Array  # [hidden] f32 — folded constant bias (last_img fixed)
 
 
 class SamplingParams(NamedTuple):
@@ -130,8 +132,10 @@ def spec_prefill(
         dparams, dcfg, hidden, shifted, plan, draft_cache, max_span
     )
     head_w = tparams["lm_head"]
+    w_e, w_h, b_eff = draft_mod.decode_fuse_weights(dparams, dcfg, last_img)
     tree, draft_cache = draft_mod.expand_tree(
-        dparams, dcfg, spec, last_hidden, first_token, last_img, head_w, draft_cache
+        dparams, dcfg, spec, last_hidden, first_token, last_img, head_w,
+        draft_cache, fuse_w=(w_e, w_h, b_eff),
     )
 
     return SpecState(
@@ -146,6 +150,8 @@ def spec_prefill(
         key=key,
         rope_delta=(jnp.zeros((), jnp.int32) if rope_delta is None
                     else jnp.asarray(rope_delta, jnp.int32)),
+        fuse_wh=w_h,
+        fuse_b=b_eff,
     )
 
 
@@ -250,11 +256,15 @@ def decode_round(
     )  # row j pairs hidden[path[j]] with token[path[j+1]], last valid row w/ bonus
     # jnp.roll wraps the last element; rows >= acc are overwritten with bonus.
 
+    d = dcfg.hidden_size
+    fuse_w = (dparams["fc_w"][:d], state.fuse_wh, state.fuse_b)
     seed, draft_cache = draft_mod.append_accepted(
-        dparams, dcfg, accept_hidden, tok_next, acc + 1, state.last_img, state.draft_cache
+        dparams, dcfg, accept_hidden, tok_next, acc + 1, state.last_img,
+        state.draft_cache, fuse_w=fuse_w,
     )
     new_tree, draft_cache = draft_mod.expand_tree(
-        dparams, dcfg, spec, seed, bonus, state.last_img, tparams["lm_head"], draft_cache
+        dparams, dcfg, spec, seed, bonus, state.last_img, tparams["lm_head"],
+        draft_cache, fuse_w=fuse_w,
     )
 
     return SpecState(
@@ -268,6 +278,8 @@ def decode_round(
         done=done,
         key=key,
         rope_delta=state.rope_delta,
+        fuse_wh=state.fuse_wh,
+        fuse_b=state.fuse_b,
     )
 
 
@@ -327,6 +339,8 @@ def medusa_prefill(
         done=jnp.zeros((), bool),
         key=key,
         rope_delta=jnp.zeros((), jnp.int32),
+        fuse_wh=jnp.zeros((1, 1), inputs_embeds.dtype),
+        fuse_b=jnp.zeros((1,), jnp.float32),
     )
 
 
@@ -371,6 +385,8 @@ def medusa_decode_round(
         done=done,
         key=key,
         rope_delta=state.rope_delta,
+        fuse_wh=state.fuse_wh,
+        fuse_b=state.fuse_b,
     )
 
 

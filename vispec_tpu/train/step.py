@@ -146,6 +146,61 @@ def train_step_stage1(
 
 @functools.partial(
     jax.jit,
+    static_argnames=("optimizer", "v_w", "p_w"),
+    donate_argnames=("mparams", "opt_state"),
+)
+def train_step_medusa(
+    mparams: dict,
+    opt_state,
+    head_w: jax.Array,
+    batch: TrainBatch,
+    optimizer: optax.GradientTransformation,
+    v_w: float = 1.0,
+    p_w: float = 0.1,
+):
+    """Medusa heads training (reference main_medusa.py:498-540): head i's
+    target is the target hidden shifted left by i (zeros-prefixed); loss =
+    v_w * SmoothL1(hidden) + p_w * soft-CE, summed over heads."""
+    from ..models.medusa import NUM_HEADS, heads_forward
+    from .losses import smooth_l1
+
+    def loss_fn(p):
+        # [H, B, S, D] predictions from every head on the same trunk hiddens
+        predict = jax.vmap(
+            lambda h: heads_forward(p, h), in_axes=0, out_axes=1
+        )(batch.hidden_states)
+        tgt = jnp.stack([
+            jnp.concatenate(
+                [jnp.zeros_like(batch.target[:, :i]), batch.target[:, i:]],
+                axis=1,
+            )
+            for i in range(NUM_HEADS)
+        ])  # [H, B, S, D]
+        mask = batch.loss_mask[None].astype(jnp.float32)  # [1, B, S]
+        denom = jnp.maximum(mask.sum() * NUM_HEADS, 1.0)
+
+        vloss = (smooth_l1(predict.astype(jnp.float32),
+                           tgt.astype(jnp.float32)).mean(-1) * mask).sum() / denom
+
+        s_logits = jnp.einsum("hbsd,dv->hbsv", predict, head_w,
+                              preferred_element_type=jnp.float32)
+        t_logits = jnp.einsum("hbsd,dv->hbsv", tgt, head_w,
+                              preferred_element_type=jnp.float32)
+        t_p = jax.lax.stop_gradient(jax.nn.softmax(t_logits, axis=-1))
+        ploss = -((t_p * jax.nn.log_softmax(s_logits, axis=-1)).sum(-1)
+                  * mask).sum() / denom
+        loss = v_w * vloss + p_w * ploss
+        acc = ((jnp.argmax(s_logits, -1) == jnp.argmax(t_p, -1)) * mask).sum() / denom
+        return loss, {"vloss": vloss, "ploss": ploss, "acc": acc}
+
+    (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(mparams)
+    updates, opt_state = optimizer.update(grads, opt_state, mparams)
+    mparams = optax.apply_updates(mparams, updates)
+    return mparams, opt_state, dict(metrics, loss=loss)
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("dcfg", "mtp_steps", "max_span", "optimizer"),
     donate_argnames=("dparams", "opt_state"),
 )
