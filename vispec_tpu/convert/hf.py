@@ -113,7 +113,10 @@ def convert_draft(sd: Dict[str, np.ndarray], cfg: DraftConfig, dtype=jnp.bfloat1
     if "fc.bias" in sd:
         params["fc_b"] = jnp.asarray(sd["fc.bias"], dtype)
 
-    # vision components are absent in EAGLE-2 draft checkpoints (cnets.py)
+    # vision components are absent in EAGLE-2 draft checkpoints (cnets.py);
+    # cfg.vision=False also force-drops them (method="eagle" on a ViSpec ckpt)
+    if not cfg.vision:
+        return params
     if "imadpt.q" in sd:
         adaptor = {
             "q": jnp.asarray(sd["imadpt.q"], dtype),

@@ -100,10 +100,13 @@ def forward_hidden(
     cache: KVCache,
     attn_mask: jax.Array,  # [S, max_len] bool
     region=None,  # optional (start, mask[S, T_reg]) => Pallas decode kernel
+    return_new_kv: bool = False,
 ) -> Tuple[jax.Array, KVCache]:
     """Run the decoder stack; returns (last hidden [S, hidden], cache with the
     new block written at cache.length — call kv_cache.advance with the valid
-    row count afterwards)."""
+    row count afterwards).  With ``return_new_kv`` also returns the appended
+    [L, H_kv, S, D] K/V blocks (so callers can re-gather accepted rows without
+    reading the big cache buffer back — see kv_cache.commit_from_blocks)."""
     if cfg.mrope_section is not None and position_ids.ndim == 2:
         cos, sin = rope_ops.mrope_cos_sin(
             position_ids, cfg.head_dim, cfg.mrope_section, cfg.rope_theta
@@ -118,30 +121,41 @@ def forward_hidden(
 
     write_at = cache.length
 
-    def layer_step(hidden, xs):
-        lp, k_cache_l, v_cache_l = xs
+    # The caches ride the scan CARRY and are dynamic-update-sliced per layer:
+    # while-loop carries alias operand/result buffers, so XLA keeps the
+    # multi-hundred-MB cache updates in place.  (Emitting per-layer blocks as
+    # scan outputs and writing them after the loop was measured to materialize
+    # two full-cache copies per forward — ~1.6 ms/round at 7B.)
+    def layer_step(carry, xs):
+        hidden, k_cache, v_cache, layer_idx = carry
+        lp = xs
         residual = hidden
         normed = rms_norm(hidden, lp["input_norm"], cfg.rms_norm_eps)
         attn_out, k_new, v_new = attention_block(
-            normed, lp, cfg, cos, sin, k_cache_l, v_cache_l, write_at, attn_mask,
-            region,
+            normed, lp, cfg, cos, sin, k_cache[layer_idx], v_cache[layer_idx],
+            write_at, attn_mask, region,
+        )
+        zero = jnp.zeros((), jnp.int32)
+        k_cache = lax.dynamic_update_slice(
+            k_cache, k_new[None], (layer_idx, zero, write_at, zero)
+        )
+        v_cache = lax.dynamic_update_slice(
+            v_cache, v_new[None], (layer_idx, zero, write_at, zero)
         )
         hidden = residual + attn_out
         residual = hidden
         normed = rms_norm(hidden, lp["post_norm"], cfg.rms_norm_eps)
         hidden = residual + swiglu_mlp(normed, lp["w_gate"], lp["w_up"], lp["w_down"])
-        return hidden, (k_new, v_new)
+        ys = (k_new, v_new) if return_new_kv else None
+        return (hidden, k_cache, v_cache, layer_idx + 1), ys
 
-    hidden, (k_blocks, v_blocks) = lax.scan(
-        layer_step, inputs_embeds, (params["layers"], cache.k, cache.v)
-    )
+    init = (inputs_embeds, cache.k, cache.v, jnp.zeros((), jnp.int32))
+    (hidden, new_k, new_v, _), ys = lax.scan(layer_step, init, params["layers"])
     hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
-
-    # Write all layers' new rows into the cache in one shot.
-    zero = jnp.zeros((), jnp.int32)
-    new_k = lax.dynamic_update_slice(cache.k, k_blocks, (zero, zero, write_at, zero))
-    new_v = lax.dynamic_update_slice(cache.v, v_blocks, (zero, zero, write_at, zero))
-    return hidden, cache._replace(k=new_k, v=new_v)
+    out_cache = cache._replace(k=new_k, v=new_v)
+    if return_new_kv:
+        return hidden, out_cache, ys
+    return hidden, out_cache
 
 
 def embed(params: dict, token_ids: jax.Array) -> jax.Array:

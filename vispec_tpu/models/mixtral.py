@@ -68,26 +68,31 @@ def forward_hidden(
     cos, sin = rope_ops.cos_sin(position_ids, cfg.head_dim, cfg.rope_theta)
     write_at = cache.length
 
-    def layer_step(hidden, xs):
-        lp, k_cache_l, v_cache_l = xs
+    # caches in the scan carry => in-place updates (see llama.forward_hidden)
+    def layer_step(carry, lp):
+        hidden, k_cache, v_cache, layer_idx = carry
         residual = hidden
         normed = rms_norm(hidden, lp["input_norm"], cfg.rms_norm_eps)
         attn_out, k_new, v_new = attention_block(
-            normed, lp, cfg, cos, sin, k_cache_l, v_cache_l, write_at, attn_mask
+            normed, lp, cfg, cos, sin, k_cache[layer_idx], v_cache[layer_idx],
+            write_at, attn_mask
+        )
+        zero = jnp.zeros((), jnp.int32)
+        k_cache = lax.dynamic_update_slice(
+            k_cache, k_new[None], (layer_idx, zero, write_at, zero)
+        )
+        v_cache = lax.dynamic_update_slice(
+            v_cache, v_new[None], (layer_idx, zero, write_at, zero)
         )
         hidden = residual + attn_out
         residual = hidden
         normed = rms_norm(hidden, lp["post_norm"], cfg.rms_norm_eps)
         hidden = residual + moe_block(normed, lp, cfg)
-        return hidden, (k_new, v_new)
+        return (hidden, k_cache, v_cache, layer_idx + 1), None
 
-    hidden, (k_blocks, v_blocks) = lax.scan(
-        layer_step, inputs_embeds, (params["layers"], cache.k, cache.v)
-    )
+    init = (inputs_embeds, cache.k, cache.v, jnp.zeros((), jnp.int32))
+    (hidden, new_k, new_v, _), _ = lax.scan(layer_step, init, params["layers"])
     hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
-    zero = jnp.zeros((), jnp.int32)
-    new_k = lax.dynamic_update_slice(cache.k, k_blocks, (zero, zero, write_at, zero))
-    new_v = lax.dynamic_update_slice(cache.v, v_blocks, (zero, zero, write_at, zero))
     return hidden, cache._replace(k=new_k, v=new_v)
 
 

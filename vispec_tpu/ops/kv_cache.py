@@ -124,15 +124,43 @@ def commit_accepted(
     next tree append.
     """
     rows = tree_start + node_indices  # [max_path] absolute row ids
-    # Gather along the max_len axis for every layer/head at once.
+    # Gather along the max_len axis for every layer/head at once.  The barrier
+    # materializes the (tiny) gathered rows before the overlapping in-place
+    # write — without it XLA resolves the read-write hazard by copying the
+    # whole multi-hundred-MB cache (profiled ~0.8 ms per array per round).
     k_sel = jnp.take(cache.k, rows, axis=2)  # [L, H, max_path, D]
     v_sel = jnp.take(cache.v, rows, axis=2)
+    k_sel, v_sel = lax.optimization_barrier((k_sel, v_sel))
     zero = jnp.zeros((), jnp.int32)
     start = (zero, zero, tree_start, zero)
     k = lax.dynamic_update_slice(cache.k, k_sel, start)
     v = lax.dynamic_update_slice(cache.v, v_sel, start)
     new_len = tree_start + jnp.asarray(num_accepted, jnp.int32)
     delta = new_len - cache.length  # may be negative (rollback)
+    return KVCache(k=k, v=v, length=new_len, real_length=cache.real_length + delta)
+
+
+def commit_from_blocks(
+    cache: KVCache,
+    tree_start: jax.Array,
+    k_blocks: jax.Array,  # [L, H_kv, T, D] — the verify pass's appended rows
+    v_blocks: jax.Array,
+    node_indices: jax.Array,  # [max_path] accepted node offsets in the tree
+    num_accepted: jax.Array,
+) -> KVCache:
+    """Accept-compaction that gathers from the *small* tree blocks instead of
+    the cache itself.  The big-buffer operation is then a pure overlapping
+    write (write-after-write), which XLA keeps in place — gathering the rows
+    back out of the cache forced a full-cache copy per array (~0.8 ms each at
+    7B, profiled)."""
+    k_sel = jnp.take(k_blocks, node_indices, axis=2)  # [L, H, max_path, D]
+    v_sel = jnp.take(v_blocks, node_indices, axis=2)
+    zero = jnp.zeros((), jnp.int32)
+    start = (zero, zero, tree_start, zero)
+    k = lax.dynamic_update_slice(cache.k, k_sel, start)
+    v = lax.dynamic_update_slice(cache.v, v_sel, start)
+    new_len = tree_start + jnp.asarray(num_accepted, jnp.int32)
+    delta = new_len - cache.length
     return KVCache(k=k, v=v, length=new_len, real_length=cache.real_length + delta)
 
 

@@ -29,13 +29,29 @@ from ..ops.sampling import process_logits, sample_categorical
 from ..ops.tree import Tree, greedy_accept, path_to_root, sampling_accept
 
 
-def target_forward(tparams, tcfg, embeds, pos, cache, mask, region=None):
+def target_forward(tparams, tcfg, embeds, pos, cache, mask, region=None,
+                   return_new_kv=False):
     """Dispatch dense vs MoE target backbones on the parameter pytree."""
     if "router" in tparams["layers"]:
         from ..models import mixtral
 
-        return mixtral.forward_hidden(tparams, tcfg, embeds, pos, cache, mask)
-    return llama.forward_hidden(tparams, tcfg, embeds, pos, cache, mask, region)
+        out = mixtral.forward_hidden(tparams, tcfg, embeds, pos, cache, mask)
+        if return_new_kv:
+            hidden, cache = out
+            # MoE path: fall back to gathering from the cache (small model zoo)
+            s = embeds.shape[0]
+            blocks_k = lax.dynamic_slice(
+                cache.k, (0, 0, cache.length, 0),
+                (cache.k.shape[0], cache.k.shape[1], s, cache.k.shape[3]),
+            )
+            blocks_v = lax.dynamic_slice(
+                cache.v, (0, 0, cache.length, 0),
+                (cache.v.shape[0], cache.v.shape[1], s, cache.v.shape[3]),
+            )
+            return hidden, cache, (blocks_k, blocks_v)
+        return out
+    return llama.forward_hidden(tparams, tcfg, embeds, pos, cache, mask, region,
+                                return_new_kv)
 
 
 class SpecState(NamedTuple):
@@ -186,9 +202,9 @@ def _verify_accept_commit(
         # over the 3 streams (utils.py:398-402)
         pos = jnp.broadcast_to(pos[None], (3, t))
     mask = tree_verify_mask(tree.mask, tree_start, state.target_cache.max_len)
-    hidden, target_cache = target_forward(
+    hidden, target_cache, new_kv = target_forward(
         tparams, tcfg, embeds, pos, state.target_cache, mask,
-        region=(tree_start, tree.mask),
+        region=(tree_start, tree.mask), return_new_kv=True,
     )
     logits = llama.lm_head(tparams, hidden)  # [T, V] float32
 
@@ -208,7 +224,9 @@ def _verify_accept_commit(
 
     # ---- 3. commit accepted path (utils.py:496-541) ----
     path = path_to_root(tree, best, max_path)
-    target_cache = kv.commit_accepted(target_cache, tree_start, path, acc + 1)
+    target_cache = kv.commit_from_blocks(
+        target_cache, tree_start, new_kv[0], new_kv[1], path, acc + 1
+    )
 
     committed = tree.tokens[path]  # [max_path]; rows > acc are padding
     jcols = jnp.arange(max_path, dtype=jnp.int32)

@@ -463,8 +463,8 @@ class SpecModel:
         t0 = time.perf_counter()
         accept_lengths: List[int] = []
         rounds = 0
-        eos = np.int32(self.eos_token_id)
-        cap = np.int32(budget)
+        eos = jnp.asarray(self.eos_token_id, jnp.int32)
+        cap = jnp.asarray(budget, jnp.int32)
         while True:
             prev = int(state.new_token)
             if self.mparams is not None:
