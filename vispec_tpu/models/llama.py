@@ -126,15 +126,30 @@ def forward_hidden(
     # multi-hundred-MB cache updates in place.  (Emitting per-layer blocks as
     # scan outputs and writing them after the loop was measured to materialize
     # two full-cache copies per forward — ~1.6 ms/round at 7B.)
+    from ..ops.attention import use_pallas
+
+    kernel_path = region is not None and use_pallas()
+
     def layer_step(carry, xs):
         hidden, k_cache, v_cache, layer_idx = carry
         lp = xs
         residual = hidden
         normed = rms_norm(hidden, lp["input_norm"], cfg.rms_norm_eps)
-        attn_out, k_new, v_new = attention_block(
-            normed, lp, cfg, cos, sin, k_cache[layer_idx], v_cache[layer_idx],
-            write_at, attn_mask, region,
-        )
+
+        s = normed.shape[0]
+        h, hkv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+        q = jnp.dot(normed, lp["wq"], preferred_element_type=jnp.float32).astype(normed.dtype)
+        k = jnp.dot(normed, lp["wk"], preferred_element_type=jnp.float32).astype(normed.dtype)
+        v = jnp.dot(normed, lp["wv"], preferred_element_type=jnp.float32).astype(normed.dtype)
+        if cfg.qkv_bias:
+            q = q + lp["bq"].astype(normed.dtype)
+            k = k + lp["bk"].astype(normed.dtype)
+            v = v + lp["bv"].astype(normed.dtype)
+        q = q.reshape(s, h, d).transpose(1, 0, 2)
+        k_new = k.reshape(s, hkv, d).transpose(1, 0, 2)
+        v_new = v.reshape(s, hkv, d).transpose(1, 0, 2)
+        q, k_new = rope_ops.apply_rope(q, k_new, cos, sin)
+
         zero = jnp.zeros((), jnp.int32)
         k_cache = lax.dynamic_update_slice(
             k_cache, k_new[None], (layer_idx, zero, write_at, zero)
@@ -142,6 +157,23 @@ def forward_hidden(
         v_cache = lax.dynamic_update_slice(
             v_cache, v_new[None], (layer_idx, zero, write_at, zero)
         )
+        if kernel_path:
+            # read the stacked cache directly in the kernel — no per-layer
+            # slice materialization (~8 MB x2 per layer per round at 7B)
+            from ..ops.attention import pick_block
+            from ..ops.pallas_attention import verify_attention
+
+            out = verify_attention(
+                q, k_cache, v_cache, region[0], region[1],
+                block=pick_block(k_cache.shape[2]), layer_idx=layer_idx,
+            )
+        else:
+            out = attend(q, k_cache[layer_idx], v_cache[layer_idx], attn_mask)
+        out = out.transpose(1, 0, 2).reshape(s, h * d)
+        attn_out = jnp.dot(
+            out, lp["wo"], preferred_element_type=jnp.float32
+        ).astype(normed.dtype)
+
         hidden = residual + attn_out
         residual = hidden
         normed = rms_norm(hidden, lp["post_norm"], cfg.rms_norm_eps)

@@ -30,10 +30,10 @@ NEG_INF = -1e30  # python float: a jnp constant would be a captured array in pal
 
 
 def _kernel(
-    start_ref,  # [1] int32 scalar prefetch — tree_start (committed length)
+    start_ref,  # [2] int32 scalar prefetch — (tree_start, layer_idx)
     q_ref,  # [1, GS, D] VMEM — this kv-head's query group
     tm_ref,  # [GS, S] VMEM f32 — per-query-row tree mask (group-expanded)
-    k_hbm,  # [Hkv, max_len, D] ANY/HBM
+    k_hbm,  # [L?, Hkv, max_len, D] ANY/HBM (leading layer dim optional)
     v_hbm,
     out_ref,  # [1, GS, D] VMEM
     k_buf,  # [2, B, D] VMEM scratch
@@ -49,13 +49,16 @@ def _kernel(
     head = pl.program_id(0)
     gs = q_ref.shape[1]
     start = start_ref[0]
+    layer = start_ref[1]
     total = start + t_reg  # live rows incl. the appended tree region
     nb = pl.cdiv(total, block)
 
     def dma(slot, j, buf, hbm, s):
-        return pltpu.make_async_copy(
-            hbm.at[head, pl.ds(j * block, block)], buf.at[slot], s.at[slot]
-        )
+        if hbm.ndim == 4:  # full stacked cache: index (layer, head)
+            src = hbm.at[layer, head, pl.ds(j * block, block)]
+        else:
+            src = hbm.at[head, pl.ds(j * block, block)]
+        return pltpu.make_async_copy(src, buf.at[slot], s.at[slot])
 
     dma(0, 0, k_buf, k_hbm, sem.at[0]).start()
     dma(0, 0, v_buf, v_hbm, sem.at[1]).start()
@@ -129,21 +132,26 @@ def _kernel(
 @functools.partial(jax.jit, static_argnames=("block",))
 def verify_attention(
     q: jax.Array,  # [H, S, D]
-    k_cache: jax.Array,  # [Hkv, max_len, D] (tree rows already written)
+    k_cache: jax.Array,  # [Hkv, max_len, D] or [L, Hkv, max_len, D]
     v_cache: jax.Array,
     tree_start: jax.Array,  # [] int32 — committed prefix length
     tree_mask: jax.Array,  # [S, T_reg] bool — per-query visibility of the
     # region appended at tree_start (ancestor closure for verify; ones for AR;
     # scratch ancestry for draft beam expansion)
     block: int = 512,
+    layer_idx=None,  # [] int32 — required when k_cache has the layer dim;
+    # reading the stacked cache directly avoids materializing the per-layer
+    # slice (~8 MB x2 per layer per round at 7B)
 ) -> jax.Array:
     """Length-aware fused attention over the cache; returns [H, S, D]."""
     h, s, d = q.shape
-    hkv = k_cache.shape[0]
+    hkv = k_cache.shape[-3]
     groups = h // hkv
     gs = groups * s
     t_reg = tree_mask.shape[1]
-    assert k_cache.shape[1] % block == 0, "max_len must be a block multiple"
+    assert k_cache.shape[-2] % block == 0, "max_len must be a block multiple"
+    if layer_idx is None:
+        layer_idx = jnp.zeros((), jnp.int32)
 
     qg = q.reshape(hkv, gs, d)
     tm_g = jnp.tile(tree_mask.astype(jnp.float32), (groups, 1))  # [GS, T_reg]
@@ -170,9 +178,12 @@ def verify_attention(
     )
 
     wrapped = functools.partial(_kernel, block=block, t_reg=t_reg, scale=d**-0.5)
+    scalars = jnp.stack([
+        jnp.asarray(tree_start, jnp.int32), jnp.asarray(layer_idx, jnp.int32)
+    ])
     out = pl.pallas_call(
         wrapped,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((hkv, gs, d), q.dtype),
-    )(jnp.asarray(tree_start, jnp.int32)[None], qg, tm_g, k_cache, v_cache)
+    )(scalars, qg, tm_g, k_cache, v_cache)
     return out.reshape(h, s, d)
