@@ -44,7 +44,9 @@ def test_specgenerate_matches_ar_generate():
     assert n >= 10
     assert spec.sequences[: len(prompt) + n].tolist() == \
         ar.sequences[: len(prompt) + n].tolist()
-    assert spec.rounds <= ar.rounds
+    # one overshoot round is expected: the loop (like the reference,
+    # spec_model_ours.py:546) breaks only after new_token exceeds the budget
+    assert spec.rounds <= ar.rounds + 1
 
 
 def test_medusa_losslessness():

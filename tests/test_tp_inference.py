@@ -1,0 +1,72 @@
+"""Tensor-parallel inference: the decode round under a tp=2 GSPMD mesh must
+produce the same tokens as single-device execution (the reference's answer to
+model sharding was device_map layer placement — SURVEY.md §2.6; ours is
+pjit-partitioned matmuls over a mesh axis)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from vispec_tpu.configs import DraftConfig, LlamaConfig, SpecConfig
+from vispec_tpu.models import draft as draft_mod
+from vispec_tpu.models import llama
+from vispec_tpu.ops import kv_cache as kv
+from vispec_tpu.parallel.mesh import make_mesh
+from vispec_tpu.parallel.sharding import apply_specs, draft_param_specs, llama_param_specs
+from vispec_tpu.spec import loop as spec_loop
+
+TCFG = LlamaConfig(
+    vocab_size=256, hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+    num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=512,
+)
+DCFG = DraftConfig(
+    vocab_size=256, hidden_size=64, intermediate_size=128,
+    num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=512,
+)
+SPEC = SpecConfig(total_tokens=12, depth=3, top_k=4)
+
+
+def run_rounds(tparams, dparams, target_cache, draft_cache, n=10):
+    sampling = spec_loop.SamplingParams()
+    prompt = list(range(40, 70))
+    embeds = llama.embed(tparams, jnp.asarray(prompt, jnp.int32))
+    embeds = jnp.pad(embeds, ((0, 128 - len(prompt)), (0, 0)))
+    plan, ms = draft_mod.make_prefill_plan(None, len(prompt), DCFG.num_q, 128)
+    state = spec_loop.spec_prefill(
+        tparams, dparams, TCFG, DCFG, SPEC, plan, sampling, embeds,
+        target_cache, draft_cache, jax.random.PRNGKey(0), 200, ms,
+    )
+    big = jnp.asarray(10**6, jnp.int32)
+    for _ in range(n):
+        state = spec_loop.decode_round(
+            tparams, dparams, TCFG, DCFG, SPEC, sampling, state, big, big,
+        )
+    return np.asarray(state.output)[: int(state.out_len)]
+
+
+def test_tp2_matches_single_device():
+    assert len(jax.devices()) >= 8, "conftest forces 8 virtual cpu devices"
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    tparams = llama.init_params(TCFG, k1, jnp.float32)
+    dparams = draft_mod.init_params(DCFG, k2, jnp.float32)
+    dparams["embed"] = tparams["embed"]
+
+    tc = kv.init_cache(2, 2, 256, 16, jnp.float32)
+    dc = kv.init_cache(1, 2, 256, 16, jnp.float32)
+    ref = run_rounds(tparams, dparams, tc, dc)
+
+    mesh = make_mesh(dp=1, tp=2, devices=jax.devices()[:2])
+    with mesh:
+        tp_t = apply_specs(mesh, tparams, llama_param_specs(TCFG))
+        tp_d = apply_specs(mesh, dparams, draft_param_specs(DCFG))
+        # caches replicated; GSPMD shards activations as it sees fit
+        rep = lambda x: jax.device_put(x, NamedSharding(mesh, P()))
+        tc2 = jax.tree.map(rep, kv.init_cache(2, 2, 256, 16, jnp.float32))
+        dc2 = jax.tree.map(rep, kv.init_cache(1, 2, 256, 16, jnp.float32))
+        out = run_rounds(tp_t, tp_d, tc2, dc2)
+
+    n = min(len(ref), len(out))
+    assert n >= 8
+    np.testing.assert_array_equal(out[:n], ref[:n])

@@ -301,6 +301,44 @@ def decode_round(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("tcfg", "dcfg", "spec", "sampling", "n_rounds"),
+    donate_argnames=("state",),
+)
+def decode_rounds_chunk(
+    tparams: dict,
+    dparams: dict,
+    tcfg: LlamaConfig,
+    dcfg: DraftConfig,
+    spec: SpecConfig,
+    sampling: SamplingParams,
+    state: SpecState,
+    eos_id,
+    max_new_tokens,
+    n_rounds: int = 8,
+) -> SpecState:
+    """Run up to ``n_rounds`` decode rounds in one dispatch; rounds after the
+    done latch are skipped via lax.cond (only the live branch executes on TPU).
+    The host then checks ``done`` once per chunk instead of once per round —
+    the reference pays several host syncs per round (SURVEY.md §3.2)."""
+
+    def body(state, _):
+        def live(st):
+            return decode_round.__wrapped__(
+                tparams, dparams, tcfg, dcfg, spec, sampling, st,
+                eos_id, max_new_tokens,
+            )
+
+        new_state = lax.cond(state.done, lambda st: st, live, state)
+        # cumulative token counter per round; the host diffs these to recover
+        # per-round acceptance lengths (tau reporting)
+        return new_state, new_state.new_token
+
+    state, counts = lax.scan(body, state, None, length=n_rounds)
+    return state, counts
+
+
 # ---------------------------------------------------------------------------
 # Medusa decode (no draft transformer — heads on the target's hidden)
 # ---------------------------------------------------------------------------

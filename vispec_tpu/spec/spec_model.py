@@ -75,6 +75,8 @@ class SpecModel:
         self.dtype = dtype
         self.eos_token_id = eos_token_id
         self.image_token_index = image_token_index
+        # device-side rounds per host sync (1 = sync every round)
+        self.chunk_rounds = 8
         self.target_cache = kv.init_cache(
             tcfg.num_hidden_layers, tcfg.num_key_value_heads, max_len,
             tcfg.head_dim, dtype,
@@ -465,22 +467,40 @@ class SpecModel:
         rounds = 0
         eos = jnp.asarray(self.eos_token_id, jnp.int32)
         cap = jnp.asarray(budget, jnp.int32)
-        while True:
-            prev = int(state.new_token)
-            if self.mparams is not None:
-                state = spec_loop.medusa_decode_round(
-                    self.tparams, self.mparams, self.tcfg, self.spec,
-                    sampling, state, eos, cap,
-                )
-            else:
-                state = spec_loop.decode_round(
+        if self.mparams is None and self.chunk_rounds > 1:
+            # chunked device-side decoding: one host sync per chunk
+            prev = 0
+            while rounds < budget:
+                state, counts = spec_loop.decode_rounds_chunk(
                     self.tparams, self.dparams, self.tcfg, self.dcfg, self.spec,
-                    sampling, state, eos, cap,
+                    sampling, state, eos, cap, n_rounds=self.chunk_rounds,
                 )
-            rounds += 1
-            accept_lengths.append(int(state.new_token) - prev - 1)
-            if bool(state.done) or rounds >= budget:
-                break
+                counts = np.asarray(counts)
+                for c in counts:
+                    if int(c) == prev:  # latched (skipped) round
+                        break
+                    accept_lengths.append(int(c) - prev - 1)
+                    prev = int(c)
+                    rounds += 1
+                if bool(state.done):
+                    break
+        else:
+            while True:
+                prev = int(state.new_token)
+                if self.mparams is not None:
+                    state = spec_loop.medusa_decode_round(
+                        self.tparams, self.mparams, self.tcfg, self.spec,
+                        sampling, state, eos, cap,
+                    )
+                else:
+                    state = spec_loop.decode_round(
+                        self.tparams, self.dparams, self.tcfg, self.dcfg, self.spec,
+                        sampling, state, eos, cap,
+                    )
+                rounds += 1
+                accept_lengths.append(int(state.new_token) - prev - 1)
+                if bool(state.done) or rounds >= budget:
+                    break
         decode_time = time.perf_counter() - t0
 
         out_len = int(state.out_len)
