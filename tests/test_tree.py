@@ -120,6 +120,63 @@ def test_sampling_accept_reject_residual():
     np.testing.assert_allclose(float(resid.sum()), 1.0, rtol=1e-5)
 
 
+def np_reference_accept(tree_tokens, tree_parent, tree_depth, probs, rng, max_depth):
+    """Sequential NumPy implementation of the reference's reject-renormalize
+    walk (utils.py:453-493): at the accepted node, iterate children in node
+    order; accept child x with prob p(x); on reject zero x's mass and
+    renormalize.  Returns (best, acc, residual)."""
+    t = len(tree_tokens)
+    cur = 0
+    for d in range(max_depth):
+        children = [i for i in range(1, t)
+                    if tree_parent[i] == cur and tree_depth[i] == d + 1]
+        gtp = probs[cur].astype(np.float64).copy()
+        gtp /= gtp.sum()
+        accepted = None
+        for c in children:
+            x = tree_tokens[c]
+            if rng.uniform() <= gtp[x]:
+                accepted = c
+                break
+            gtp[x] = 0.0
+            s = gtp.sum()
+            gtp = gtp / s if s > 0 else gtp
+        if accepted is None:
+            return cur, d, gtp
+        cur = accepted
+    return cur, int(tree_depth[cur]), probs[cur].astype(np.float64)
+
+
+def test_sampling_accept_distribution_matches_sequential_reference():
+    """The closed-form accept (u * (1 - prefix_mass) <= p) must induce the same
+    outcome distribution as the reference's sequential reject-renormalize loop
+    over many trials (different RNG streams => compare distributions)."""
+    tree = manual_tree(TOKENS, PARENT)
+    vocab = 12
+    rng = np.random.default_rng(3)
+    p = rng.uniform(0.05, 1.0, (6, vocab))
+    p = (p / p.sum(-1, keepdims=True)).astype(np.float32)
+    probs = jnp.asarray(p)
+
+    trials = 4000
+    keys = jax.random.split(jax.random.PRNGKey(11), trials)
+    batched = jax.jit(jax.vmap(lambda k: sampling_accept(tree, probs, k, 3)[:2]))
+    bests, accs = map(np.asarray, batched(keys))
+
+    ref_counts = np.zeros(6)
+    rng2 = np.random.default_rng(7)
+    for _ in range(trials):
+        b, a, _ = np_reference_accept(TOKENS, PARENT, np.asarray(tree.depth), p, rng2, 3)
+        ref_counts[b] += 1
+    ours_counts = np.bincount(bests, minlength=6)
+    # best-node distribution within ~4 sigma of binomial noise
+    for i in range(6):
+        pr = ref_counts[i] / trials
+        sigma = np.sqrt(max(pr * (1 - pr) / trials, 1e-9))
+        assert abs(ours_counts[i] / trials - pr) < 4 * sigma + 0.01, (
+            i, ours_counts / trials, ref_counts / trials)
+
+
 def test_sampling_accept_matches_target_distribution():
     """Depth-1 chain: acceptance + residual sampling must reproduce the target
     distribution p over many trials (the speculative-sampling correctness

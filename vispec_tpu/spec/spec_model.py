@@ -404,6 +404,8 @@ class SpecModel:
         second_per_grid_ts: float = 1.0,
         seed: int = 0,
         log: bool = False,
+        stop_token_id: Optional[int] = None,  # extra stop id (the reference's
+        # is_llama3 <|eot_id|> path, spec_model_ours.py:268-269, 540-542)
     ) -> GenerationResult:
         input_ids = np.asarray(input_ids, np.int64)
         l = int(input_ids.shape[0])
@@ -484,6 +486,10 @@ class SpecModel:
                     rounds += 1
                 if bool(state.done):
                     break
+                if stop_token_id is not None:
+                    chunk_out = np.asarray(state.output)[: int(state.out_len)]
+                    if (chunk_out == stop_token_id).any():
+                        break
         else:
             while True:
                 prev = int(state.new_token)
@@ -507,7 +513,10 @@ class SpecModel:
         out = np.asarray(state.output)[:out_len]
         # trim at EOS (the reference stops the loop but keeps the full round's
         # tokens in input_ids; we match by keeping tokens up to and incl. EOS)
-        eos_pos = np.nonzero(out == self.eos_token_id)[0]
+        stops = (out == self.eos_token_id)
+        if stop_token_id is not None:
+            stops |= out == stop_token_id
+        eos_pos = np.nonzero(stops)[0]
         if eos_pos.size:
             out = out[: eos_pos[0] + 1]
         seq = np.concatenate([input_ids, out])
