@@ -67,8 +67,6 @@ def save_draft(params: dict, outdir: str, draft_config: dict) -> str:
 
         save_file(sd, path)
     except ImportError:
-        import pickle
-
         path = os.path.join(outdir, "model.npz")
         np.savez(path, **sd)
     with open(os.path.join(outdir, "config.json"), "w") as f:

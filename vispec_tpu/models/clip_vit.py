@@ -22,8 +22,6 @@ Weight layout (bf16; biases included):
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax import lax

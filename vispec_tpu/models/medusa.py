@@ -9,8 +9,6 @@ hidden state (no sequential drafting, :287-301).
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax import lax

@@ -194,8 +194,6 @@ def forward(params: dict, cfg: QwenVisionConfig, patches: jax.Array,
     for i in cfg.fullatt_block_indexes:
         fullatt = fullatt.at[i].set(True)
 
-    from .clip_vit import quick_gelu  # noqa: F401  (not used; qwen uses silu)
-
     def rotate_half(t):
         half = t.shape[-1] // 2
         return jnp.concatenate([-t[..., half:], t[..., :half]], axis=-1)

@@ -9,8 +9,6 @@ processes the [T, vocab] verify logits in one shot instead of row loops.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -10,7 +10,7 @@ retrieve_indices) collapses into the parent-pointer representation.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np

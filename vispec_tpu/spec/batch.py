@@ -16,7 +16,7 @@ design on chips with spare compute).
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp

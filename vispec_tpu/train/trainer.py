@@ -20,17 +20,14 @@ import json
 import os
 import pickle
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, Iterator, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
-
 from ..configs import DraftConfig
 from ..models import draft as draft_mod
-from .losses import draft_loss
 from .step import TrainBatch, make_optimizer, train_step
 
 
