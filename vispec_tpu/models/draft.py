@@ -365,6 +365,61 @@ def layer_forward_nocache(
     return residual + swiglu_mlp(normed, lp["w_gate"], lp["w_up"], lp["w_down"])
 
 
+def compress_inputs(
+    params: dict,
+    cfg: DraftConfig,
+    target_hidden: jax.Array,  # [pad_len, hidden]
+    embeds: jax.Array,  # [pad_len, hidden] (vision-merged, shifted)
+    plan: PrefillPlan,
+    max_span: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Shared compressed-sequence assembly for prefill and training
+    (cnets_ours.py:896-975): adaptor over image spans, img_fc/fc text fusion,
+    adapted-slot substitution.  Returns (x [pad_len, hidden],
+    last_img_table [max_images+1, hidden])."""
+    pad_len = plan.gather_src.shape[0]
+    max_images = plan.span_start.shape[0]
+    embeds = embeds.astype(target_hidden.dtype)
+
+    span_cols = jnp.arange(max_span, dtype=jnp.int32)
+
+    def run_span(st, ln):
+        idx = jnp.clip(st + span_cols, 0, pad_len - 1)
+        return img_adaptor(
+            params, cfg, jnp.take(embeds, idx, axis=0), span_cols < ln
+        )
+
+    if "adaptor" in params:  # EAGLE-2 drafts have no ImgAdaptor (cnets.py)
+        adapted = jax.vmap(run_span)(plan.span_start, plan.span_len)  # [M, nq, D]
+    else:
+        adapted = jnp.zeros(
+            (max_images, cfg.num_q, cfg.hidden_size), target_hidden.dtype
+        )
+
+    # last-img lookup: slot 0 = zeros, slot s = image s-1's final adapted token
+    last_img_table = jnp.concatenate(
+        [jnp.zeros((1, cfg.hidden_size), target_hidden.dtype), adapted[:, -1, :]],
+        axis=0,
+    )
+
+    txt_hidden = jnp.take(target_hidden, plan.gather_src, axis=0)
+    txt_embeds = jnp.take(embeds, plan.gather_src, axis=0)
+    txt_img = jnp.take(last_img_table, jnp.clip(plan.seg_id, 0, max_images), axis=0)
+    text_out = _fc(params, txt_embeds, _fuse_img_only(params, txt_hidden, txt_img))
+
+    # adapted slots carry each span's first num_q-1 adapted tokens
+    if cfg.num_q > 1:
+        adapted_flat = adapted[:, : cfg.num_q - 1, :].reshape(-1, cfg.hidden_size)
+    else:  # num_q == 1 -> no kept adapted tokens; dummy row keeps shapes static
+        adapted_flat = jnp.zeros((1, cfg.hidden_size), target_hidden.dtype)
+    ad_src = jnp.clip(plan.adapt_src, 0, adapted_flat.shape[0] - 1)
+    x = jnp.where(
+        plan.is_adapted[:, None], jnp.take(adapted_flat, ad_src, axis=0), text_out
+    )
+    return x, last_img_table
+
+
+
 def forward_train(
     params: dict,
     cfg: DraftConfig,
@@ -382,41 +437,7 @@ def forward_train(
     image positions stay zero.  Returns [pad_len, hidden].
     """
     pad_len = plan.gather_src.shape[0]
-    max_images = plan.span_start.shape[0]
-    embeds = embeds.astype(target_hidden.dtype)
-
-    span_cols = jnp.arange(max_span, dtype=jnp.int32)
-
-    def run_span(st, ln):
-        idx = jnp.clip(st + span_cols, 0, pad_len - 1)
-        return img_adaptor(
-            params, cfg, jnp.take(embeds, idx, axis=0), span_cols < ln
-        )
-
-    if "adaptor" in params:
-        adapted = jax.vmap(run_span)(plan.span_start, plan.span_len)
-    else:
-        adapted = jnp.zeros(
-            (max_images, cfg.num_q, cfg.hidden_size), target_hidden.dtype
-        )
-    last_img_table = jnp.concatenate(
-        [jnp.zeros((1, cfg.hidden_size), target_hidden.dtype), adapted[:, -1, :]],
-        axis=0,
-    )
-
-    txt_hidden = jnp.take(target_hidden, plan.gather_src, axis=0)
-    txt_embeds = jnp.take(embeds, plan.gather_src, axis=0)
-    txt_img = jnp.take(last_img_table, jnp.clip(plan.seg_id, 0, max_images), axis=0)
-    text_out = _fc(params, txt_embeds, _fuse_img_only(params, txt_hidden, txt_img))
-
-    if cfg.num_q > 1:
-        adapted_flat = adapted[:, : cfg.num_q - 1, :].reshape(-1, cfg.hidden_size)
-    else:
-        adapted_flat = jnp.zeros((1, cfg.hidden_size), target_hidden.dtype)
-    ad_src = jnp.clip(plan.adapt_src, 0, adapted_flat.shape[0] - 1)
-    x = jnp.where(
-        plan.is_adapted[:, None], jnp.take(adapted_flat, ad_src, axis=0), text_out
-    )
+    x, _ = compress_inputs(params, cfg, target_hidden, embeds, plan, max_span)
 
     rows = jnp.arange(pad_len, dtype=jnp.int32)
     valid = rows < plan.comp_len
@@ -455,47 +476,9 @@ def prefill(
     """
     pad_len = plan.gather_src.shape[0]
     max_images = plan.span_start.shape[0]
-    embeds = embeds.astype(target_hidden.dtype)
-
-    # --- adaptor over each (padded) image span, vmapped over the image bucket.
-    # Zero-length padding spans produce garbage rows that nothing indexes.
-    span_cols = jnp.arange(max_span, dtype=jnp.int32)
-
-    def run_span(st, ln):
-        idx = jnp.clip(st + span_cols, 0, pad_len - 1)
-        span_embeds = jnp.take(embeds, idx, axis=0)
-        span_mask = span_cols < ln
-        return img_adaptor(params, cfg, span_embeds, span_mask)
-
-    if "adaptor" in params:  # EAGLE-2 drafts have no ImgAdaptor (cnets.py)
-        adapted = jax.vmap(run_span)(plan.span_start, plan.span_len)  # [M, num_q, D]
-    else:
-        adapted = jnp.zeros(
-            (max_images, cfg.num_q, cfg.hidden_size), target_hidden.dtype
-        )
-
-    # last-img lookup table: slot 0 = zeros, slot s = image s-1's final adapted tok
-    last_img_table = jnp.concatenate(
-        [jnp.zeros((1, cfg.hidden_size), target_hidden.dtype), adapted[:, -1, :]],
-        axis=0,
-    )  # [M+1, D]
-
-    # --- text slots: gather + img_fc + fc ---
-    txt_hidden = jnp.take(target_hidden, plan.gather_src, axis=0)
-    txt_embeds = jnp.take(embeds, plan.gather_src, axis=0)
-    txt_img = jnp.take(last_img_table, jnp.clip(plan.seg_id, 0, max_images), axis=0)
-    fused = _fuse_img_only(params, txt_hidden, txt_img)
-    text_out = _fc(params, txt_embeds, fused)  # [pad_len, D]
-
-    # --- adapted slots: first num_q-1 adapted tokens of each span ---
-    if cfg.num_q > 1:
-        adapted_flat = adapted[:, : cfg.num_q - 1, :].reshape(-1, cfg.hidden_size)
-    else:  # num_q == 1 -> no kept adapted tokens; dummy row keeps shapes static
-        adapted_flat = jnp.zeros((1, cfg.hidden_size), target_hidden.dtype)
-    ad_src = jnp.clip(plan.adapt_src, 0, adapted_flat.shape[0] - 1)
-    adapted_slots = jnp.take(adapted_flat, ad_src, axis=0)
-
-    x = jnp.where(plan.is_adapted[:, None], adapted_slots, text_out)
+    x, last_img_table = compress_inputs(
+        params, cfg, target_hidden, embeds, plan, max_span
+    )
 
     # --- run the decoder layer over the compressed sequence ---
     rows = jnp.arange(pad_len, dtype=jnp.int32)

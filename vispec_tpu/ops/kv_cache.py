@@ -77,23 +77,6 @@ def reset(cache: KVCache) -> KVCache:
     return cache._replace(length=zero, real_length=zero)
 
 
-def append_layer(
-    cache: KVCache,
-    layer: int,
-    k_new: jax.Array,
-    v_new: jax.Array,
-) -> KVCache:
-    """Write a [num_kv_heads, block, head_dim] block for one layer at ``length``.
-
-    Does NOT advance length — call :func:`advance` once after all layers have
-    appended the same block (lengths are shared across layers).
-    """
-    start = (jnp.asarray(layer, jnp.int32), jnp.zeros((), jnp.int32), cache.length, jnp.zeros((), jnp.int32))
-    k = lax.dynamic_update_slice(cache.k, k_new[None], start)
-    v = lax.dynamic_update_slice(cache.v, v_new[None], start)
-    return cache._replace(k=k, v=v)
-
-
 def advance(cache: KVCache, valid_rows, real_rows=None) -> KVCache:
     """Advance lengths after a block append; only ``valid_rows`` of it count."""
     valid_rows = jnp.asarray(valid_rows, jnp.int32)
@@ -102,42 +85,6 @@ def advance(cache: KVCache, valid_rows, real_rows=None) -> KVCache:
         length=cache.length + valid_rows,
         real_length=cache.real_length + real_rows,
     )
-
-
-def commit_accepted(
-    cache: KVCache,
-    tree_start: jax.Array,
-    node_indices: jax.Array,
-    num_accepted: jax.Array,
-) -> KVCache:
-    """Compact accepted tree rows to the contiguous frontier.
-
-    After a verify pass, rows ``[tree_start, tree_start + tree_size)`` hold the
-    tree tokens' K/V.  ``node_indices`` [max_path] are accepted node offsets
-    within the tree (root-first chain, padded arbitrarily past ``num_accepted``),
-    so absolute rows are ``tree_start + node_indices``.  We gather those rows and
-    write them at ``tree_start``; ``length`` becomes ``tree_start + num_accepted``.
-
-    Equivalent to the reference's update_inference_inputs KV move
-    (vispec/model/utils.py:517-541).  Padded gather rows are written but sit
-    beyond the new length, so they are never attended and get overwritten by the
-    next tree append.
-    """
-    rows = tree_start + node_indices  # [max_path] absolute row ids
-    # Gather along the max_len axis for every layer/head at once.  The barrier
-    # materializes the (tiny) gathered rows before the overlapping in-place
-    # write — without it XLA resolves the read-write hazard by copying the
-    # whole multi-hundred-MB cache (profiled ~0.8 ms per array per round).
-    k_sel = jnp.take(cache.k, rows, axis=2)  # [L, H, max_path, D]
-    v_sel = jnp.take(cache.v, rows, axis=2)
-    k_sel, v_sel = lax.optimization_barrier((k_sel, v_sel))
-    zero = jnp.zeros((), jnp.int32)
-    start = (zero, zero, tree_start, zero)
-    k = lax.dynamic_update_slice(cache.k, k_sel, start)
-    v = lax.dynamic_update_slice(cache.v, v_sel, start)
-    new_len = tree_start + jnp.asarray(num_accepted, jnp.int32)
-    delta = new_len - cache.length  # may be negative (rollback)
-    return KVCache(k=k, v=v, length=new_len, real_length=cache.real_length + delta)
 
 
 def commit_from_blocks(
@@ -162,9 +109,3 @@ def commit_from_blocks(
     new_len = tree_start + jnp.asarray(num_accepted, jnp.int32)
     delta = new_len - cache.length
     return KVCache(k=k, v=v, length=new_len, real_length=cache.real_length + delta)
-
-
-def valid_mask(cache: KVCache, extra: jax.Array | int = 0) -> jax.Array:
-    """[max_len] bool — True for committed rows plus ``extra`` in-flight rows."""
-    upto = cache.length + jnp.asarray(extra, jnp.int32)
-    return jnp.arange(cache.max_len, dtype=jnp.int32) < upto

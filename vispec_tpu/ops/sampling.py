@@ -36,18 +36,20 @@ def process_logits(
 
 
 def _top_p_warp(logits: jax.Array, top_p: float) -> jax.Array:
-    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+    # position-based nucleus mask (matches HF TopPLogitsWarper on tied logits:
+    # only in-nucleus sorted positions survive, not every value-tied token)
+    order = jnp.argsort(logits, axis=-1)[..., ::-1]
+    sorted_logits = jnp.take_along_axis(logits, order, axis=-1)
     probs = jax.nn.softmax(sorted_logits, axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
-    # HF TopPLogitsWarper keeps the first token whose cumulative prob crosses p
-    keep_sorted = cum - probs < top_p
-    threshold = jnp.min(
-        jnp.where(keep_sorted, sorted_logits, jnp.inf), axis=-1, keepdims=True
-    )
-    return jnp.where(logits >= threshold, logits, NEG_INF)
+    keep_sorted = cum - probs < top_p  # keep first token crossing the mass
+    warped_sorted = jnp.where(keep_sorted, sorted_logits, NEG_INF)
+    inv = jnp.argsort(order, axis=-1)
+    return jnp.take_along_axis(warped_sorted, inv, axis=-1)
 
 
 def _top_k_warp(logits: jax.Array, top_k: int) -> jax.Array:
+    top_k = min(top_k, logits.shape[-1])  # HF clamps (TopKLogitsWarper)
     kth = jnp.sort(logits, axis=-1)[..., -top_k][..., None]
     return jnp.where(logits >= kth, logits, NEG_INF)
 

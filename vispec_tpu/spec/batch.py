@@ -66,10 +66,17 @@ def batched_prefill(
     seed: int = 0,
 ) -> spec_loop.SpecState:
     """Prefill each prompt (shared compiled graph per pad bucket) and stack."""
+    slack = spec.depth * spec.top_k + spec.depth + 2
+    slack = max(spec.total_tokens, slack) + 10
     states: List[spec_loop.SpecState] = []
     for i, prompt in enumerate(prompts):
         l = len(prompt)
         pad = max(128, ((l + 127) // 128) * 128)
+        if pad > max_len or l + slack > max_len:
+            raise ValueError(
+                f"prompt {i} length {l} (bucketed {pad}) too long for "
+                f"max_len={max_len} (needs {slack} rows of tree headroom)"
+            )
         embeds = llama.embed(tparams, jnp.asarray(prompt, jnp.int32))
         embeds = jnp.pad(embeds, ((0, pad - l), (0, 0)))
         plan, ms = draft_mod.make_prefill_plan(None, l, dcfg.num_q, pad)
@@ -101,10 +108,17 @@ def generate_batch(
         tparams, dparams, tcfg, dcfg, spec, sampling, prompts,
         max_len, max_out, dtype, seed,
     )
-    budget = max_new_tokens  # rounds upper bound
+    # cap generation so no request can overflow its cache (same slack math as
+    # SpecModel.specgenerate — the batched path previously had no guard)
+    slack = max(spec.total_tokens, spec.depth * spec.top_k + spec.depth + 2) + 10
+    longest = max(len(p) for p in prompts)
+    budget = min(max_new_tokens, max_len - longest - slack)
+    if budget <= 0:
+        raise ValueError(f"no generation headroom: max_len={max_len}, longest "
+                         f"prompt {longest}, slack {slack}")
     eos = np.int32(eos_id)
-    cap = np.int32(max_new_tokens)
-    for _ in range(budget):
+    cap = np.int32(budget)
+    for _ in range(budget):  # rounds upper bound
         states = batched_decode_round(
             tparams, dparams, tcfg, dcfg, spec, sampling, states, eos, cap
         )

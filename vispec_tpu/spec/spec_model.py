@@ -71,6 +71,11 @@ class SpecModel:
         self.qwen_cfg = qwen_cfg
         self.vision_start_token_id = vision_start_token_id
         self.video_token_index = video_token_index
+        if max_len % 128 != 0:
+            raise ValueError(
+                f"max_len must be a multiple of 128 (prompt buckets and the "
+                f"Pallas KV blocks assume it); got {max_len}"
+            )
         self.max_len = max_len
         self.dtype = dtype
         self.eos_token_id = eos_token_id
@@ -235,6 +240,14 @@ class SpecModel:
             video_token_index=hf_cfg.get("video_token_id", 151656),
             vision_start_token_id=hf_cfg.get("vision_start_token_id", 151652),
         )
+
+    # ------------------------------------------------------------------
+    def _cache_slack(self) -> int:
+        """Rows of headroom the caches need beyond prompt+generated tokens:
+        the verify tree block (target cache) and the draft's beam scratch
+        (depth*top_k) plus the padded accepted-append block (depth+2)."""
+        draft_scratch = self.spec.depth * self.spec.top_k + self.spec.depth + 2
+        return max(self.spec.total_tokens, draft_scratch) + 10
 
     # ------------------------------------------------------------------
     def autotune_total_token(self, cans=(40, 48, 50, 56, 60),
@@ -411,12 +424,13 @@ class SpecModel:
         l = int(input_ids.shape[0])
         if l == 0:
             raise ValueError("input_ids must be non-empty")
-        if l + self.spec.total_tokens + 10 > self.max_len:
-            raise ValueError(
-                f"prompt length {l} too long for max_len={self.max_len} "
-                f"(need room for the {self.spec.total_tokens}-token verify tree)"
-            )
         pad_len = _bucket(l)
+        if pad_len > self.max_len or l + self._cache_slack() > self.max_len:
+            raise ValueError(
+                f"prompt length {l} (bucketed {pad_len}) too long for "
+                f"max_len={self.max_len} (need {self._cache_slack()} rows of "
+                f"tree/scratch headroom)"
+            )
         sampling = spec_loop.SamplingParams(temperature, top_p, int(top_k))
 
         embeds, image_mask, position_ids, rope_delta = self._prompt_embeds(
@@ -460,10 +474,7 @@ class SpecModel:
                 rope_delta=jnp.asarray(rope_delta, jnp.int32),
             )
         # cap rounds so the cache cannot overflow
-        budget = min(
-            max_new_tokens,
-            self.max_len - l - self.spec.total_tokens - 10,
-        )
+        budget = min(max_new_tokens, self.max_len - l - self._cache_slack())
         t0 = time.perf_counter()
         accept_lengths: List[int] = []
         rounds = 0
@@ -507,6 +518,10 @@ class SpecModel:
                 accept_lengths.append(int(state.new_token) - prev - 1)
                 if bool(state.done) or rounds >= budget:
                     break
+                if stop_token_id is not None:
+                    out_now = np.asarray(state.output)[: int(state.out_len)]
+                    if (out_now == stop_token_id).any():
+                        break
         decode_time = time.perf_counter() - t0
 
         out_len = int(state.out_len)
@@ -550,9 +565,12 @@ class SpecModel:
         l = int(input_ids.shape[0])
         if l == 0:
             raise ValueError("input_ids must be non-empty")
-        if l + 2 > self.max_len:
-            raise ValueError(f"prompt length {l} too long for max_len={self.max_len}")
         pad_len = _bucket(l)
+        if pad_len > self.max_len or l + 2 > self.max_len:
+            raise ValueError(
+                f"prompt length {l} (bucketed {pad_len}) too long for "
+                f"max_len={self.max_len}"
+            )
         sampling = spec_loop.SamplingParams(temperature, top_p, int(top_k))
         embeds, _, position_ids, rope_delta = self._prompt_embeds(
             input_ids, pixel_values, image_size, pixel_values_videos,
