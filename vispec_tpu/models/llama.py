@@ -126,9 +126,10 @@ def forward_hidden(
     # multi-hundred-MB cache updates in place.  (Emitting per-layer blocks as
     # scan outputs and writing them after the loop was measured to materialize
     # two full-cache copies per forward — ~1.6 ms/round at 7B.)
-    from ..ops.attention import use_pallas
+    from ..ops.attention import kernel_eligible, use_pallas
 
-    kernel_path = region is not None and use_pallas()
+    kernel_path = (region is not None and use_pallas()
+                   and kernel_eligible(cfg.head_dim, cache.max_len))
 
     def layer_step(carry, xs):
         hidden, k_cache, v_cache, layer_idx = carry

@@ -39,6 +39,12 @@ def use_pallas() -> bool:
     return _PALLAS_OK
 
 
+def kernel_eligible(head_dim: int, kv_len: int) -> bool:
+    """Mosaic tiling constraints: head_dim must fill the 128-lane tile and the
+    cache must be at least one KV block — tiny test models fall back to XLA."""
+    return head_dim % 128 == 0 and kv_len >= 128
+
+
 def pick_block(max_len: int) -> int:
     """Largest power-of-two KV block <= 512 dividing max_len (kernel constraint)."""
     for b in (512, 256, 128, 64, 32, 16, 8):
@@ -56,8 +62,13 @@ def attend_region(
 ) -> jax.Array:
     """Decode/verify attention: Pallas length-aware kernel on TPU, masked XLA
     everywhere else.  ``region`` describes visibility as committed-prefix +
-    masked appended region; None forces the XLA path (e.g. prefill)."""
-    if region is not None and use_pallas():
+    masked appended region; None forces the XLA path (e.g. prefill).
+
+    Kernel eligibility: head_dim must fill the 128-lane tile and the cache must
+    be at least one KV block long (Mosaic tiling constraints) — tiny test
+    models fall back to XLA."""
+    if region is not None and kernel_eligible(q.shape[-1], k_full.shape[-2]) \
+            and use_pallas():
         from .pallas_attention import verify_attention
 
         start, small_mask = region
