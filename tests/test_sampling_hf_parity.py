@@ -1,0 +1,57 @@
+"""Logits-warper parity against the HF processors the reference uses
+(utils.py:39-55): temperature, top-p (incl. tie handling), top-k."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+hf = pytest.importorskip("transformers.generation.logits_process")
+
+import jax.numpy as jnp
+
+from vispec_tpu.ops.sampling import process_logits
+
+
+def _ref(logits_np, temperature, top_p, top_k):
+    procs = []
+    if temperature >= 1e-5 and temperature != 1.0:
+        procs.append(hf.TemperatureLogitsWarper(temperature))
+    if 1e-8 <= top_p < 1.0:
+        procs.append(hf.TopPLogitsWarper(top_p))
+    if top_k > 0:
+        procs.append(hf.TopKLogitsWarper(top_k))
+    t = torch.tensor(logits_np)
+    for p in procs:
+        t = p(None, t)
+    return t.numpy()
+
+
+@pytest.mark.parametrize("temperature,top_p,top_k", [
+    (0.8, 0.0, 0), (1.0, 0.9, 0), (0.7, 0.95, 40), (1.0, 0.0, 5),
+])
+def test_warper_parity(temperature, top_p, top_k):
+    rng = np.random.default_rng(0)
+    logits = rng.normal(0, 3, (4, 200)).astype(np.float32)
+    ours = np.asarray(process_logits(jnp.asarray(logits), temperature, top_p, top_k))
+    ref = _ref(logits, temperature, top_p, top_k)
+    finite = np.isfinite(ref) & (ref > -1e8)
+    ours_finite = ours > -1e8
+    np.testing.assert_array_equal(ours_finite, finite)
+    np.testing.assert_allclose(ours[finite], ref[finite], rtol=1e-5)
+
+
+def test_top_p_tie_handling():
+    """Tied logits at the nucleus boundary: only the in-nucleus sorted position
+    survives (HF semantics — the review found a value-threshold version kept
+    both copies)."""
+    logits = np.log(np.asarray([[0.5, 0.25, 0.25, 1e-9]], np.float32))
+    ours = np.asarray(process_logits(jnp.asarray(logits), 1.0, 0.7, 0))
+    ref = _ref(logits, 1.0, 0.7, 0)
+    np.testing.assert_array_equal(ours > -1e8, ref > -1e8)
+    assert (ours[0] > -1e8).sum() == 2  # 0.5 + first 0.25 crosses 0.7
+
+
+def test_top_k_clamps_to_vocab():
+    logits = np.random.default_rng(1).normal(size=(2, 50)).astype(np.float32)
+    out = np.asarray(process_logits(jnp.asarray(logits), 1.0, 0.0, 500))
+    np.testing.assert_allclose(out, logits, rtol=1e-6)  # keeps everything

@@ -19,6 +19,22 @@ import json
 import os
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache for TPU runs (1-CPU host: 7B compiles take
+    minutes; see CLAUDE.md).  CPU AOT results are machine-specific -> skipped."""
+    import os
+
+    if os.environ.get("JAX_PLATFORMS", "") in ("cpu",):
+        return
+    import jax
+
+    cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--bench", required=True)
@@ -41,6 +57,7 @@ def main():
     p.add_argument("--max-len", type=int, default=2048)
     p.add_argument("--seed", type=int, default=42)
     args = p.parse_args()
+    _enable_compile_cache()
 
     from transformers import AutoProcessor, AutoTokenizer
 

@@ -32,6 +32,22 @@ VICUNA_SYSTEM = (
 LONG_ANSWER_SUFFIX = "Please answer with at least 1000 words."
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache for TPU runs (1-CPU host: 7B compiles take
+    minutes; see CLAUDE.md).  CPU AOT results are machine-specific -> skipped."""
+    import os
+
+    if os.environ.get("JAX_PLATFORMS", "") in ("cpu",):
+        return
+    import jax
+
+    cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def build_sharegpt_sample(tokenizer, conv: dict, max_len: int):
     """Vicuna-template render + assistant-turn loss mask
     (ge_data_all_llava_shargpt.py:44-116 semantics)."""
@@ -73,6 +89,7 @@ def main():
     p.add_argument("--max-len", type=int, default=2048)
     p.add_argument("--max-new-tokens", type=int, default=1024)
     args = p.parse_args()
+    _enable_compile_cache()
 
     import jax.numpy as jnp
     import numpy as np

@@ -17,6 +17,22 @@ import json
 import os
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache for TPU runs (1-CPU host: 7B compiles take
+    minutes; see CLAUDE.md).  CPU AOT results are machine-specific -> skipped."""
+    import os
+
+    if os.environ.get("JAX_PLATFORMS", "") in ("cpu",):
+        return
+    import jax
+
+    cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def load_head_only(basepath: str, dtype):
     """Load only lm_head (or embed if tied) from the target checkpoint."""
     import jax.numpy as jnp
@@ -50,6 +66,7 @@ def main():
     p.add_argument("--num-epochs", type=int, default=20)
     p.add_argument("--begin-epoch", type=int, default=0)
     args = p.parse_args()
+    _enable_compile_cache()
 
     import jax
     import jax.numpy as jnp
