@@ -98,23 +98,15 @@ def build_tree(
 def path_to_root(tree: Tree, node: jax.Array, max_path: int) -> jax.Array:
     """[max_path] int32 — node indices root..node ordered by depth; slots past
     depth(node) padded with the node itself (harmless for KV commit, masked
-    elsewhere).  Replaces retrieve_indices[best, :acc+1] (utils.py:516-517)."""
+    elsewhere).  Replaces retrieve_indices[best, :acc+1] (utils.py:516-517).
 
-    def step(_, carry):
-        path, cursor = carry
-        # place cursor at column depth(cursor)
-        path = path.at[tree.depth[cursor]].set(cursor)
-        cursor = tree.parent[cursor]
-        return path, cursor
-
-    init = jnp.full((max_path,), node, dtype=jnp.int32)
-    path = init.at[tree.depth[node]].set(node)
-    carry = (path, node)
-    for _ in range(max_path):
-        carry = step(0, carry)
-    path, _ = carry
-    # pad columns beyond depth(node) with `node` (they'd otherwise hold root)
+    Closed form: the node's ancestor-closure row selects the chain; each
+    ancestor lands in the column of its depth (one masked matvec, no walk)."""
+    anc = tree.mask[node]  # [T] — the chain root..node
+    idx = jnp.arange(tree.size, dtype=jnp.int32)
     cols = jnp.arange(max_path, dtype=jnp.int32)
+    onehot = anc[None, :] & (tree.depth[None, :] == cols[:, None])  # [P, T]
+    path = jnp.sum(jnp.where(onehot, idx[None, :], 0), axis=1).astype(jnp.int32)
     return jnp.where(cols <= tree.depth[node], path, node).astype(jnp.int32)
 
 
@@ -133,32 +125,17 @@ def greedy_accept(
     ``max_depth`` bounds the propagate iterations (deepest possible node depth,
     e.g. SpecConfig.depth + 1); None falls back to the safe T-iteration bound.
     """
+    del max_depth  # closed form below needs no iteration
     idx = jnp.arange(tree.size, dtype=jnp.int32)
-    match = (tree.tokens == argmax_tokens[tree.parent]) & (idx != 0)
-    accepted = _propagate(tree, match, max_depth)
+    match = (tree.tokens == argmax_tokens[tree.parent]) | (idx == 0)
+    # node i is accepted iff every node on its root path matched — one [T, T]
+    # reduction over the ancestor-closure mask instead of a sequential
+    # parent-gather walk (each tiny on-device step cost ~50us)
+    accepted = ~jnp.any(tree.mask & ~match[None, :], axis=1)
     depth_if = jnp.where(accepted, tree.depth, -1)
     best = jnp.argmax(depth_if).astype(jnp.int32)
     accept_length = depth_if[best]
     return best, accept_length
-
-
-def _propagate(tree: Tree, match: jax.Array, max_depth: Optional[int] = None) -> jax.Array:
-    """accepted flags via iterated parent-gathers.
-
-    Acceptance only needs `max_depth` iterations to converge (information flows
-    one tree level per iteration); a sequential on-device loop iteration costs
-    ~50us on TPU, so bounding this matters for the per-round latency."""
-    accepted0 = jnp.arange(tree.size, dtype=jnp.int32) == 0
-    iters = tree.size if max_depth is None else min(max_depth, tree.size)
-
-    def step(_, acc):
-        new_tail = acc[tree.parent[1:]] & match[1:]
-        return acc.at[1:].set(new_tail)
-
-    acc = accepted0
-    for _ in range(iters):
-        acc = step(0, acc)
-    return acc
 
 
 def sampling_accept(
