@@ -117,3 +117,10 @@ def test_harness_and_speed_aggregation(tmp_path):
     # dedup: re-running appends then reorg keeps one record per question
     run_eval(model, qs, spec_file, max_new_tokens=15, num_warmup=0)
     assert len(speed.load_records(spec_file)) == 3
+
+
+def test_autotune_total_token():
+    model = make_model()
+    best = model.autotune_total_token(cans=(8, 12), weights=(1.0, 1.05), iters=2)
+    assert best in (8, 12)
+    assert model.spec.total_tokens == best

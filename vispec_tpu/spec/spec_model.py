@@ -266,7 +266,7 @@ class SpecModel:
         for length in cans:
             ids = jnp.asarray(
                 np.random.default_rng(0).integers(
-                    0, self.tcfg.vocab_size - 200, length
+                    0, max(2, self.tcfg.vocab_size - 200), length
                 ),
                 jnp.int32,
             )
