@@ -1,0 +1,238 @@
+"""Fixture smoke tests: every local-layout dataset loader runs against a
+fabricated directory tree, and the multi-turn MT-bench harness carries the
+conversation across turns (reference gen_spec_answer_vicuna.py:160-275)."""
+
+import base64
+import json
+import os
+
+import numpy as np
+import pytest
+
+from vispec_tpu.evaluation import benchmarks as B
+
+
+def _png(path, size=(32, 24)):
+    from PIL import Image
+
+    Image.new("RGB", size, (120, 30, 200)).save(path)
+
+
+def _jpg(path, size=(32, 24)):
+    from PIL import Image
+
+    Image.new("RGB", size, (10, 130, 80)).save(path, "JPEG")
+
+
+def _check(samples, n, needs_image=True):
+    samples = list(samples)
+    assert len(samples) == n
+    for s in samples:
+        assert "qid" in s
+        if needs_image:
+            assert s.get("image") is not None or s.get("frames")
+    return samples
+
+
+def test_load_mme(tmp_path):
+    cat = tmp_path / "MME" / "color"
+    (cat / "questions_answers_YN").mkdir(parents=True)
+    (cat / "images").mkdir(parents=True)
+    with open(cat / "questions_answers_YN" / "0001.txt", "w") as f:
+        f.write("Is the sky blue?\tYes\nIs the sky green?\tNo\n")
+    _jpg(cat / "images" / "0001.jpg")
+    s = _check(B.load_mme(str(tmp_path), 0, 10), 2)
+    assert s[0]["text"] == "Is the sky blue?"
+    assert s[0]["category"] == "color"
+
+
+def test_load_coco_caption(tmp_path):
+    ann_dir = tmp_path / "coco" / "annotations"
+    ann_dir.mkdir(parents=True)
+    (tmp_path / "coco" / "val2017").mkdir()
+    ann = {"images": [{"id": 7, "file_name": "7.jpg"}],
+           "annotations": []}
+    json.dump(ann, open(ann_dir / "captions_val2017.json", "w"))
+    _jpg(tmp_path / "coco" / "val2017" / "7.jpg")
+    s = _check(B.load_coco_caption(str(tmp_path), 0, 10), 1)
+    assert s[0]["text"] is None  # caption prompt substituted downstream
+
+
+def test_load_textvqa(tmp_path):
+    d = tmp_path / "textvqa"
+    (d / "train_images").mkdir(parents=True)
+    data = {"data": [{"question_id": 3, "question": "What does the sign say?",
+                      "image_id": "img0"}]}
+    json.dump(data, open(d / "TextVQA_0.5.1_val.json", "w"))
+    _jpg(d / "train_images" / "img0.jpg")
+    _check(B.load_textvqa(str(tmp_path), 0, 10), 1)
+
+
+def test_load_vizwiz(tmp_path):
+    d = tmp_path / "vizwiz"
+    (d / "val").mkdir(parents=True)
+    json.dump([{"image": "v.jpg", "question": "What is this?"}],
+              open(d / "val.json", "w"))
+    _jpg(d / "val" / "v.jpg")
+    _check(B.load_vizwiz(str(tmp_path), 0, 10), 1)
+
+
+def test_load_gqa(tmp_path):
+    d = tmp_path / "gqa"
+    (d / "images").mkdir(parents=True)
+    json.dump({"q1": {"question": "Is there a cat?", "imageId": "i1"}},
+              open(d / "testdev_balanced_questions.json", "w"))
+    _jpg(d / "images" / "i1.jpg")
+    _check(B.load_gqa(str(tmp_path), 0, 10), 1)
+
+
+def test_load_vqav2(tmp_path):
+    d = tmp_path / "vqav2"
+    (d / "val2014").mkdir(parents=True)
+    data = {"questions": [{"question_id": 11, "question": "How many?",
+                           "image_id": 42}]}
+    json.dump(data, open(d / "v2_OpenEnded_mscoco_val2014_questions.json", "w"))
+    _jpg(d / "val2014" / "COCO_val2014_000000000042.jpg")
+    _check(B.load_vqav2(str(tmp_path), 0, 10), 1)
+
+
+def test_load_mmvet(tmp_path):
+    d = tmp_path / "mm-vet"
+    (d / "images").mkdir(parents=True)
+    json.dump({"v1_0": {"question": "What?", "imagename": "a.png"}},
+              open(d / "mm-vet.json", "w"))
+    _png(d / "images" / "a.png")
+    _check(B.load_mmvet(str(tmp_path), 0, 10), 1)
+
+
+def test_load_seed_bench(tmp_path):
+    d = tmp_path / "seed_bench"
+    (d / "SEED-Bench-image").mkdir(parents=True)
+    data = {"questions": [{
+        "question_id": "s1", "data_type": "image", "data_id": "x.jpg",
+        "question": "Pick one", "choice_a": "A1", "choice_b": "B1",
+        "choice_c": "C1", "choice_d": "D1",
+    }]}
+    json.dump(data, open(d / "SEED-Bench.json", "w"))
+    _jpg(d / "SEED-Bench-image" / "x.jpg")
+    s = _check(B.load_seed_bench(str(tmp_path), 0, 10), 1)
+    assert "A. A1" in s[0]["text"]
+
+
+def test_load_mmbench(tmp_path):
+    d = tmp_path / "mmbench"
+    d.mkdir()
+    img_path = tmp_path / "tmp.jpg"
+    _jpg(img_path)
+    b64 = base64.b64encode(open(img_path, "rb").read()).decode()
+    with open(d / "mmbench_dev_20230712.tsv", "w") as f:
+        f.write("index\tquestion\thint\tA\tB\tC\tD\timage\tcategory\n")
+        f.write(f"0\tWhich?\tA hint\topt a\topt b\t\t\t{b64}\tlogic\n")
+    s = _check(B.load_mmbench(str(tmp_path), 0, 10), 1)
+    assert "A. opt a" in s[0]["text"] and "C." not in s[0]["text"]
+
+
+def test_load_vicuna_multiturn(tmp_path):
+    d = tmp_path / "mt_bench"
+    d.mkdir()
+    with open(d / "question.jsonl", "w") as f:
+        f.write(json.dumps({"question_id": 81, "category": "writing",
+                            "turns": ["Write a story.", "Make it shorter."]}) + "\n")
+    s = _check(B.load_vicuna(str(tmp_path), 0, 10), 1, needs_image=False)
+    assert s[0]["turns"] == ["Write a story.", "Make it shorter."]
+    qs = list(B.iter_questions("vicuna", None, str(tmp_path)))
+    assert qs[0].turns == ["Write a story.", "Make it shorter."]
+    assert qs[0].prompt_inputs == {}
+
+
+def test_load_msvd_qa(tmp_path):
+    d = tmp_path / "msvd"
+    (d / "frames" / "vid1").mkdir(parents=True)
+    for i in range(3):
+        _jpg(d / "frames" / "vid1" / f"f{i}.jpg")
+    json.dump([{"id": 1, "video_id": "vid1", "question": "What happens?"}],
+              open(d / "qa_test.json", "w"))
+    s = _check(B.load_msvd_qa(str(tmp_path), 0, 10), 1)
+    assert len(s[0]["frames"]) == 3
+
+
+def test_load_mvbench(tmp_path):
+    d = tmp_path / "mvbench"
+    (d / "json").mkdir(parents=True)
+    (d / "frames" / "clip1").mkdir(parents=True)
+    for i in range(2):
+        _jpg(d / "frames" / "clip1" / f"f{i}.jpg")
+    json.dump([{"video": "clip1.mp4", "question": "What moved?",
+                "candidates": ["a ball", "a car"]}],
+              open(d / "json" / "action.json", "w"))
+    s = _check(B.load_mvbench(str(tmp_path), 0, 10), 1)
+    assert "(A) a ball" in s[0]["text"]
+    assert s[0]["category"] == "action"
+
+
+# ---------------------------------------------------------------------------
+# Multi-turn harness
+# ---------------------------------------------------------------------------
+
+
+class _FakeResult:
+    def __init__(self, sequences, n):
+        self.sequences = np.asarray(sequences)
+        self.new_tokens = n
+        self.rounds = 2
+        self.acceptance_lengths = [1, 2]
+        self.decode_time = 0.01
+
+
+class _FakeTok:
+    """Maps words to ids; decode returns 'ans<N>' per call."""
+
+    special_tokens_map = {"eos_token": "</s>"}
+
+    def __init__(self):
+        self.prompts = []
+
+    def __call__(self, prompt):
+        self.prompts.append(prompt)
+
+        class Enc:
+            input_ids = list(range(len(prompt.split())))
+
+        return Enc()
+
+    def decode(self, ids, **kw):
+        return f"answer{len(self.prompts)} </s>extra"
+
+
+class _FakeModel:
+    def __init__(self):
+        self.calls = []
+
+    def specgenerate(self, input_ids, **kw):
+        self.calls.append(list(input_ids))
+        return _FakeResult(list(input_ids) + [1, 2, 3], 3)
+
+    ar_generate = specgenerate
+
+
+def test_multiturn_harness_carries_conversation(tmp_path):
+    from vispec_tpu.evaluation.harness import Question, run_eval, vicuna_prompt
+
+    model = _FakeModel()
+    tok = _FakeTok()
+    q = Question(question_id=81, prompt_inputs={},
+                 turns=["Write a story.", "Make it shorter."])
+    records = run_eval(
+        model, [q], str(tmp_path / "ans.jsonl"), tokenizer=tok, num_warmup=0,
+    )
+    assert len(records) == 1
+    rec = records[0]
+    assert len(rec["turns"]) == 2
+    assert rec["turns"][0] == "answer1"  # stop-str trimmed, specials stripped
+    assert len(rec["new_tokens"]) == 2 and len(rec["wall_time"]) == 2
+    # the second prompt must contain the first answer and both user turns
+    second = tok.prompts[1]
+    assert "USER: Write a story. ASSISTANT: answer1</s>" in second
+    assert second.endswith("USER: Make it shorter. ASSISTANT:")
+    # template oracle
+    assert vicuna_prompt(["q1"], []).endswith("USER: q1 ASSISTANT:")

@@ -119,3 +119,46 @@ def test_from_pretrained_roundtrip(tmp_path):
     )
     res_e = eagle.specgenerate(prompt, max_new_tokens=10)
     assert res_e.new_tokens >= 5
+
+
+def test_draft_without_embed_falls_back_to_target(tmp_path):
+    """Reference-format draft checkpoints may omit the frozen embedding — the
+    reference copies it from the base model (spec_model_ours.py:60-63)."""
+    from safetensors.numpy import load_file, save_file
+
+    from vispec_tpu.spec.spec_model import SpecModel
+
+    tdir, ddir = str(tmp_path / "target"), str(tmp_path / "draft")
+    write_llama_ckpt(tdir)
+    write_draft_ckpt(ddir)
+    path = os.path.join(ddir, "model.safetensors")
+    sd = load_file(path)
+    del sd["embed_tokens.weight"]
+    save_file(sd, path)
+
+    model = SpecModel.from_pretrained(
+        base_model_path=tdir, spec_model_path=ddir,
+        total_token=12, depth=3, top_k=4, max_len=512, dtype=jnp.float32,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(model.dparams["embed"]), np.asarray(model.tparams["embed"])
+    )
+    res = model.specgenerate(list(range(10, 40)), max_new_tokens=8)
+    assert res.new_tokens >= 4
+
+
+def test_total_token_autotune(tmp_path):
+    """total_token == -1 must wire through to autotune_total_token
+    (reference spec_model_ours.py:179-202)."""
+    from vispec_tpu.spec.spec_model import SpecModel
+
+    tdir, ddir = str(tmp_path / "target"), str(tmp_path / "draft")
+    write_llama_ckpt(tdir)
+    write_draft_ckpt(ddir)
+    model = SpecModel.from_pretrained(
+        base_model_path=tdir, spec_model_path=ddir,
+        total_token=-1, depth=3, top_k=8, max_len=512, dtype=jnp.float32,
+    )
+    assert model.spec.total_tokens in (40, 48, 50, 56, 60)
+    res = model.specgenerate(list(range(10, 40)), max_new_tokens=8)
+    assert res.new_tokens >= 4

@@ -113,7 +113,10 @@ class SpecConfig:
     total_tokens: int = 30  # tree nodes incl. root => 29 drafted + 1 sampled
     depth: int = 3  # expansion steps after the root top-k
     top_k: int = 8  # beam width per expansion step
-    threshold: float = 1.0
+    # NOTE: the reference's `threshold` knob is intentionally absent: it is
+    # dead code there (stored as log(threshold) at cnets_ours.py:735; its only
+    # consumer is commented out at :990).  SpecModel.from_pretrained still
+    # accepts the kwarg for call-site parity.
 
     @property
     def num_draft(self) -> int:

@@ -84,11 +84,21 @@ def _t(sd: Dict[str, np.ndarray], key: str) -> np.ndarray:
     return np.ascontiguousarray(sd[key].T)
 
 
-def convert_draft(sd: Dict[str, np.ndarray], cfg: DraftConfig, dtype=jnp.bfloat16) -> dict:
+def convert_draft(
+    sd: Dict[str, np.ndarray],
+    cfg: DraftConfig,
+    dtype=jnp.bfloat16,
+    embed_fallback=None,
+) -> dict:
     """ViSpec draft state dict -> models/draft.py pytree.
 
     Weight names follow cnets_ours.Model's module tree: embed_tokens, layers.0.*,
-    fc, img_fc, imadpt.{q,k_proj,v_proj,o_proj}."""
+    fc, img_fc, imadpt.{q,k_proj,v_proj,o_proj}.
+
+    ``embed_fallback``: the target model's embedding matrix, used when the
+    draft checkpoint omits the frozen ``embed_tokens.weight`` — the reference
+    loads draft state dicts with strict=False and copies embed_tokens from the
+    base model (cnets_ours.py:683-730, spec_model_ours.py:60-63)."""
     p = "layers.0."
     layer = {
         "post_norm": jnp.asarray(sd[p + "post_attention_layernorm.weight"], jnp.float32),
@@ -105,8 +115,18 @@ def convert_draft(sd: Dict[str, np.ndarray], cfg: DraftConfig, dtype=jnp.bfloat1
         layer["bk"] = jnp.asarray(sd[p + "self_attn.k_proj.bias"], dtype)
         layer["bv"] = jnp.asarray(sd[p + "self_attn.v_proj.bias"], dtype)
 
+    if "embed_tokens.weight" in sd:
+        embed = jnp.asarray(sd["embed_tokens.weight"], dtype)
+    elif embed_fallback is not None:
+        embed = jnp.asarray(embed_fallback, dtype)
+    else:
+        raise KeyError(
+            "draft checkpoint has no embed_tokens.weight and no embed_fallback "
+            "was provided (the reference copies the frozen embedding from the "
+            "base model, spec_model_ours.py:60-63)"
+        )
     params = {
-        "embed": jnp.asarray(sd["embed_tokens.weight"], dtype),
+        "embed": embed,
         "layer": layer,
         "fc_w": jnp.asarray(_t(sd, "fc.weight"), dtype),
     }
@@ -290,6 +310,21 @@ def convert_qwen_vision(sd: Dict[str, np.ndarray], vcfg, dtype=jnp.bfloat16) -> 
             "b2": jnp.asarray(sd[v + "merger.mlp.2.bias"], dtype),
         },
     }
+
+
+def mixtral_config_from_hf(hf_cfg: dict):
+    """Map an HF MixtralConfig dict to models/mixtral.MixtralConfig
+    (reference target: modeling_mixtral_kv.py:1021)."""
+    import dataclasses
+
+    from ..models.mixtral import MixtralConfig
+
+    base = llama_config_from_hf(hf_cfg)
+    return MixtralConfig(
+        **dataclasses.asdict(base),
+        num_local_experts=hf_cfg.get("num_local_experts", 8),
+        num_experts_per_tok=hf_cfg.get("num_experts_per_tok", 2),
+    )
 
 
 def llama_config_from_hf(hf_cfg: dict) -> LlamaConfig:

@@ -236,11 +236,12 @@ def load_mmbench(root, begin, end):
 
 
 def load_vicuna(root, begin, end):
-    """MT-bench text-only questions (gen_spec_answer_vicuna.py; first turn)."""
+    """MT-bench text-only questions, all turns — the harness decodes every
+    turn carrying the conversation (gen_spec_answer_vicuna.py:160-275)."""
     path = os.path.join(root, "mt_bench", "question.jsonl")
     for d in _load_jsonl(path)[begin:end]:
-        yield dict(qid=d["question_id"], text=d["turns"][0], image=None,
-                   category=d.get("category", ""))
+        yield dict(qid=d["question_id"], text=None, image=None,
+                   turns=list(d["turns"]), category=d.get("category", ""))
 
 
 MAX_FRAMES = 8  # reference mvbench_prompt.py:24-52 (qwen_vl_utils max_frames)
@@ -326,6 +327,10 @@ def iter_questions(bench: str, processor, data_root: str, begin: int = 0,
 
     loader = REGISTRY[bench]
     for d in loader(data_root, begin, end):
+        if d.get("turns") is not None:  # multi-turn text question (MT-bench)
+            yield Question(question_id=d["qid"], prompt_inputs={},
+                           category=d.get("category", ""), turns=d["turns"])
+            continue
         text = d["text"] if d["text"] is not None else CAPTION_TEXT
         parts = [text]
         extra = EXTRA_INSTRUCTION.get(bench)

@@ -56,6 +56,11 @@ def main():
     p.add_argument("--max-new-tokens", type=int, default=512)
     p.add_argument("--max-len", type=int, default=2048)
     p.add_argument("--seed", type=int, default=42)
+    # Qwen image-token budgets — every reference prompt module sets these on
+    # the processor (mme_prompt.py:5-9); they must match the device-side
+    # smart_resize or token counts disagree with the tokenizer expansion
+    p.add_argument("--min-pixels", type=int, default=256 * 28 * 28)
+    p.add_argument("--max-pixels", type=int, default=1280 * 28 * 28)
     args = p.parse_args()
     _enable_compile_cache()
 
@@ -65,8 +70,14 @@ def main():
     from .benchmarks import iter_questions
     from .harness import run_eval
 
+    with open(os.path.join(args.model, "config.json")) as f:
+        arch = json.load(f)["architectures"][0]
+    proc_kwargs = {}
+    if arch == "Qwen2_5_VLForConditionalGeneration":
+        proc_kwargs = dict(use_fast=True, min_pixels=args.min_pixels,
+                           max_pixels=args.max_pixels)
     try:
-        processor = AutoProcessor.from_pretrained(args.model)
+        processor = AutoProcessor.from_pretrained(args.model, **proc_kwargs)
         tokenizer = getattr(processor, "tokenizer", processor)
     except Exception:
         tokenizer = AutoTokenizer.from_pretrained(args.model)
@@ -81,6 +92,8 @@ def main():
         num_q=args.num_q,
         max_len=args.max_len,
         method=args.method,
+        min_pixels=args.min_pixels,
+        max_pixels=args.max_pixels,
     )
 
     questions = list(
@@ -99,6 +112,7 @@ def main():
         decode_fn=lambda ids: tokenizer.decode(ids, skip_special_tokens=True),
         model_id=args.model_id or f"{os.path.basename(args.model)}-{args.method}",
         seed_base=args.seed,
+        tokenizer=tokenizer,
     )
     taus = [a + 1 for r in records for a in r.get("acceptance_length", [])]
     if taus:

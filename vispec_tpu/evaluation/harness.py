@@ -30,6 +30,76 @@ class Question:
     question_id: Any
     prompt_inputs: Dict[str, Any]  # kwargs for SpecModel.specgenerate
     category: str = ""
+    # multi-turn text questions (MT-bench): raw user turns; the harness carries
+    # the conversation across turns (gen_spec_answer_vicuna.py:160-275)
+    turns: Optional[List[str]] = None
+
+
+VICUNA_SYSTEM = (
+    "A chat between a curious user and an artificial intelligence assistant. "
+    "The assistant gives helpful, detailed, and polite answers to the user's "
+    "questions."
+)
+
+
+def vicuna_prompt(user_turns: List[str], answers: List[str]) -> str:
+    """fastchat vicuna_v1.1 template (ADD_COLON_TWO: sep=' ', sep2='</s>'):
+    ``{system} USER: {q} ASSISTANT: {a}</s>USER: {q2} ASSISTANT:``"""
+    ret = VICUNA_SYSTEM + " "
+    for j, q in enumerate(user_turns):
+        ret += f"USER: {q} ASSISTANT:"
+        if j < len(answers):
+            ret += f" {answers[j]}</s>"
+    return ret
+
+
+def _clean_output(text: str, special_tokens: List[str]) -> str:
+    """Stop-string + special-token cleanup (gen_spec_answer_vicuna.py:183-202)."""
+    if "</s>" in text and text.find("</s>") > 0:
+        text = text[: text.find("</s>")]
+    for tok in special_tokens:
+        text = text.replace(tok, "")
+    return text.strip()
+
+
+def _run_multiturn(
+    generate, q: Question, tokenizer, temperature: float,
+    max_new_tokens: int, seed: int,
+) -> dict:
+    """One MT-bench question: decode every turn, carrying the conversation
+    (reference gen_spec_answer_vicuna.py:160-275)."""
+    specials: List[str] = []
+    for v in tokenizer.special_tokens_map.values():
+        specials.extend(v if isinstance(v, list) else [v])
+    answers: List[str] = []
+    turns, idxs, new_tokens, wall_time, acc = [], [], [], [], []
+    decode_time = 0.0
+    for j in range(len(q.turns)):
+        prompt = vicuna_prompt(q.turns[: j + 1], answers)
+        input_ids = tokenizer(prompt).input_ids
+        t0 = time.perf_counter()
+        res = generate(
+            input_ids=input_ids, temperature=temperature,
+            max_new_tokens=max_new_tokens, seed=seed,
+        )
+        wall = time.perf_counter() - t0
+        out_ids = np.asarray(res.sequences)[len(input_ids):]
+        text = _clean_output(
+            tokenizer.decode(out_ids, spaces_between_special_tokens=False),
+            specials,
+        )
+        answers.append(text)
+        turns.append(text)
+        idxs.append(int(res.rounds))
+        new_tokens.append(int(res.new_tokens))
+        wall_time.append(wall)
+        acc.extend(res.acceptance_lengths)
+        decode_time += res.decode_time
+    return {
+        "turns": turns, "idxs": idxs, "new_tokens": new_tokens,
+        "wall_time": wall_time, "acceptance_length": acc,
+        "decode_time": decode_time,
+    }
 
 
 def run_eval(
@@ -44,46 +114,57 @@ def run_eval(
     decode_fn: Optional[Callable[[np.ndarray], str]] = None,
     model_id: str = "vispec-tpu",
     seed_base: int = 0,
+    tokenizer=None,
 ) -> List[dict]:
     """Generate answers for all questions; returns the records written.
 
     ``model`` is a spec.spec_model.SpecModel.  ``decode_fn`` turns generated
     token ids into text (tokenizer.decode); identity repr if None.
+    ``tokenizer`` is required for multi-turn questions (Question.turns set):
+    the harness re-tokenizes the growing conversation per turn.
     """
     questions = list(questions)
     os.makedirs(os.path.dirname(os.path.abspath(answer_file)), exist_ok=True)
 
     generate = model.ar_generate if baseline else model.specgenerate
 
+    def answer(q: Question, seed: int) -> dict:
+        if q.turns is not None:
+            if tokenizer is None:
+                raise ValueError("multi-turn questions need a tokenizer")
+            return _run_multiturn(
+                generate, q, tokenizer, temperature, max_new_tokens, seed
+            )
+        t0 = time.perf_counter()
+        res = generate(
+            temperature=temperature, max_new_tokens=max_new_tokens,
+            seed=seed, **q.prompt_inputs,
+        )
+        wall = time.perf_counter() - t0
+        prompt_len = len(q.prompt_inputs["input_ids"])
+        out_ids = np.asarray(res.sequences)[prompt_len:]
+        text = decode_fn(out_ids) if decode_fn else repr(out_ids.tolist())
+        return {
+            "turns": [text],
+            "idxs": [int(res.rounds)],
+            "new_tokens": [int(res.new_tokens)],
+            "wall_time": [wall],
+            "acceptance_length": res.acceptance_lengths,
+            "decode_time": res.decode_time,
+        }
+
     # warmup: compile all bucket shapes (gen_spec_answer_sqa.py:203-248)
     for q in questions[:num_warmup]:
-        generate(
-            temperature=temperature, max_new_tokens=max_new_tokens,
-            **q.prompt_inputs,
-        )
+        answer(q, seed_base)
 
     records = []
     with open(answer_file, "a") as fout:
         for i, q in enumerate(questions):
-            t0 = time.perf_counter()
-            res = generate(
-                temperature=temperature, max_new_tokens=max_new_tokens,
-                seed=seed_base + i, **q.prompt_inputs,
-            )
-            wall = time.perf_counter() - t0
-            prompt_len = len(q.prompt_inputs["input_ids"])
-            out_ids = np.asarray(res.sequences)[prompt_len:]
-            text = decode_fn(out_ids) if decode_fn else repr(out_ids.tolist())
             rec = {
                 "question_id": q.question_id,
                 "model_id": model_id,
                 "category": q.category,
-                "turns": [text],
-                "idxs": [int(res.rounds)],
-                "new_tokens": [int(res.new_tokens)],
-                "wall_time": [wall],
-                "acceptance_length": res.acceptance_lengths,
-                "decode_time": res.decode_time,
+                **answer(q, seed_base + i),
                 "tstamp": time.time(),
             }
             records.append(rec)

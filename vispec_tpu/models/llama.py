@@ -117,6 +117,10 @@ def forward_hidden(
             cfg.head_dim,
             cfg.rope_theta,
             cfg.rope_scaling_factor if cfg.rope_scaling_type == "linear" else 1.0,
+            dynamic_ntk=(
+                (cfg.rope_scaling_factor, cfg.max_position_embeddings)
+                if cfg.rope_scaling_type == "dynamic" else None
+            ),
         )
 
     write_at = cache.length

@@ -25,7 +25,7 @@ from jax import lax
 from ..configs import LlamaConfig
 from ..ops import rope as rope_ops
 from ..ops.kv_cache import KVCache
-from .llama import attention_block, rms_norm
+from .llama import rms_norm
 
 
 @dataclass(frozen=True)
@@ -64,19 +64,43 @@ def forward_hidden(
     position_ids: jax.Array,
     cache: KVCache,
     attn_mask: jax.Array,
+    region=None,  # optional (start, mask[S, T_reg]) => Pallas decode kernel
+    return_new_kv: bool = False,
 ) -> Tuple[jax.Array, KVCache]:
-    cos, sin = rope_ops.cos_sin(position_ids, cfg.head_dim, cfg.rope_theta)
+    """Same contract as llama.forward_hidden (region / return_new_kv included)
+    so the verify pass can commit accepted rows via kv_cache.commit_from_blocks
+    instead of re-gathering from the big cache (dense-path parity; the
+    reference MoE target is modeling_mixtral_kv.py:488-571, 1021)."""
+    cos, sin = rope_ops.cos_sin(
+        position_ids, cfg.head_dim, cfg.rope_theta,
+        cfg.rope_scaling_factor if cfg.rope_scaling_type == "linear" else 1.0,
+        dynamic_ntk=(
+            (cfg.rope_scaling_factor, cfg.max_position_embeddings)
+            if cfg.rope_scaling_type == "dynamic" else None
+        ),
+    )
     write_at = cache.length
+    from ..ops.attention import attend, kernel_eligible, pick_block, use_pallas
+
+    kernel_path = (region is not None and use_pallas()
+                   and kernel_eligible(cfg.head_dim, cache.max_len))
 
     # caches in the scan carry => in-place updates (see llama.forward_hidden)
     def layer_step(carry, lp):
         hidden, k_cache, v_cache, layer_idx = carry
         residual = hidden
         normed = rms_norm(hidden, lp["input_norm"], cfg.rms_norm_eps)
-        attn_out, k_new, v_new = attention_block(
-            normed, lp, cfg, cos, sin, k_cache[layer_idx], v_cache[layer_idx],
-            write_at, attn_mask
-        )
+
+        s = normed.shape[0]
+        h, hkv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+        q = jnp.dot(normed, lp["wq"], preferred_element_type=jnp.float32).astype(normed.dtype)
+        k = jnp.dot(normed, lp["wk"], preferred_element_type=jnp.float32).astype(normed.dtype)
+        v = jnp.dot(normed, lp["wv"], preferred_element_type=jnp.float32).astype(normed.dtype)
+        q = q.reshape(s, h, d).transpose(1, 0, 2)
+        k_new = k.reshape(s, hkv, d).transpose(1, 0, 2)
+        v_new = v.reshape(s, hkv, d).transpose(1, 0, 2)
+        q, k_new = rope_ops.apply_rope(q, k_new, cos, sin)
+
         zero = jnp.zeros((), jnp.int32)
         k_cache = lax.dynamic_update_slice(
             k_cache, k_new[None], (layer_idx, zero, write_at, zero)
@@ -84,16 +108,34 @@ def forward_hidden(
         v_cache = lax.dynamic_update_slice(
             v_cache, v_new[None], (layer_idx, zero, write_at, zero)
         )
+        if kernel_path:
+            from ..ops.pallas_attention import verify_attention
+
+            out = verify_attention(
+                q, k_cache, v_cache, region[0], region[1],
+                block=pick_block(k_cache.shape[2]), layer_idx=layer_idx,
+            )
+        else:
+            out = attend(q, k_cache[layer_idx], v_cache[layer_idx], attn_mask)
+        out = out.transpose(1, 0, 2).reshape(s, h * d)
+        attn_out = jnp.dot(
+            out, lp["wo"], preferred_element_type=jnp.float32
+        ).astype(normed.dtype)
+
         hidden = residual + attn_out
         residual = hidden
         normed = rms_norm(hidden, lp["post_norm"], cfg.rms_norm_eps)
         hidden = residual + moe_block(normed, lp, cfg)
-        return (hidden, k_cache, v_cache, layer_idx + 1), None
+        ys = (k_new, v_new) if return_new_kv else None
+        return (hidden, k_cache, v_cache, layer_idx + 1), ys
 
     init = (inputs_embeds, cache.k, cache.v, jnp.zeros((), jnp.int32))
-    (hidden, new_k, new_v, _), _ = lax.scan(layer_step, init, params["layers"])
+    (hidden, new_k, new_v, _), ys = lax.scan(layer_step, init, params["layers"])
     hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
-    return hidden, cache._replace(k=new_k, v=new_v)
+    out_cache = cache._replace(k=new_k, v=new_v)
+    if return_new_kv:
+        return hidden, out_cache, ys
+    return hidden, out_cache
 
 
 def init_params(cfg: MixtralConfig, key: jax.Array, dtype=jnp.bfloat16) -> dict:

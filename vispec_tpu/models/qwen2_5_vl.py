@@ -77,7 +77,7 @@ class VisionPlan(NamedTuple):
     win_seg:    [pad_len] — window id per token (mask for windowed layers).
     img_seg:    [pad_len] — image id per token (mask for full-attention layers).
     pos_hw:     [pad_len, 2] — (h, w) rotary position per token (shuffled order).
-    n_tokens:   真 patch count (pre-merge);  n_merged = n_tokens // merge_unit.
+    n_tokens:   true patch count (pre-merge);  n_merged = n_tokens // merge_unit.
     """
 
     perm: np.ndarray

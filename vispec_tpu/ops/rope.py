@@ -30,13 +30,34 @@ def cos_sin(
     head_dim: int,
     theta: float = 10000.0,
     linear_scale: float = 1.0,
+    dynamic_ntk: "Tuple[float, int] | None" = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """cos, sin of shape [..., head_dim] for the given integer positions.
 
     Matches the reference layout: freqs duplicated along the last axis
     (``emb = cat(freqs, freqs)``, cnets_ours.py:149) so rotate_half applies.
+
+    ``dynamic_ntk=(factor, max_position_embeddings)`` selects dynamic-NTK
+    scaling (HF ``LlamaDynamicNTKScalingRotaryEmbedding``; the reference's
+    rotary classes in modeling_llama_kv.py ~186-240): once the sequence
+    exceeds ``max_position_embeddings`` the base theta is stretched by
+    ``((factor*s/max) - (factor-1)) ** (dim/(dim-2))``.  The reference gates
+    the recompute on ``seq_len > max_seq_len_cached``; we compute the
+    effective sequence length as ``max(position_ids)+1`` (positions are
+    absolute here) and clamp the stretch at 1, which reproduces that gate
+    without a data-dependent branch.
     """
-    inv = inv_frequencies(head_dim, theta)
+    if dynamic_ntk is not None:
+        factor, max_pos = dynamic_ntk
+        seq_len = jnp.max(position_ids).astype(jnp.float32) + 1.0
+        stretch = jnp.maximum(
+            factor * seq_len / float(max_pos) - (factor - 1.0), 1.0
+        )
+        theta_eff = theta * stretch ** (head_dim / (head_dim - 2))
+        exponent = jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim
+        inv = 1.0 / (theta_eff**exponent)
+    else:
+        inv = inv_frequencies(head_dim, theta)
     pos = position_ids.astype(jnp.float32) / linear_scale
     freqs = pos[..., None] * inv  # [..., head_dim//2]
     emb = jnp.concatenate([freqs, freqs], axis=-1)

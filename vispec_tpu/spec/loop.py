@@ -35,21 +35,8 @@ def target_forward(tparams, tcfg, embeds, pos, cache, mask, region=None,
     if "router" in tparams["layers"]:
         from ..models import mixtral
 
-        out = mixtral.forward_hidden(tparams, tcfg, embeds, pos, cache, mask)
-        if return_new_kv:
-            hidden, cache = out
-            # MoE path: fall back to gathering from the cache (small model zoo)
-            s = embeds.shape[0]
-            blocks_k = lax.dynamic_slice(
-                cache.k, (0, 0, cache.length, 0),
-                (cache.k.shape[0], cache.k.shape[1], s, cache.k.shape[3]),
-            )
-            blocks_v = lax.dynamic_slice(
-                cache.v, (0, 0, cache.length, 0),
-                (cache.v.shape[0], cache.v.shape[1], s, cache.v.shape[3]),
-            )
-            return hidden, cache, (blocks_k, blocks_v)
-        return out
+        return mixtral.forward_hidden(tparams, tcfg, embeds, pos, cache, mask,
+                                      region, return_new_kv)
     return llama.forward_hidden(tparams, tcfg, embeds, pos, cache, mask, region,
                                 return_new_kv)
 

@@ -34,6 +34,25 @@ def _bucket(n: int, step: int = 128) -> int:
     return max(step, ((n + step - 1) // step) * step)
 
 
+def _first(x):
+    return x[0] if isinstance(x, list) else x
+
+
+def _stub_draft_config(tcfg: LlamaConfig, num_q: int) -> DraftConfig:
+    """Placeholder draft config for target-only loading (spec_model_path=None):
+    sized so the unused draft cache stays tiny."""
+    return DraftConfig(
+        vocab_size=tcfg.vocab_size, hidden_size=tcfg.hidden_size,
+        intermediate_size=128, num_attention_heads=tcfg.num_attention_heads,
+        num_key_value_heads=1, num_q=num_q,
+    )
+
+
+def _stub_draft_params(tparams: dict, dtype) -> dict:
+    return {"embed": tparams["embed"], "layer": {},
+            "fc_w": jnp.zeros((1,), dtype)}
+
+
 @dataclass
 class GenerationResult:
     sequences: np.ndarray  # [total_len] prompt + generated (reference input_ids)
@@ -63,6 +82,8 @@ class SpecModel:
         vision_start_token_id: int = 151652,
         video_token_index: Optional[int] = None,
         mparams: Optional[dict] = None,  # Medusa heads => medusa decode path
+        min_pixels: int = 256 * 28 * 28,  # Qwen image budget — every reference
+        max_pixels: int = 1280 * 28 * 28,  # prompt module sets these (mme_prompt.py:5-9)
     ):
         self.tcfg, self.dcfg, self.spec = tcfg, dcfg, spec
         self.tparams, self.dparams = tparams, dparams
@@ -71,6 +92,7 @@ class SpecModel:
         self.qwen_cfg = qwen_cfg
         self.vision_start_token_id = vision_start_token_id
         self.video_token_index = video_token_index
+        self.min_pixels, self.max_pixels = min_pixels, max_pixels
         if max_len % 128 != 0:
             raise ValueError(
                 f"max_len must be a multiple of 128 (prompt buckets and the "
@@ -105,20 +127,37 @@ class SpecModel:
         max_len: int = 2048,
         dtype=jnp.bfloat16,
         method: str = "vispec",  # "vispec" | "eagle" | "medusa"
+        min_pixels: int = 256 * 28 * 28,
+        max_pixels: int = 1280 * 28 * 28,
     ) -> "SpecModel":
         """Architecture dispatch + weight conversion (spec_model_ours.py:109-177;
         EAGLE/Medusa orchestrators spec_model.py / spec_model_medusa.py).
 
-        Supported targets: LlamaForCausalLM, Qwen2ForCausalLM,
+        Supported targets: LlamaForCausalLM, Qwen2ForCausalLM, MixtralForCausalLM,
         Llava(Next)ForConditionalGeneration, Qwen2_5_VLForConditionalGeneration.
+
+        ``total_token=-1`` autotunes the verify-tree width by timing target
+        forwards at candidate lengths (the reference's -1 path,
+        spec_model_ours.py:179-202; see autotune_total_token).
+
+        ``threshold`` is accepted for signature parity with the reference and
+        is inert BY REFERENCE SEMANTICS: the reference stores log(threshold)
+        (cnets_ours.py:735) but its only consumer is commented out
+        (cnets_ours.py:990), so the parameter never affects decoding there
+        either.  We keep the kwarg so reference call sites port unchanged.
         """
+        del threshold  # inert in the reference too — see docstring
         from ..convert import hf as hf_convert
 
         with open(os.path.join(base_model_path, "config.json")) as f:
             hf_cfg = json.load(f)
         arch = hf_cfg["architectures"][0]
-        spec_cfg = SpecConfig(total_tokens=total_token, depth=depth, top_k=top_k,
-                              threshold=threshold)
+        autotune = total_token == -1
+        if autotune:
+            # placeholder sized at the largest autotune candidate so cache
+            # slack is sufficient; replaced by autotune_total_token below
+            total_token = 60
+        spec_cfg = SpecConfig(total_tokens=total_token, depth=depth, top_k=top_k)
 
         llava_cfg = None
         vparams = None
@@ -158,13 +197,37 @@ class SpecModel:
             tcfg = hf_convert.llama_config_from_hf(hf_cfg)
             sd = hf_convert.load_state_dict(base_model_path)
             tparams = hf_convert.convert_llama(sd, tcfg, dtype)
+        elif arch == "MixtralForCausalLM":
+            # MoE target (reference modeling_mixtral_kv.py:1021)
+            from ..models.mixtral import convert_mixtral
+
+            tcfg = hf_convert.mixtral_config_from_hf(hf_cfg)
+            sd = hf_convert.load_state_dict(base_model_path)
+            tparams = convert_mixtral(sd, tcfg, dtype)
         elif arch == "Qwen2_5_VLForConditionalGeneration":
-            return cls._from_pretrained_qwen_vl(
+            model = cls._from_pretrained_qwen_vl(
                 base_model_path, spec_model_path, hf_cfg, spec_cfg, num_q,
-                max_len, dtype,
+                max_len, dtype, min_pixels=min_pixels, max_pixels=max_pixels,
             )
+            if autotune:
+                model.autotune_total_token()
+            return model
         else:
             raise NotImplementedError(f"architecture {arch} not yet supported")
+
+        if spec_model_path is None:
+            # target-only mode (data generation / AR baselines without a
+            # draft): stub draft params, specgenerate unavailable
+            dcfg = _stub_draft_config(tcfg, num_q)
+            model = cls(
+                tcfg, dcfg, spec_cfg, tparams, _stub_draft_params(tparams, dtype),
+                max_len=max_len, dtype=dtype, llava_cfg=llava_cfg,
+                vparams=vparams, image_token_index=image_token_index,
+                eos_token_id=_first(hf_cfg.get("eos_token_id", 2)),
+            )
+            if autotune:
+                model.autotune_total_token()
+            return model
 
         dsd = hf_convert.load_state_dict(spec_model_path)
         mparams = None
@@ -186,22 +249,28 @@ class SpecModel:
         else:
             if method == "eagle":
                 dcfg = dataclass_replace(dcfg, vision=False)
-            dparams = hf_convert.convert_draft(dsd, dcfg, dtype)
+            dparams = hf_convert.convert_draft(
+                dsd, dcfg, dtype, embed_fallback=tparams["embed"]
+            )
 
         eos = hf_cfg.get("eos_token_id", 2)
-        return cls(
+        model = cls(
             tcfg, dcfg, spec_cfg, tparams, dparams, max_len=max_len, dtype=dtype,
             llava_cfg=llava_cfg, vparams=vparams,
             eos_token_id=eos[0] if isinstance(eos, list) else eos,
             image_token_index=image_token_index,
             mparams=mparams,
         )
+        if autotune:
+            model.autotune_total_token()
+        return model
 
     # ------------------------------------------------------------------
     @classmethod
     def _from_pretrained_qwen_vl(
         cls, base_model_path, spec_model_path, hf_cfg, spec_cfg, num_q,
-        max_len, dtype,
+        max_len, dtype, min_pixels: int = 256 * 28 * 28,
+        max_pixels: int = 1280 * 28 * 28,
     ) -> "SpecModel":
         from ..convert import hf as hf_convert
 
@@ -226,11 +295,17 @@ class SpecModel:
             tokens_per_second=vraw.get("tokens_per_second", 2),
         )
         vparams = hf_convert.convert_qwen_vision(sd, qcfg, dtype)
-        dcfg = DraftConfig.from_json(
-            os.path.join(spec_model_path, "config.json"), num_q=num_q
-        )
-        dsd = hf_convert.load_state_dict(spec_model_path)
-        dparams = hf_convert.convert_draft(dsd, dcfg, dtype)
+        if spec_model_path is None:
+            dcfg = _stub_draft_config(tcfg, num_q)
+            dparams = _stub_draft_params(tparams, dtype)
+        else:
+            dcfg = DraftConfig.from_json(
+                os.path.join(spec_model_path, "config.json"), num_q=num_q
+            )
+            dsd = hf_convert.load_state_dict(spec_model_path)
+            dparams = hf_convert.convert_draft(
+                dsd, dcfg, dtype, embed_fallback=tparams["embed"]
+            )
         eos = hf_cfg.get("eos_token_id", 151645)
         return cls(
             tcfg, dcfg, spec_cfg, tparams, dparams, max_len=max_len, dtype=dtype,
@@ -239,6 +314,7 @@ class SpecModel:
             image_token_index=hf_cfg.get("image_token_id", 151655),
             video_token_index=hf_cfg.get("video_token_id", 151656),
             vision_start_token_id=hf_cfg.get("vision_start_token_id", 151652),
+            min_pixels=min_pixels, max_pixels=max_pixels,
         )
 
     # ------------------------------------------------------------------
@@ -290,6 +366,25 @@ class SpecModel:
         best = cans[times.index(min(times))]
         self.spec = dataclass_replace(self.spec, total_tokens=best)
         return best
+
+    # ------------------------------------------------------------------
+    def count_image_tokens(self, image_size: Tuple[int, int]) -> int:
+        """Number of <image> placeholder tokens one image of this size expands
+        to — must agree with the vision path's feature count.  Mirrors what
+        the HF processor's token expansion computes (the reference relies on
+        the processor, e.g. ge_data_all_llava_pretrain_gen.py:136-137)."""
+        oh, ow = image_size
+        if self.llava_cfg is not None:
+            if self.llava_cfg.anyres:
+                return llava.plan_anyres(oh, ow, self.llava_cfg).n_tokens
+            return self.llava_cfg.patches_per_side ** 2
+        if self.qwen_cfg is not None:
+            rh, rw = qwen_vl.smart_resize(
+                oh, ow, min_pixels=self.min_pixels, max_pixels=self.max_pixels
+            )
+            q = self.qwen_cfg
+            return (rh // q.patch_size) * (rw // q.patch_size) // q.merge_unit
+        raise ValueError("not a vision model")
 
     # ------------------------------------------------------------------
     def _prompt_embeds(
@@ -371,7 +466,12 @@ class SpecModel:
                 image_mask = np.asarray(input_ids) == self.video_token_index
             elif pixel_values is not None:
                 oh, ow = image_size if image_size is not None else pixel_values.shape[:2]
-                rh, rw = qwen_vl.smart_resize(oh, ow)
+                # pixel budgets must match the HF processor's so the tokenizer's
+                # image-token expansion agrees with the device-side resize
+                # (reference sets them in every prompt module, mme_prompt.py:5-9)
+                rh, rw = qwen_vl.smart_resize(
+                    oh, ow, min_pixels=self.min_pixels, max_pixels=self.max_pixels
+                )
                 resized = jax.image.resize(pixel_values, (rh, rw, 3), method="bicubic")
                 patches = qwen_vl.patchify_image(resized, qcfg)
                 grid = (1, rh // qcfg.patch_size, rw // qcfg.patch_size)
@@ -446,9 +546,16 @@ class SpecModel:
             )
 
         shifted_mask = image_mask[1:] if image_mask is not None else None
+        # bucket the image-span count (the reference draft handles arbitrarily
+        # many spans, cnets_ours.py:896-956); 4-step buckets bound recompiles
+        n_spans = 0
+        if shifted_mask is not None:
+            m = np.asarray(shifted_mask, bool)
+            n_spans = int((m & ~np.concatenate([[False], m[:-1]])).sum())
+        max_images = max(4, -(-n_spans // 4) * 4)
         plan, max_span = draft_mod.make_prefill_plan(
             shifted_mask, l, self.dcfg.num_q, pad_len,
-            max_images=4, max_span=_bucket(1, 64),
+            max_images=max_images, max_span=_bucket(1, 64),
         )
         max_span = _bucket(max_span, 64)
 
