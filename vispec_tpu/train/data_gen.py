@@ -43,12 +43,19 @@ def _prefill_with_hidden(tparams, tcfg: LlamaConfig, embeds, real_len, cache,
 
 
 @functools.partial(jax.jit, static_argnames=("tcfg",), donate_argnames=("cache",))
-def _step_with_hidden(tparams, tcfg: LlamaConfig, token, cache):
+def _step_with_hidden(tparams, tcfg: LlamaConfig, token, cache, rope_delta=None):
     embeds = llama.embed(tparams, token[None])
     cols = jnp.arange(cache.max_len, dtype=jnp.int32)
     mask = (cols <= cache.length)[None, :]
+    pos = cache.length[None]
+    if rope_delta is not None:
+        pos = pos + jnp.asarray(rope_delta, jnp.int32)
+    if tcfg.mrope_section is not None:
+        # Qwen M-RoPE decode: 1-D counter + rope_delta broadcast over the 3
+        # streams (reference utils.py:398-402)
+        pos = jnp.broadcast_to(pos[None], (3, 1))
     hidden, cache = llama.forward_hidden(
-        tparams, tcfg, embeds, cache.length[None], cache, mask
+        tparams, tcfg, embeds, pos, cache, mask
     )
     cache = kv.advance(cache, 1)
     logits = llama.lm_head(tparams, hidden[0])
@@ -64,6 +71,8 @@ def generate_sample(
     cache: kv.KVCache,
     max_new_tokens: int = 512,
     eos_token_id: int = 2,
+    position_ids: Optional[jax.Array] = None,  # [pad_len] or [3, pad_len]
+    rope_delta: int = 0,
 ) -> Tuple[Dict[str, np.ndarray], kv.KVCache]:
     """One training sample: prompt + greedy continuation with hiddens.
 
@@ -77,17 +86,20 @@ def generate_sample(
     """
     cache = kv.reset(cache)
     hidden_prefix, token, cache = _prefill_with_hidden(
-        tparams, tcfg, prompt_embeds, jnp.asarray(prompt_len, jnp.int32), cache
+        tparams, tcfg, prompt_embeds, jnp.asarray(prompt_len, jnp.int32), cache,
+        position_ids=position_ids,
     )
     hiddens = [np.asarray(hidden_prefix[:prompt_len])]
     embeds = [np.asarray(prompt_embeds[:prompt_len])]
     gen_ids = []
+    delta = jnp.asarray(rope_delta, jnp.int32)
     for _ in range(max_new_tokens):
         tid = int(token)
         gen_ids.append(tid)
         if tid == eos_token_id:
             break
-        h, token, cache = _step_with_hidden(tparams, tcfg, token, cache)
+        h, token, cache = _step_with_hidden(tparams, tcfg, token, cache,
+                                            rope_delta=delta)
         hiddens.append(np.asarray(h)[None])
         embeds.append(np.asarray(llama.embed(tparams, jnp.asarray([tid])))[:1])
 
@@ -109,6 +121,52 @@ def generate_sample(
         "image_mask": img,
     }
     return sample, cache
+
+
+def generate_vlm_sample(
+    model,  # spec.spec_model.SpecModel (target-only load is enough)
+    input_ids: np.ndarray,  # [L] with <image> placeholders already expanded
+    pixel_values=None,  # [H, W, 3] floats in [0,1]
+    image_size=None,
+    pixel_values_videos=None,
+    second_per_grid_ts: float = 1.0,
+    max_new_tokens: int = 512,
+) -> Dict[str, np.ndarray]:
+    """Image-conditioned training sample: pixels run through the real vision
+    path (tower + projector + merge), the target generates the continuation,
+    and the saved ``image_mask`` marks the true image-token span.
+
+    Reference: ge_data_all_llava_pretrain_gen.py:106-166 — images through the
+    processor (:136-137), ``bigmodel.generate(output_hidden_states=True)``
+    (:141-153), image_mask from <image> ids (:155-166).  Vision merge reuses
+    SpecModel._prompt_embeds (the same code path inference uses).
+    """
+    ids = np.asarray(input_ids, np.int64)
+    l = int(ids.shape[0])
+    embeds, image_mask, position_ids, rope_delta = model._prompt_embeds(
+        ids, pixel_values, image_size, pixel_values_videos, second_per_grid_ts
+    )
+    pad_len = max(128, ((l + 127) // 128) * 128)
+    embeds = jnp.pad(embeds, ((0, pad_len - l), (0, 0)))
+    if position_ids is not None:
+        cont = position_ids[:, -1:] + 1 + np.arange(pad_len - l)[None, :]
+        position_ids = jnp.asarray(
+            np.concatenate([position_ids, cont], axis=1), jnp.int32
+        )
+
+    budget = min(max_new_tokens, model.target_cache.max_len - l - 2)
+    sample, cache = generate_sample(
+        model.tparams, model.tcfg, embeds, l,
+        image_mask, kv.reset(model.target_cache),
+        max_new_tokens=budget, eos_token_id=model.eos_token_id,
+        position_ids=position_ids, rope_delta=rope_delta,
+    )
+    model.target_cache = kv.reset(cache)
+    s = sample["hidden_state"].shape[0]
+    merged_ids = sample["input_ids"].copy()
+    merged_ids[:l] = ids[:s][: min(l, s)]
+    sample["input_ids"] = merged_ids
+    return sample
 
 
 def save_sample(outdir: str, index: int, sample: Dict[str, np.ndarray]) -> str:

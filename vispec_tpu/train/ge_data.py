@@ -9,9 +9,12 @@ pair (SURVEY.md §2.5) as one entry point with process-level sharding.
   hidden states are captured per token; loss mask covers assistant turns
   (ge_data_all_llava_shargpt.py:85-116).
 - pretrain_gen (stage-2): LLaVA-Pretrain blip_laion image prompts with the
-  "Please answer with at least 1000 words." suffix; the target *generates* the
-  continuation (anti-shortcut: the draft never trains on ground-truth text —
-  ge_data_all_llava_pretrain_gen.py:80-85, README.md:15).
+  "Please answer with at least 1000 words." suffix; the IMAGE runs through the
+  real vision path (tower + projector + merge — the reference pushes pixels
+  through the processor + VLM, ge_data_all_llava_pretrain_gen.py:136-153), the
+  target *generates* the continuation (anti-shortcut: the draft never trains
+  on ground-truth text — :80-85, README.md:15), and the saved ``image_mask``
+  marks the true image-token span (:155-166).
 
 Sharding: each process handles indices [start + shard_id :: num_shards] — the
 reference's per-GPU subprocess fan-out (allocation_llava_pretrain_gen.py:34-93)
@@ -75,6 +78,29 @@ def build_sharegpt_sample(tokenizer, conv: dict, max_len: int):
     return ids, mask
 
 
+def build_pretrain_ids(tokenizer, model, prompt: str, image_size, max_len: int):
+    """Tokenize the image prompt and expand the single <image> placeholder to
+    the model's true image-token count for this image size.
+
+    The reference delegates expansion to the HF processor
+    (ge_data_all_llava_pretrain_gen.py:136-137); here the count comes from
+    SpecModel.count_image_tokens so it agrees with the device-side vision path
+    by construction.  Returns int32 ids with the image span in place.
+    """
+    import numpy as np
+
+    prompt = prompt.replace("<image>", "").strip()
+    text = f"{VICUNA_SYSTEM} USER: <IMG>\n{prompt} {LONG_ANSWER_SUFFIX} ASSISTANT:"
+    pre, post = text.split("<IMG>")
+    ids_pre = tokenizer(pre)["input_ids"]
+    # tokenize the tail without re-adding BOS
+    ids_post = tokenizer(post, add_special_tokens=False)["input_ids"]
+    n_img = model.count_image_tokens(image_size)
+    ids = (list(ids_pre) + [model.image_token_index] * n_img
+           + list(ids_post))[:max_len]
+    return np.asarray(ids, np.int32)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--basepath", required=True)
@@ -93,22 +119,17 @@ def main():
 
     import jax.numpy as jnp
     import numpy as np
-    from transformers import AutoProcessor, AutoTokenizer
+    from transformers import AutoTokenizer
 
-    from ..convert import hf as hf_convert
     from ..models import llama
-    from ..ops import kv_cache as kv
-    from .data_gen import generate_sample, save_sample
+    from ..spec.spec_model import SpecModel, _bucket
+    from .data_gen import generate_sample, generate_vlm_sample, save_sample
 
-    with open(os.path.join(args.basepath, "config.json")) as f:
-        hf_cfg = json.load(f)
-    text_cfg = hf_cfg.get("text_config", hf_cfg)
-    tcfg = hf_convert.llama_config_from_hf(text_cfg)
-    sd = hf_convert.load_state_dict(args.basepath)
-    prefix = "language_model.model." if "text_config" in hf_cfg else "model."
-    head_key = ("language_model.lm_head.weight" if "text_config" in hf_cfg
-                else "lm_head.weight")
-    tparams = hf_convert.convert_llama(sd, tcfg, jnp.bfloat16, prefix, head_key)
+    max_len = _bucket(args.max_len + args.max_new_tokens + 128)
+    # target-only load: full arch dispatch incl. the vision tower, no draft
+    model = SpecModel.from_pretrained(
+        args.basepath, None, max_len=max_len, dtype=jnp.bfloat16
+    )
     tokenizer = AutoTokenizer.from_pretrained(args.basepath, use_fast=True)
 
     with open(args.data_file) as f:
@@ -116,11 +137,8 @@ def main():
     indices = list(range(args.start, min(args.end, len(data))))[args.shard_id::args.num_shards]
     print(f"[ge_data] shard {args.shard_id}/{args.num_shards}: {len(indices)} samples")
 
-    cache = kv.init_cache(
-        tcfg.num_hidden_layers, tcfg.num_key_value_heads,
-        args.max_len + args.max_new_tokens + 8, tcfg.head_dim, jnp.bfloat16,
-    )
     eos = tokenizer.eos_token_id or 2
+    from ..ops import kv_cache as kv
 
     for idx in indices:
         item = data[idx]
@@ -128,30 +146,46 @@ def main():
             ids, mask = build_sharegpt_sample(tokenizer, item, args.max_len)
             if mask.sum() == 0:
                 continue
-            embeds = llama.embed(tparams, jnp.asarray(ids))
+            embeds = llama.embed(model.tparams, jnp.asarray(ids))
             pad = ((len(ids) + 127) // 128) * 128
             embeds = jnp.pad(embeds, ((0, pad - len(ids)), (0, 0)))
             # teacher-forced forward only (no generation): capture hiddens
             sample, cache = generate_sample(
-                tparams, tcfg, embeds, len(ids), None, cache,
-                max_new_tokens=1, eos_token_id=eos,
+                model.tparams, model.tcfg, embeds, len(ids), None,
+                kv.reset(model.target_cache), max_new_tokens=1, eos_token_id=eos,
             )
+            model.target_cache = kv.reset(cache)
             sample["input_ids"] = ids
             sample["loss_mask"] = np.concatenate(
                 [mask, np.zeros(sample["loss_mask"].shape[0] - len(mask), np.float32)]
             )[: sample["loss_mask"].shape[0]]
-        else:  # pretrain_gen: target generates the continuation
+        else:  # pretrain_gen: image through the vision path, target generates
             prompt = item.get("conversations", [{}])[0].get("value", "")
-            prompt = prompt.replace("<image>", "").strip()
-            text = (f"{VICUNA_SYSTEM} USER: {prompt} {LONG_ANSWER_SUFFIX} ASSISTANT:")
-            ids = np.asarray(tokenizer(text, truncation=True,
-                                       max_length=args.max_len)["input_ids"], np.int32)
-            embeds = llama.embed(tparams, jnp.asarray(ids))
-            pad = ((len(ids) + 127) // 128) * 128
-            embeds = jnp.pad(embeds, ((0, pad - len(ids)), (0, 0)))
-            sample, cache = generate_sample(
-                tparams, tcfg, embeds, len(ids), None, cache,
-                max_new_tokens=args.max_new_tokens, eos_token_id=eos,
+            pixel_values = None
+            image_size = None
+            if args.image_root and item.get("image"):
+                from PIL import Image
+
+                img = Image.open(
+                    os.path.join(args.image_root, item["image"])
+                ).convert("RGB")
+                pixel_values = jnp.asarray(
+                    np.asarray(img, np.float32) / 255.0
+                )
+                image_size = pixel_values.shape[:2]
+                ids = build_pretrain_ids(
+                    tokenizer, model, prompt, image_size, args.max_len
+                )
+            else:
+                text = (f"{VICUNA_SYSTEM} USER: "
+                        f"{prompt.replace('<image>', '').strip()} "
+                        f"{LONG_ANSWER_SUFFIX} ASSISTANT:")
+                ids = np.asarray(tokenizer(text, truncation=True,
+                                           max_length=args.max_len)["input_ids"],
+                                 np.int32)
+            sample = generate_vlm_sample(
+                model, ids, pixel_values=pixel_values, image_size=image_size,
+                max_new_tokens=args.max_new_tokens,
             )
         save_sample(args.outdir, idx, sample)
     print("[ge_data] done")
