@@ -1,4 +1,5 @@
-"""Headline benchmark: speculative decode round cost vs AR step cost on one TPU.
+"""Headline benchmark: END-TO-END speculative decoding vs AR decoding through
+the public SpecModel API on one TPU.
 
 Prints ONE JSON line:
   {"metric": "spec_speedup_at_ref_tau_T0", "value": N, "unit": "x", "vs_baseline": N}
@@ -8,11 +9,14 @@ Method.  The wall-clock speedup of tree speculative decoding factors as
 (a property of the *trained* draft, reference README τ=2.98 for LLaVA-1.6-7B,
 BASELINE.md) and ``R = t_round / t_ar_step`` is the pure systems ratio this
 framework controls.  With no network egress we cannot load trained ViSpec
-checkpoints, so the bench measures R end-to-end at 7B scale with random
-weights (round cost is independent of what tokens are accepted — acceptance
-only changes *which* rows are gathered) and reports the speedup at the
-reference's published τ.  ``vs_baseline`` divides by the reference's 2.58×
-average speedup for LLaVA-1.6-7B at T=0 (README.md:186).
+checkpoints, so the bench measures R **end-to-end through
+SpecModel.specgenerate / SpecModel.ar_generate** — the exact host loops a user
+runs, including dispatch pipelining, counter reads, and bookkeeping — at 7B
+scale with random weights (round cost is independent of what tokens are
+accepted: acceptance only changes which rows are gathered) and reports the
+speedup at the reference's published τ.  ``vs_baseline`` divides by the
+reference's 2.58× average speedup for LLaVA-1.6-7B at T=0 (README.md:186).
+Measured at the product-default max_len=2048 (falls back on OOM).
 """
 
 import json
@@ -37,8 +41,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from vispec_tpu.configs import DraftConfig, LlamaConfig, SpecConfig
 from vispec_tpu.models import draft as draft_mod
 from vispec_tpu.models import llama
-from vispec_tpu.ops import kv_cache as kv
-from vispec_tpu.spec import loop as spec_loop
+from vispec_tpu.spec.spec_model import SpecModel
 
 REF_TAU = 2.98  # LLaVA-1.6 7B, T=0 (BASELINE.md)
 REF_SPEEDUP = 2.58
@@ -47,17 +50,23 @@ REF_SPEEDUP = 2.58
 CONFIGS = [
     dict(num_hidden_layers=32, hidden_size=4096, intermediate_size=11008,
          num_attention_heads=32, num_key_value_heads=32, vocab_size=32000,
-         max_len=1024, label="7B"),
+         max_len=2048, label="7B@2048"),
+    dict(num_hidden_layers=32, hidden_size=4096, intermediate_size=11008,
+         num_attention_heads=32, num_key_value_heads=32, vocab_size=32000,
+         max_len=1024, label="7B@1024"),
     dict(num_hidden_layers=24, hidden_size=3072, intermediate_size=8192,
          num_attention_heads=24, num_key_value_heads=24, vocab_size=32000,
-         max_len=1024, label="3B"),
+         max_len=1024, label="3B@1024"),
     dict(num_hidden_layers=12, hidden_size=2048, intermediate_size=5504,
          num_attention_heads=16, num_key_value_heads=16, vocab_size=32000,
-         max_len=1024, label="1B"),
+         max_len=1024, label="1B@1024"),
 ]
 
+N_TOKENS = 96  # tokens per timed e2e run (random draft => ~1 round per token)
+REPEATS = 3
 
-def build(cfg_d, dtype=jnp.bfloat16):
+
+def build(cfg_d, dtype=jnp.bfloat16) -> SpecModel:
     max_len = cfg_d["max_len"]
     tcfg = LlamaConfig(
         vocab_size=cfg_d["vocab_size"], hidden_size=cfg_d["hidden_size"],
@@ -74,103 +83,81 @@ def build(cfg_d, dtype=jnp.bfloat16):
         num_key_value_heads=tcfg.num_key_value_heads,
         max_position_embeddings=max_len,
     )
-    key = jax.random.PRNGKey(0)
-    k1, k2 = jax.random.split(key)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     tparams = llama.init_params(tcfg, k1, dtype)
     dparams = draft_mod.init_params(dcfg, k2, dtype)
     dparams["embed"] = tparams["embed"]
-    return tcfg, dcfg, tparams, dparams, max_len
+    # out-of-vocab eos: random weights must not stop generation early
+    return SpecModel(tcfg, dcfg, SpecConfig(total_tokens=30, depth=3, top_k=8),
+                     tparams, dparams, max_len=max_len, dtype=dtype,
+                     eos_token_id=10**6)
 
 
 def run_bench(cfg_d):
-    tcfg, dcfg, tparams, dparams, max_len = build(cfg_d)
-    spec = SpecConfig(total_tokens=30, depth=3, top_k=8)
-    sampling = spec_loop.SamplingParams()
-    dtype = jnp.bfloat16
-    prompt_len, pad_len = 120, 128
-    prompt = np.random.default_rng(0).integers(10, tcfg.vocab_size - 10, prompt_len)
+    model = build(cfg_d)
+    prompt = np.random.default_rng(0).integers(
+        10, cfg_d["vocab_size"] - 10, 120).tolist()
 
-    embeds = llama.embed(tparams, jnp.asarray(prompt, jnp.int32))
-    embeds = jnp.pad(embeds, ((0, pad_len - prompt_len), (0, 0)))
+    # ---- spec path (specgenerate end-to-end) ----
+    model.specgenerate(prompt, max_new_tokens=8)  # compile prefill + rounds
+    t_round = 1e9
+    tau = 1.0
+    for _ in range(REPEATS):
+        res = model.specgenerate(prompt, max_new_tokens=N_TOKENS)
+        t_round = min(t_round, res.decode_time / max(res.rounds, 1))
+        tau = res.new_tokens / max(res.rounds, 1)
 
-    # ---- AR path ----
-    cache = kv.init_cache(tcfg.num_hidden_layers, tcfg.num_key_value_heads,
-                          max_len, tcfg.head_dim, dtype)
-    tok, cache, key = spec_loop.ar_prefill(
-        tparams, tcfg, sampling, embeds, jnp.asarray(prompt_len, jnp.int32),
-        cache, jax.random.PRNGKey(0))
-    # warmup + compile
-    for _ in range(5):
-        tok, cache, key = spec_loop.ar_step(tparams, tcfg, sampling, tok, cache, key)
-    jax.block_until_ready(tok)
-    # min-of-chunks: robust to tunnel/host interference spikes
-    chunks = []
-    for _ in range(4):
-        t0 = time.perf_counter()
-        for _ in range(15):
-            tok, cache, key = spec_loop.ar_step(tparams, tcfg, sampling, tok, cache, key)
-        jax.block_until_ready(tok)
-        chunks.append((time.perf_counter() - t0) / 15)
-    t_ar = min(chunks)
-
-    # ---- spec path ----
-    target_cache = kv.init_cache(tcfg.num_hidden_layers, tcfg.num_key_value_heads,
-                                 max_len, tcfg.head_dim, dtype)
-    draft_cache = kv.init_cache(1, dcfg.num_key_value_heads, max_len, dcfg.head_dim, dtype)
-    plan, max_span = draft_mod.make_prefill_plan(None, prompt_len, dcfg.num_q, pad_len)
-    state = spec_loop.spec_prefill(
-        tparams, dparams, tcfg, dcfg, spec, plan, sampling, embeds,
-        target_cache, draft_cache, jax.random.PRNGKey(0), max_len, max_span)
-    big = jnp.asarray(10**6, jnp.int32)  # device-resident: a np scalar would
-    # DevicePut every call (~0.5ms/round profiled)
-    for _ in range(5):
-        state = spec_loop.decode_round(
-            tparams, dparams, tcfg, dcfg, spec, sampling, state, big, big)
-    jax.block_until_ready(state.out_len)
-    chunks = []
-    n_per, n_chunks = 12, 4
-    for _ in range(n_chunks):
-        t0 = time.perf_counter()
-        for _ in range(n_per):
-            state = spec_loop.decode_round(
-                tparams, dparams, tcfg, dcfg, spec, sampling, state, big, big)
-        jax.block_until_ready(state.out_len)
-        chunks.append((time.perf_counter() - t0) / n_per)
-    t_round = min(chunks)
-    measured_tau = float(state.new_token) / (n_chunks * n_per + 5)
+    # ---- AR path (ar_generate end-to-end) ----
+    model.ar_generate(prompt, max_new_tokens=8)
+    t_ar = 1e9
+    for _ in range(REPEATS):
+        res = model.ar_generate(prompt, max_new_tokens=N_TOKENS)
+        # decode_time covers everything after the prefill token
+        t_ar = min(t_ar, res.decode_time / max(res.new_tokens - 1, 1))
 
     r = t_round / t_ar
     return dict(
         t_ar_ms=t_ar * 1e3, t_round_ms=t_round * 1e3, ratio=r,
-        speedup_at_ref_tau=REF_TAU / r, measured_tau_random_draft=measured_tau,
+        speedup_at_ref_tau=REF_TAU / r, measured_tau_random_draft=tau,
         model=cfg_d["label"],
     )
 
 
+def _run_one(idx: int) -> None:
+    """Child-process entry: bench one config, print its JSON line."""
+    res = run_bench(CONFIGS[idx])
+    value = res["speedup_at_ref_tau"]
+    print(json.dumps({
+        "metric": "spec_speedup_at_ref_tau_T0",
+        "value": round(value, 3),
+        "unit": "x",
+        "vs_baseline": round(value / REF_SPEEDUP, 3),
+        "detail": {k: (round(v, 3) if isinstance(v, float) else v)
+                   for k, v in res.items()},
+    }))
+
+
 def main():
-    import gc
+    """Try each config in a fresh SUBPROCESS (an OOM'd attempt can otherwise
+    pin HBM through the backend and starve every fallback config); emit the
+    first success's JSON line."""
+    import subprocess
 
     last_err = ""
-    for cfg_d in CONFIGS:
-        try:
-            res = run_bench(cfg_d)
-            value = res["speedup_at_ref_tau"]
-            print(json.dumps({
-                "metric": "spec_speedup_at_ref_tau_T0",
-                "value": round(value, 3),
-                "unit": "x",
-                "vs_baseline": round(value / REF_SPEEDUP, 3),
-                "detail": {k: (round(v, 3) if isinstance(v, float) else v)
-                           for k, v in res.items()},
-            }))
+    for i, cfg_d in enumerate(CONFIGS):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--config", str(i)],
+            capture_output=True, text=True, timeout=3000,
+        )
+        line = ""
+        for l in proc.stdout.splitlines():
+            if l.startswith("{"):
+                line = l
+        if proc.returncode == 0 and line:
+            print(line)
             return
-        except Exception as e:  # OOM on smaller HBM -> fall back
-            # keep only the message: the traceback would pin the failed
-            # attempt's device buffers and OOM every later config too
-            last_err = f"{type(e).__name__}: {e}"[:200]
-            sys.stderr.write(f"[bench] {cfg_d['label']} failed: {last_err}\n")
-        jax.clear_caches()
-        gc.collect()
+        last_err = (proc.stderr.strip().splitlines() or ["unknown"])[-1][:200]
+        sys.stderr.write(f"[bench] {cfg_d['label']} failed: {last_err}\n")
     print(json.dumps({
         "metric": "spec_speedup_at_ref_tau_T0", "value": 0.0, "unit": "x",
         "vs_baseline": 0.0, "error": last_err,
@@ -178,4 +165,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--config":
+        _run_one(int(sys.argv[2]))
+    else:
+        main()

@@ -14,7 +14,9 @@ from vispec_tpu.models import draft as draft_mod
 from vispec_tpu.models import llama
 from vispec_tpu.ops import kv_cache as kv
 from vispec_tpu.parallel.mesh import make_mesh
-from vispec_tpu.parallel.sharding import apply_specs, draft_param_specs, llama_param_specs
+from vispec_tpu.parallel.sharding import (
+    apply_specs, draft_param_specs, llama_param_specs, shard_cache,
+)
 from vispec_tpu.spec import loop as spec_loop
 
 TCFG = LlamaConfig(
@@ -61,10 +63,10 @@ def test_tp2_matches_single_device():
     with mesh:
         tp_t = apply_specs(mesh, tparams, llama_param_specs(TCFG))
         tp_d = apply_specs(mesh, dparams, draft_param_specs(DCFG))
-        # caches replicated; GSPMD shards activations as it sees fit
-        rep = lambda x: jax.device_put(x, NamedSharding(mesh, P()))
-        tc2 = jax.tree.map(rep, kv.init_cache(2, 2, 256, 16, jnp.float32))
-        dc2 = jax.tree.map(rep, kv.init_cache(1, 2, 256, 16, jnp.float32))
+        # KV caches sharded over the tp axis by KV heads — the head-sharded
+        # attention activations land on the same shard with no resharding
+        tc2 = shard_cache(mesh, kv.init_cache(2, 2, 256, 16, jnp.float32))
+        dc2 = shard_cache(mesh, kv.init_cache(1, 2, 256, 16, jnp.float32))
         out = run_rounds(tp_t, tp_d, tc2, dc2)
 
     n = min(len(ref), len(out))

@@ -72,9 +72,13 @@ def init_cache(
 
 
 def reset(cache: KVCache) -> KVCache:
-    """Logical reset: zero the lengths, keep the buffers (cf. utils.py:341-358)."""
+    """Logical reset: zero the lengths, keep the buffers (cf. utils.py:341-358).
+
+    The two length scalars must be DISTINCT buffers: a donated reset cache
+    (spec_prefill_donated / ar_prefill_donated) would otherwise donate one
+    buffer twice — a TPU-runtime INVALID_ARGUMENT."""
     zero = jnp.zeros((), jnp.int32)
-    return cache._replace(length=zero, real_length=zero)
+    return cache._replace(length=zero, real_length=zero + 0)
 
 
 def advance(cache: KVCache, valid_rows, real_rows=None) -> KVCache:

@@ -73,6 +73,29 @@ def draft_param_specs(cfg: DraftConfig) -> dict:
     return specs
 
 
+def kv_cache_specs():
+    """PartitionSpecs for ops/kv_cache.KVCache: KV heads split over ``tp`` —
+    attention activations are already head-sharded under llama_param_specs
+    (wq/wk/wv column-parallel), so the cache rows land on the same shard with
+    no resharding; lengths replicate."""
+    from ..ops.kv_cache import KVCache
+
+    return KVCache(
+        k=P(None, "tp", None, None),
+        v=P(None, "tp", None, None),
+        length=P(),
+        real_length=P(),
+    )
+
+
+def shard_cache(mesh: Mesh, cache):
+    """Device-put a KVCache with its heads sharded over the ``tp`` axis."""
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        cache, kv_cache_specs(),
+    )
+
+
 def apply_specs(mesh: Mesh, params: dict, specs: dict) -> dict:
     """Device-put a parameter pytree with the given PartitionSpecs."""
     return jax.tree.map(

@@ -6,6 +6,13 @@ batching is `jax.vmap` over a stacked SpecState: every request carries its own
 tree, caches, RNG, and done flag; finished requests keep executing (masked by
 ``done``) until the batch drains — static shapes, no ragged work.
 
+Serving-path features (parity with the single-request path):
+- vision requests: callers pass vision-merged embeds + PrefillPlans (built by
+  SpecModel._prompt_embeds — see SpecModel.specgenerate_batch);
+- chunked device-side rounds (one host sync per ``n_rounds``, mirroring
+  spec/loop.decode_rounds_chunk);
+- KV-cache buffer reuse across calls (no per-request init_cache churn).
+
 Memory note: KV caches dominate ([B, L, H, max_len, D]); pick max_len per
 serving budget.  Throughput scales with B until HBM bandwidth saturates (the
 weights are read once per round for the whole batch — this is the usual
@@ -16,11 +23,12 @@ design on chips with spare compute).
 from __future__ import annotations
 
 import functools
-from typing import List, Sequence
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from ..configs import DraftConfig, LlamaConfig, SpecConfig
 from ..models import draft as draft_mod
@@ -46,49 +54,141 @@ def batched_decode_round(
     max_new_tokens,
 ):
     def one(state):
-        new = spec_loop.decode_round.__wrapped__(
+        # decode_round freezes finished requests internally (latch_done):
+        # rounds execute unconditionally and only the cursor/output leaves
+        # are selected — a full-tree `where` here would copy the
+        # multi-hundred-MB caches per request per round
+        return spec_loop.decode_round.__wrapped__(
             tparams, dparams, tcfg, dcfg, spec, sampling, state,
             eos_id, max_new_tokens,
         )
-        # freeze finished requests (they still execute, results discarded)
-        return jax.tree.map(lambda old, upd: jnp.where(state.done, old, upd),
-                            state, new)
 
     return jax.vmap(one)(states)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("tcfg", "dcfg", "spec", "sampling", "n_rounds"),
+    donate_argnames=("states",),
+)
+def batched_decode_rounds_chunk(
+    tparams: dict,
+    dparams: dict,
+    tcfg: LlamaConfig,
+    dcfg: DraftConfig,
+    spec: SpecConfig,
+    sampling: spec_loop.SamplingParams,
+    states: spec_loop.SpecState,
+    eos_id,
+    max_new_tokens,
+    n_rounds: int = 8,
+):
+    """``n_rounds`` batched rounds in one dispatch; the host checks the done
+    flags once per chunk (the single-request analog is decode_rounds_chunk)."""
+
+    def one(state):
+        # internal latch_done freezes finished requests
+        return spec_loop.decode_round.__wrapped__(
+            tparams, dparams, tcfg, dcfg, spec, sampling, state,
+            eos_id, max_new_tokens,
+        )
+
+    def body(states, _):
+        states = jax.vmap(one)(states)
+        return states, states.new_token  # [B] cumulative counters per round
+
+    states, counts = lax.scan(body, states, None, length=n_rounds)
+    return states, counts
+
+
 def batched_prefill(
     tparams, dparams, tcfg, dcfg, spec, sampling,
-    prompts: Sequence[Sequence[int]],
+    requests: Sequence[dict],
     max_len: int,
     max_out: int,
     dtype=jnp.bfloat16,
     seed: int = 0,
+    cache_pool: Optional[List] = None,
 ) -> spec_loop.SpecState:
-    """Prefill each prompt (shared compiled graph per pad bucket) and stack."""
-    slack = spec.depth * spec.top_k + spec.depth + 2
-    slack = max(spec.total_tokens, slack) + 10
+    """Prefill each request and stack into a batched SpecState.
+
+    Each request dict carries ``embeds`` [pad, D] (vision-merged, padded to a
+    SHARED bucket), ``real_len``, ``plan``, ``max_span``, and optionally
+    ``position_ids`` / ``rope_delta`` (Qwen M-RoPE).  ``cache_pool`` is a list
+    of (target_cache, draft_cache) pairs reused across calls (grown on
+    demand); pass None to allocate fresh buffers.
+    """
     states: List[spec_loop.SpecState] = []
-    for i, prompt in enumerate(prompts):
-        l = len(prompt)
-        pad = max(128, ((l + 127) // 128) * 128)
-        if pad > max_len or l + slack > max_len:
-            raise ValueError(
-                f"prompt {i} length {l} (bucketed {pad}) too long for "
-                f"max_len={max_len} (needs {slack} rows of tree headroom)"
-            )
-        embeds = llama.embed(tparams, jnp.asarray(prompt, jnp.int32))
-        embeds = jnp.pad(embeds, ((0, pad - l), (0, 0)))
-        plan, ms = draft_mod.make_prefill_plan(None, l, dcfg.num_q, pad)
-        tc = kv.init_cache(tcfg.num_hidden_layers, tcfg.num_key_value_heads,
-                           max_len, tcfg.head_dim, dtype)
-        dc = kv.init_cache(1, dcfg.num_key_value_heads, max_len, dcfg.head_dim, dtype)
+    for i, req in enumerate(requests):
+        if cache_pool is not None and i < len(cache_pool):
+            tc, dc = cache_pool[i]
+            tc, dc = kv.reset(tc), kv.reset(dc)
+        else:
+            tc = kv.init_cache(tcfg.num_hidden_layers, tcfg.num_key_value_heads,
+                               max_len, tcfg.head_dim, dtype)
+            dc = kv.init_cache(1, dcfg.num_key_value_heads, max_len,
+                               dcfg.head_dim, dtype)
+            if cache_pool is not None:
+                cache_pool.append((tc, dc))
         st = spec_loop.spec_prefill(
-            tparams, dparams, tcfg, dcfg, spec, plan, sampling, embeds,
-            tc, dc, jax.random.PRNGKey(seed + i), max_out, ms,
+            tparams, dparams, tcfg, dcfg, spec, req["plan"], sampling,
+            req["embeds"], tc, dc, jax.random.PRNGKey(seed + i), max_out,
+            req["max_span"],
+            position_ids=req.get("position_ids"),
+            rope_delta=req.get("rope_delta"),
         )
         states.append(st)
     return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+
+def text_requests(tparams, dcfg, prompts: Sequence[Sequence[int]],
+                  max_len: int, slack: int) -> List[dict]:
+    """Prepare plain-text requests with a shared pad bucket."""
+    longest = max(len(p) for p in prompts)
+    pad = max(128, ((longest + 127) // 128) * 128)
+    if pad > max_len or longest + slack > max_len:
+        raise ValueError(
+            f"longest prompt {longest} (bucketed {pad}) too long for "
+            f"max_len={max_len} (needs {slack} rows of tree headroom)"
+        )
+    out = []
+    for prompt in prompts:
+        l = len(prompt)
+        embeds = llama.embed(tparams, jnp.asarray(prompt, jnp.int32))
+        embeds = jnp.pad(embeds, ((0, pad - l), (0, 0)))
+        plan, ms = draft_mod.make_prefill_plan(None, l, dcfg.num_q, pad)
+        out.append(dict(embeds=embeds, real_len=l, plan=plan, max_span=ms))
+    return out
+
+
+def drain_batch(
+    tparams, dparams, tcfg, dcfg, spec, sampling, states,
+    budget: int, eos_id: int, chunk_rounds: int = 8,
+):
+    """Run batched rounds until every request is done or the budget is hit.
+    Returns (states, per-request acceptance-length lists)."""
+    eos = jnp.asarray(eos_id, jnp.int32)
+    cap = jnp.asarray(budget, jnp.int32)
+    b = int(states.done.shape[0])
+    prev = np.zeros(b, np.int64)
+    accepts: List[List[int]] = [[] for _ in range(b)]
+    rounds = 0
+    while rounds < budget:
+        states, counts = batched_decode_rounds_chunk(
+            tparams, dparams, tcfg, dcfg, spec, sampling, states, eos, cap,
+            n_rounds=chunk_rounds,
+        )
+        counts = np.asarray(counts)  # [n_rounds, B] cumulative
+        for r in range(counts.shape[0]):
+            for j in range(b):
+                c = int(counts[r, j])
+                if c != prev[j]:
+                    accepts[j].append(c - int(prev[j]) - 1)
+                    prev[j] = c
+        rounds += chunk_rounds
+        if bool(jnp.all(states.done)):
+            break
+    return states, accepts
 
 
 def generate_batch(
@@ -100,30 +200,29 @@ def generate_batch(
     temperature: float = 0.0,
     dtype=jnp.bfloat16,
     seed: int = 0,
+    chunk_rounds: int = 8,
+    cache_pool: Optional[List] = None,
 ) -> List[np.ndarray]:
-    """Decode a batch of prompts to completion; returns generated ids per request."""
+    """Decode a batch of text prompts to completion; returns generated ids per
+    request.  (Vision requests go through SpecModel.specgenerate_batch, which
+    prepares vision-merged request dicts.)"""
     sampling = spec_loop.SamplingParams(temperature=temperature)
-    max_out = max_new_tokens + 2 * (spec.depth + 2)
-    states = batched_prefill(
-        tparams, dparams, tcfg, dcfg, spec, sampling, prompts,
-        max_len, max_out, dtype, seed,
-    )
-    # cap generation so no request can overflow its cache (same slack math as
-    # SpecModel.specgenerate — the batched path previously had no guard)
     slack = max(spec.total_tokens, spec.depth * spec.top_k + spec.depth + 2) + 10
+    max_out = max_new_tokens + 2 * (spec.depth + 2)
+    requests = text_requests(tparams, dcfg, prompts, max_len, slack)
+    states = batched_prefill(
+        tparams, dparams, tcfg, dcfg, spec, sampling, requests,
+        max_len, max_out, dtype, seed, cache_pool=cache_pool,
+    )
     longest = max(len(p) for p in prompts)
     budget = min(max_new_tokens, max_len - longest - slack)
     if budget <= 0:
         raise ValueError(f"no generation headroom: max_len={max_len}, longest "
                          f"prompt {longest}, slack {slack}")
-    eos = np.int32(eos_id)
-    cap = np.int32(budget)
-    for _ in range(budget):  # rounds upper bound
-        states = batched_decode_round(
-            tparams, dparams, tcfg, dcfg, spec, sampling, states, eos, cap
-        )
-        if bool(jnp.all(states.done)):
-            break
+    states, _ = drain_batch(
+        tparams, dparams, tcfg, dcfg, spec, sampling, states, budget, eos_id,
+        chunk_rounds,
+    )
     outs = []
     for b in range(len(prompts)):
         out_len = int(states.out_len[b])

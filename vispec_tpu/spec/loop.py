@@ -75,10 +75,6 @@ class SamplingParams(NamedTuple):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("tcfg", "dcfg", "spec", "sampling", "max_out", "max_span"),
-)
 def spec_prefill(
     tparams: dict,
     dparams: dict,
@@ -156,6 +152,18 @@ def spec_prefill(
         fuse_wh=w_h,
         fuse_b=b_eff,
     )
+
+
+_PREFILL_STATIC = ("tcfg", "dcfg", "spec", "sampling", "max_out", "max_span")
+_spec_prefill_fn = spec_prefill
+spec_prefill = jax.jit(_spec_prefill_fn, static_argnames=_PREFILL_STATIC)
+# donated variant for the single-request path: without aliasing, prefill
+# copies both multi-hundred-MB caches (OOMs 7B at max_len=2048).  The batched
+# path must keep the non-donated variant — its cache pool outlives the call.
+spec_prefill_donated = jax.jit(
+    _spec_prefill_fn, static_argnames=_PREFILL_STATIC,
+    donate_argnames=("target_cache", "draft_cache"),
+)
 
 
 # ---------------------------------------------------------------------------
@@ -272,7 +280,7 @@ def decode_round(
         draft_cache, fuse_w=fuse_w,
     )
 
-    return SpecState(
+    new_state = SpecState(
         tree=new_tree,
         target_cache=target_cache,
         draft_cache=draft_cache,
@@ -285,6 +293,43 @@ def decode_round(
         rope_delta=state.rope_delta,
         fuse_wh=state.fuse_wh,
         fuse_b=state.fuse_b,
+    )
+    # in-graph done latch: rounds dispatched after completion (the host
+    # pipelines one read-batch ahead) are no-ops on every cursor — see
+    # latch_done for why the big cache buffers flow through unlatched
+    return latch_done(state, new_state)
+
+
+def latch_done(prev: SpecState, new: SpecState) -> SpecState:
+    """Freeze a finished request after an unconditionally-executed round.
+
+    CRITICAL for performance: wrapping the round in ``lax.cond`` (or selecting
+    the cache buffers with ``where``) breaks XLA's in-place aliasing of the
+    per-layer ``dynamic_update_slice`` cache writes — every layer then copies
+    the full multi-hundred-MB cache (measured 128 ms/step vs 21.8 ms at
+    7B/1024).  Instead the round always executes and only the small
+    cursor/output leaves are selected; the big K/V buffers flow through
+    unlatched — rows written past the frozen ``length`` are unreachable
+    garbage, overwritten by the next live round.
+    """
+    sel = lambda old, upd: jnp.where(prev.done, old, upd)
+    return new._replace(
+        tree=jax.tree.map(sel, prev.tree, new.tree),
+        target_cache=new.target_cache._replace(
+            length=sel(prev.target_cache.length, new.target_cache.length),
+            real_length=sel(prev.target_cache.real_length,
+                            new.target_cache.real_length),
+        ),
+        draft_cache=new.draft_cache._replace(
+            length=sel(prev.draft_cache.length, new.draft_cache.length),
+            real_length=sel(prev.draft_cache.real_length,
+                            new.draft_cache.real_length),
+        ),
+        output=sel(prev.output, new.output),
+        out_len=sel(prev.out_len, new.out_len),
+        new_token=sel(prev.new_token, new.new_token),
+        done=prev.done | new.done,
+        key=sel(prev.key, new.key),
     )
 
 
@@ -305,19 +350,18 @@ def decode_rounds_chunk(
     max_new_tokens,
     n_rounds: int = 8,
 ) -> SpecState:
-    """Run up to ``n_rounds`` decode rounds in one dispatch; rounds after the
-    done latch are skipped via lax.cond (only the live branch executes on TPU).
-    The host then checks ``done`` once per chunk instead of once per round —
-    the reference pays several host syncs per round (SURVEY.md §3.2)."""
+    """Run ``n_rounds`` decode rounds in one dispatch; rounds after the done
+    latch still execute but their effects are discarded (see latch_done — a
+    lax.cond here costs 5x by breaking cache aliasing).  The host checks
+    ``done`` once per chunk instead of once per round — the reference pays
+    several host syncs per round (SURVEY.md §3.2)."""
 
     def body(state, _):
-        def live(st):
-            return decode_round.__wrapped__(
-                tparams, dparams, tcfg, dcfg, spec, sampling, st,
-                eos_id, max_new_tokens,
-            )
-
-        new_state = lax.cond(state.done, lambda st: st, live, state)
+        # decode_round latches internally (latch_done)
+        new_state = decode_round.__wrapped__(
+            tparams, dparams, tcfg, dcfg, spec, sampling, state,
+            eos_id, max_new_tokens,
+        )
         # cumulative token counter per round; the host diffs these to recover
         # per-round acceptance lengths (tau reporting)
         return new_state, new_state.new_token
@@ -334,6 +378,7 @@ def decode_rounds_chunk(
 @functools.partial(
     jax.jit,
     static_argnames=("tcfg", "spec", "sampling", "max_out"),
+    donate_argnames=("target_cache",),
 )
 def medusa_prefill(
     tparams: dict,
@@ -417,7 +462,7 @@ def medusa_decode_round(
     new_tree = medusa_mod.expand_tree(
         mparams, spec, best_hidden, bonus, tparams["lm_head"]
     )
-    return SpecState(
+    new_state = SpecState(
         tree=new_tree,
         target_cache=target_cache,
         draft_cache=state.draft_cache,
@@ -431,6 +476,39 @@ def medusa_decode_round(
         fuse_wh=state.fuse_wh,
         fuse_b=state.fuse_b,
     )
+    return latch_done(state, new_state)  # see decode_round
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tcfg", "spec", "sampling", "n_rounds"),
+    donate_argnames=("state",),
+)
+def medusa_decode_rounds_chunk(
+    tparams: dict,
+    mparams: dict,
+    tcfg: LlamaConfig,
+    spec: SpecConfig,
+    sampling: SamplingParams,
+    state: SpecState,
+    eos_id,
+    max_new_tokens,
+    n_rounds: int = 8,
+):
+    """Medusa analog of decode_rounds_chunk: one dispatch per ``n_rounds``
+    rounds with a done latch (the Medusa path previously paid a host sync
+    every round).  Rounds run unconditionally; latch_done keeps the cache
+    aliasing in place."""
+
+    def body(state, _):
+        # medusa_decode_round latches internally (latch_done)
+        new_state = medusa_decode_round.__wrapped__(
+            tparams, mparams, tcfg, spec, sampling, state, eos_id,
+            max_new_tokens,
+        )
+        return new_state, new_state.new_token
+
+    return lax.scan(body, state, None, length=n_rounds)
 
 
 # ---------------------------------------------------------------------------
@@ -438,7 +516,8 @@ def medusa_decode_round(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("tcfg", "sampling"))
+@functools.partial(jax.jit, static_argnames=("tcfg", "sampling"),
+                   donate_argnames=("cache",))
 def ar_step(
     tparams: dict,
     tcfg: LlamaConfig,
@@ -450,7 +529,9 @@ def ar_step(
 ) -> Tuple[jax.Array, kv.KVCache, jax.Array]:
     """One greedy/sampled AR decode step over the same KV runtime.
 
-    Mirrors the baseline loop (gen_baseline_answer_sqa.py:146-165)."""
+    Mirrors the baseline loop (gen_baseline_answer_sqa.py:146-165).  The cache
+    is donated: without aliasing XLA copies both multi-hundred-MB cache
+    buffers every step (~1.3 ms at 7B/2048)."""
     embeds = llama.embed(tparams, token[None])
     pos = cache.length[None]
     if rope_delta is not None:
@@ -476,7 +557,49 @@ def ar_step(
     return nxt, cache, key
 
 
-@functools.partial(jax.jit, static_argnames=("tcfg", "sampling"))
+@functools.partial(jax.jit, static_argnames=("tcfg", "sampling", "n_steps"),
+                   donate_argnames=("cache",))
+def ar_steps_chunk(
+    tparams: dict,
+    tcfg: LlamaConfig,
+    sampling: SamplingParams,
+    token: jax.Array,  # [] int32 — last emitted token
+    cache: kv.KVCache,
+    key: jax.Array,
+    eos_id,
+    rope_delta: Optional[jax.Array] = None,
+    n_steps: int = 8,
+) -> Tuple[jax.Array, jax.Array, kv.KVCache, jax.Array]:
+    """``n_steps`` AR decode steps in one dispatch (host dispatch costs ~1 ms
+    on this host — see CLAUDE.md).  Steps after the EOS latch still execute
+    but only the cursor leaves advance (a lax.cond here would break the
+    in-place cache aliasing and cost 5x — see latch_done).  Returns
+    (tokens [n_steps], done, cache, key); tokens after EOS are repeats of EOS
+    and must be trimmed by the caller."""
+    delta = (jnp.zeros((), jnp.int32) if rope_delta is None
+             else jnp.asarray(rope_delta, jnp.int32))
+
+    def body(carry, _):
+        token, cache, key, done = carry
+        nxt, new_cache, new_key = ar_step.__wrapped__(
+            tparams, tcfg, sampling, token, cache, key, rope_delta=delta
+        )
+        sel = lambda old, upd: jnp.where(done, old, upd)
+        new_cache = new_cache._replace(
+            length=sel(cache.length, new_cache.length),
+            real_length=sel(cache.real_length, new_cache.real_length),
+        )
+        nxt = sel(token, nxt)
+        new_key = sel(key, new_key)
+        done = done | (nxt == eos_id)
+        return (nxt, new_cache, new_key, done), nxt
+
+    (token, cache, key, done), toks = lax.scan(
+        body, (token, cache, key, jnp.zeros((), bool)), None, length=n_steps
+    )
+    return toks, done, cache, key
+
+
 def ar_prefill(
     tparams: dict,
     tcfg: LlamaConfig,
@@ -503,3 +626,12 @@ def ar_prefill(
         )
         nxt = sample_categorical(k_s, p).astype(jnp.int32)
     return nxt, cache, key
+
+
+_ar_prefill_fn = ar_prefill
+ar_prefill = jax.jit(_ar_prefill_fn, static_argnames=("tcfg", "sampling"))
+# donated variant (see spec_prefill_donated): avoids a full-cache copy
+ar_prefill_donated = jax.jit(
+    _ar_prefill_fn, static_argnames=("tcfg", "sampling"),
+    donate_argnames=("cache",),
+)

@@ -573,7 +573,7 @@ class SpecModel:
                 jax.random.PRNGKey(seed), max_out,
             )
         else:
-            state = spec_loop.spec_prefill(
+            state = spec_loop.spec_prefill_donated(
                 self.tparams, self.dparams, self.tcfg, self.dcfg, self.spec, plan,
                 sampling, embeds, target_cache, draft_cache,
                 jax.random.PRNGKey(seed), max_out, max_span,
@@ -587,40 +587,61 @@ class SpecModel:
         rounds = 0
         eos = jnp.asarray(self.eos_token_id, jnp.int32)
         cap = jnp.asarray(budget, jnp.int32)
-        if self.mparams is None and self.chunk_rounds > 1:
-            # chunked device-side decoding: one host sync per chunk
-            prev = 0
-            while rounds < budget:
-                state, counts = spec_loop.decode_rounds_chunk(
-                    self.tparams, self.dparams, self.tcfg, self.dcfg, self.spec,
-                    sampling, state, eos, cap, n_rounds=self.chunk_rounds,
+        def one_round(state):
+            if self.mparams is not None:
+                return spec_loop.medusa_decode_round(
+                    self.tparams, self.mparams, self.tcfg, self.spec,
+                    sampling, state, eos, cap,
                 )
-                counts = np.asarray(counts)
-                for c in counts:
-                    if int(c) == prev:  # latched (skipped) round
-                        break
+            return spec_loop.decode_round(
+                self.tparams, self.dparams, self.tcfg, self.dcfg, self.spec,
+                sampling, state, eos, cap,
+            )
+
+        if self.chunk_rounds > 1:
+            # Pipelined decoding: dispatch ``chunk_rounds`` rounds
+            # asynchronously, stack their device-side counters, and read the
+            # PREVIOUS batch's counters while the current batch executes —
+            # the host↔TPU read round-trip (~25 ms over the tunnel) fully
+            # overlaps execution instead of serializing after every round.
+            # The in-graph done latch (decode_round caps new_token) makes the
+            # one-batch dispatch lookahead safe.
+            prev = 0
+            pending = None
+            stop = False
+
+            def process(vals) -> bool:
+                nonlocal prev, rounds
+                for c in np.asarray(vals):
+                    if int(c) == prev:  # latched round => generation done
+                        return True
                     accept_lengths.append(int(c) - prev - 1)
                     prev = int(c)
                     rounds += 1
-                if bool(state.done):
-                    break
-                if stop_token_id is not None:
-                    chunk_out = np.asarray(state.output)[: int(state.out_len)]
-                    if (chunk_out == stop_token_id).any():
+                return False
+
+            while rounds < budget and not stop:
+                counters = []
+                for _ in range(self.chunk_rounds):
+                    state = one_round(state)
+                    # .copy(): the next round DONATES state, deleting the
+                    # buffer this counter aliases
+                    counters.append(state.new_token.copy())
+                batch_dev = jnp.stack(counters)
+                if pending is not None:
+                    stop = process(pending)
+                pending = batch_dev
+                if not stop and stop_token_id is not None:
+                    # rare path (extra stop ids): requires a synced read
+                    out_now = np.asarray(state.output)[: int(state.out_len)]
+                    if (out_now == stop_token_id).any():
                         break
+            if pending is not None and not stop:
+                process(pending)
         else:
             while True:
                 prev = int(state.new_token)
-                if self.mparams is not None:
-                    state = spec_loop.medusa_decode_round(
-                        self.tparams, self.mparams, self.tcfg, self.spec,
-                        sampling, state, eos, cap,
-                    )
-                else:
-                    state = spec_loop.decode_round(
-                        self.tparams, self.dparams, self.tcfg, self.dcfg, self.spec,
-                        sampling, state, eos, cap,
-                    )
+                state = one_round(state)
                 rounds += 1
                 accept_lengths.append(int(state.new_token) - prev - 1)
                 if bool(state.done) or rounds >= budget:
@@ -652,6 +673,116 @@ class SpecModel:
             acceptance_lengths=accept_lengths,
             decode_time=decode_time,
         )
+
+    # ------------------------------------------------------------------
+    def specgenerate_batch(
+        self,
+        requests: Sequence[dict],
+        temperature: float = 0.0,
+        max_new_tokens: int = 256,
+        seed: int = 0,
+    ) -> List[GenerationResult]:
+        """Batched multi-request decoding (beyond the reference's bs=1 design,
+        utils.py:541): each request dict carries ``input_ids`` and optionally
+        ``pixel_values`` / ``image_size``.  Vision requests run the same
+        tower/merge path as specgenerate; all requests share one pad bucket so
+        the whole batch hits one compiled prefill + one batched round graph.
+        Finished requests are frozen in place until the batch drains."""
+        from . import batch as batch_mod
+
+        if self.mparams is not None:
+            raise NotImplementedError("batched decoding supports the "
+                                      "vispec/eagle drafts, not medusa")
+        sampling = spec_loop.SamplingParams(temperature)
+        slack = self._cache_slack()
+        lens = [len(np.asarray(r["input_ids"])) for r in requests]
+        pad = _bucket(max(lens))
+        if pad > self.max_len or max(lens) + slack > self.max_len:
+            raise ValueError(f"longest prompt {max(lens)} too long for "
+                             f"max_len={self.max_len} (slack {slack})")
+
+        prepared = []
+        spans = []
+        for r in requests:
+            ids = np.asarray(r["input_ids"], np.int64)
+            embeds, image_mask, position_ids, rope_delta = self._prompt_embeds(
+                ids, r.get("pixel_values"), r.get("image_size"),
+                r.get("pixel_values_videos"), r.get("second_per_grid_ts", 1.0),
+            )
+            l = len(ids)
+            embeds = jnp.pad(embeds, ((0, pad - l), (0, 0)))
+            if position_ids is not None:
+                cont = position_ids[:, -1:] + 1 + np.arange(pad - l)[None, :]
+                position_ids = jnp.asarray(
+                    np.concatenate([position_ids, cont], axis=1), jnp.int32
+                )
+            shifted = image_mask[1:] if image_mask is not None else None
+            n_spans = 0
+            if shifted is not None:
+                m = np.asarray(shifted, bool)
+                n_spans = int((m & ~np.concatenate([[False], m[:-1]])).sum())
+            spans.append(n_spans)
+            prepared.append(dict(ids=ids, embeds=embeds, shifted=shifted,
+                                 position_ids=position_ids,
+                                 rope_delta=jnp.asarray(rope_delta, jnp.int32)))
+
+        # shared plan buckets across the batch -> one compiled graph
+        max_images = max(4, -(-max(spans) // 4) * 4)
+        reqs = []
+        max_span_req = 64
+        plans = []
+        for p in prepared:
+            plan, ms = draft_mod.make_prefill_plan(
+                p["shifted"], len(p["ids"]), self.dcfg.num_q, pad,
+                max_images=max_images, max_span=_bucket(1, 64),
+            )
+            plans.append(plan)
+            max_span_req = max(max_span_req, _bucket(ms, 64))
+        for p, plan in zip(prepared, plans):
+            if max_span_req > 64:  # re-plan at the shared span bucket
+                plan, _ = draft_mod.make_prefill_plan(
+                    p["shifted"], len(p["ids"]), self.dcfg.num_q, pad,
+                    max_images=max_images, max_span=max_span_req,
+                )
+            reqs.append(dict(embeds=p["embeds"], real_len=len(p["ids"]),
+                             plan=plan, max_span=max_span_req,
+                             position_ids=p["position_ids"],
+                             rope_delta=p["rope_delta"]))
+
+        pad_block = self.spec.depth + 2
+        max_out = min(self.max_len, max_new_tokens + 2 * pad_block)
+        if not hasattr(self, "_batch_pool"):
+            self._batch_pool = []
+        t0 = time.perf_counter()
+        states = batch_mod.batched_prefill(
+            self.tparams, self.dparams, self.tcfg, self.dcfg, self.spec,
+            sampling, reqs, self.max_len, max_out, self.dtype, seed,
+            cache_pool=self._batch_pool,
+        )
+        budget = min(max_new_tokens, self.max_len - max(lens) - slack)
+        states, accepts = batch_mod.drain_batch(
+            self.tparams, self.dparams, self.tcfg, self.dcfg, self.spec,
+            sampling, states, budget, self.eos_token_id, self.chunk_rounds,
+        )
+        decode_time = time.perf_counter() - t0
+
+        results = []
+        for b, r in enumerate(requests):
+            out_len = int(states.out_len[b])
+            toks = np.asarray(states.output[b])[:out_len]
+            epos = np.nonzero(toks == self.eos_token_id)[0]
+            if epos.size:
+                toks = toks[: epos[0] + 1]
+            toks = toks[:max_new_tokens]
+            results.append(GenerationResult(
+                sequences=np.concatenate(
+                    [np.asarray(r["input_ids"], np.int64), toks]),
+                new_tokens=int(toks.shape[0]),
+                rounds=len(accepts[b]),
+                acceptance_lengths=accepts[b],
+                decode_time=decode_time,
+            ))
+        return results
 
     # ------------------------------------------------------------------
     def ar_generate(
@@ -691,19 +822,44 @@ class SpecModel:
             )
         cache = kv.reset(self.target_cache)
         key = jax.random.PRNGKey(seed)
-        tok, cache, key = spec_loop.ar_prefill(
+        tok, cache, key = spec_loop.ar_prefill_donated(
             self.tparams, self.tcfg, sampling, embeds,
             jnp.asarray(l, jnp.int32), cache, key, position_ids=position_ids,
         )
         t0 = time.perf_counter()
         out = [int(tok)]
-        budget = min(max_new_tokens, self.max_len - l - 2)
+        chunk = self.chunk_rounds  # read-batch size (host sync ~25 ms RTT)
+        # headroom for one lookahead batch of steps past eos/budget
+        budget = min(max_new_tokens, self.max_len - l - 2 * chunk - 2)
         delta = jnp.asarray(rope_delta, jnp.int32)
-        while len(out) < budget and out[-1] != self.eos_token_id:
-            tok, cache, key = spec_loop.ar_step(
-                self.tparams, self.tcfg, sampling, tok, cache, key, rope_delta=delta
-            )
-            out.append(int(tok))
+        # Pipelined AR baseline: dispatch ``chunk`` solo steps asynchronously
+        # (dispatch ~1 ms each overlaps the ~20 ms execution), stack the
+        # device tokens, and read the PREVIOUS batch while this one executes.
+        pending = None
+        stop = out[-1] == self.eos_token_id
+
+        def process(vals) -> bool:
+            for t in np.asarray(vals):
+                out.append(int(t))
+                if int(t) == self.eos_token_id or len(out) >= budget:
+                    return True
+            return False
+
+        while len(out) < budget and not stop:
+            toks = []
+            for _ in range(chunk):
+                tok, cache, key = spec_loop.ar_step(
+                    self.tparams, self.tcfg, sampling, tok, cache, key,
+                    rope_delta=delta,
+                )
+                toks.append(tok)
+            batch_dev = jnp.stack(toks)
+            if pending is not None:
+                stop = process(pending)
+            pending = batch_dev
+        if pending is not None and not stop:
+            process(pending)
+        out = out[:max_new_tokens]
         decode_time = time.perf_counter() - t0
         self.target_cache = kv.reset(cache)
         return GenerationResult(

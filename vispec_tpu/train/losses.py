@@ -38,11 +38,16 @@ def draft_loss(
 
     loss = 10.0 * ploss + 0.1 * rloss
 
-    # top-1 accuracy of the first (non-MTP) prediction for logging
-    pred_tok = jnp.argmax(student_logits, axis=-1)
+    # top-1/2/3 accuracy for logging (reference tracks all three,
+    # main_mtp.py:693-714)
+    metrics = {"ploss": ploss, "rloss": rloss}
     tgt_tok = jnp.argmax(target_p, axis=-1)
-    acc = ((pred_tok == tgt_tok) * mask).sum() / denom
-    return loss, {"ploss": ploss, "rloss": rloss, "acc": acc}
+    _, top3 = jax.lax.top_k(student_logits, 3)  # [N, S, 3]
+    hit = top3 == tgt_tok[..., None]
+    for k in (1, 2, 3):
+        name = "acc" if k == 1 else f"acc_top{k}"
+        metrics[name] = (jnp.any(hit[..., :k], axis=-1) * mask).sum() / denom
+    return loss, metrics
 
 
 def smooth_l1(x: jax.Array, y: jax.Array, beta: float = 1.0) -> jax.Array:
@@ -79,7 +84,11 @@ def stage1_loss(
     rloss = -(((s_topk - log_denom).sum(-1)) * mask).sum() / denom
 
     loss = v_w * vloss + p_w * ploss + 0.1 * rloss
-    pred_tok = jnp.argmax(student_logits, axis=-1)
+    metrics = {"vloss": vloss, "ploss": ploss, "rloss": rloss}
     tgt_tok = jnp.argmax(target_p, axis=-1)
-    acc = ((pred_tok == tgt_tok) * mask).sum() / denom
-    return loss, {"vloss": vloss, "ploss": ploss, "rloss": rloss, "acc": acc}
+    _, top3 = jax.lax.top_k(student_logits, 3)
+    hit = top3 == tgt_tok[..., None]
+    for k in (1, 2, 3):
+        name = "acc" if k == 1 else f"acc_top{k}"
+        metrics[name] = (jnp.any(hit[..., :k], axis=-1) * mask).sum() / denom
+    return loss, metrics
