@@ -102,6 +102,36 @@ def test_qwen_vl_ingestion(tmp_path):
     _assert_lossless(model, ids, img, (56, 56))
 
 
+def test_qwen_vl_video_ingestion(tmp_path):
+    """Video branch with converted weights: pixel_values_videos through the
+    temporal patchify + windowed ViT + M-RoPE video positions (reference
+    spec_model_ours.py:422-453), greedy-lossless vs AR."""
+    from vispec_tpu.spec.spec_model import SpecModel
+    from tests.vlm_fixtures import VIDEO_TOKEN
+
+    tdir, ddir = str(tmp_path / "t"), str(tmp_path / "d")
+    write_qwen_vl_ckpt(tdir)
+    write_vision_draft_ckpt(ddir, qkv_bias=True)
+    model = SpecModel.from_pretrained(
+        tdir, ddir, total_token=12, depth=3, top_k=4, max_len=512,
+        dtype=jnp.float32, min_pixels=56 * 56,
+    )
+    rng = np.random.default_rng(4)
+    frames = jnp.asarray(rng.uniform(0, 1, (4, 56, 56, 3)).astype(np.float32))
+    # 4 frames -> 2 temporal groups x (4x4 patches -> 4 merged) = 8 video tokens
+    n = 8
+    ids = (list(range(10, 20)) + [VISION_START] + [VIDEO_TOKEN] * n
+           + list(range(30, 44)))
+    spec = model.specgenerate(ids, max_new_tokens=10,
+                              pixel_values_videos=frames)
+    ar = model.ar_generate(ids, max_new_tokens=10,
+                           pixel_values_videos=frames)
+    m = min(spec.new_tokens, ar.new_tokens, 10)
+    assert m >= 5
+    assert spec.sequences[: len(ids) + m].tolist() == \
+        ar.sequences[: len(ids) + m].tolist()
+
+
 def test_pretrain_gen_multimodal_trains_adaptor(tmp_path):
     """The VERDICT-#1 proof: fabricated VLM -> image-conditioned sample with a
     real image_mask -> draft training moves the vision adaptor."""

@@ -1,0 +1,86 @@
+"""Batched-serving throughput benchmark (beyond the reference's bs=1 design).
+
+  python -m vispec_tpu.evaluation.bench_batch [--sizes 1,2,4] [--model 1B]
+
+Builds a random-weight target+draft at the requested scale, decodes a batch of
+prompts through SpecModel.specgenerate_batch, and reports tokens/s per batch
+size plus the scaling factor vs bs=1.  Weights are read once per round for the
+whole batch, so throughput scales with B until HBM is bandwidth-saturated —
+the structural reason batching beats the reference's single-request design.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+MODELS = {
+    "7B": dict(num_hidden_layers=32, hidden_size=4096, intermediate_size=11008,
+               num_attention_heads=32, num_key_value_heads=32),
+    "3B": dict(num_hidden_layers=24, hidden_size=3072, intermediate_size=8192,
+               num_attention_heads=24, num_key_value_heads=24),
+    "1B": dict(num_hidden_layers=12, hidden_size=2048, intermediate_size=5504,
+               num_attention_heads=16, num_key_value_heads=16),
+}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="1B", choices=sorted(MODELS))
+    p.add_argument("--sizes", default="1,2,4")
+    p.add_argument("--max-len", type=int, default=512)
+    p.add_argument("--new-tokens", type=int, default=64)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir",
+                      __file__.rsplit("/vispec_tpu", 1)[0] + "/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from ..configs import DraftConfig, LlamaConfig, SpecConfig
+    from ..models import draft as draft_mod
+    from ..models import llama
+    from ..spec.spec_model import SpecModel
+
+    dims = MODELS[args.model]
+    tcfg = LlamaConfig(vocab_size=32000, max_position_embeddings=args.max_len,
+                       **dims)
+    dcfg = DraftConfig(vocab_size=32000, max_position_embeddings=args.max_len,
+                       **dims)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    tparams = llama.init_params(tcfg, k1, jnp.bfloat16)
+    dparams = draft_mod.init_params(dcfg, k2, jnp.bfloat16)
+    dparams["embed"] = tparams["embed"]
+    model = SpecModel(tcfg, dcfg, SpecConfig(total_tokens=30, depth=3, top_k=8),
+                      tparams, dparams, max_len=args.max_len,
+                      dtype=jnp.bfloat16, eos_token_id=10**6)
+
+    rng = np.random.default_rng(0)
+    rows = []
+    base_tps = None
+    for b in [int(x) for x in args.sizes.split(",")]:
+        reqs = [{"input_ids": rng.integers(10, 31990, 100).tolist()}
+                for _ in range(b)]
+        # warm with the SAME max_new_tokens: max_out sizes the SpecState and
+        # keys the compiled graphs
+        model.specgenerate_batch(reqs, max_new_tokens=args.new_tokens)
+        t0 = time.perf_counter()
+        results = model.specgenerate_batch(reqs, max_new_tokens=args.new_tokens)
+        dt = time.perf_counter() - t0
+        toks = sum(r.new_tokens for r in results)
+        tps = toks / dt
+        if base_tps is None:
+            base_tps = tps
+        rows.append(dict(batch=b, tokens_per_s=round(tps, 1),
+                         scaling_vs_b1=round(tps / base_tps, 2),
+                         wall_s=round(dt, 3), tokens=toks))
+        print(json.dumps(rows[-1]), flush=True)
+    return rows
+
+
+if __name__ == "__main__":
+    main()

@@ -19,12 +19,33 @@ import jax.numpy as jnp
 NEG_INF = jnp.float32(-1e9)
 
 _PALLAS_OK: Optional[bool] = None
+_KERNEL_DISABLED = False  # trace-time scope flag (no_kernel_scope)
+
+
+class no_kernel_scope:
+    """Trace-time context that forces the XLA attention path.
+
+    Used by the BATCHED decode path: under vmap the Mosaic kernel's grid gets
+    a batch dimension that executes measurably slower than the plain XLA
+    attention (1B bench: 43.9 vs 49.9 tok/s at B=1, 141 vs 179 at B=4), so
+    batched graphs trace with the kernel off."""
+
+    def __enter__(self):
+        global _KERNEL_DISABLED
+        self._prev = _KERNEL_DISABLED
+        _KERNEL_DISABLED = True
+
+    def __exit__(self, *exc):
+        global _KERNEL_DISABLED
+        _KERNEL_DISABLED = self._prev
 
 
 def use_pallas() -> bool:
     """Use the Mosaic decode-attention kernel? (real TPU only; override with
-    VISPEC_NO_PALLAS=1)."""
+    VISPEC_NO_PALLAS=1 or no_kernel_scope)."""
     global _PALLAS_OK
+    if _KERNEL_DISABLED:
+        return False
     if _PALLAS_OK is None:
         if os.environ.get("VISPEC_NO_PALLAS") == "1":
             _PALLAS_OK = False

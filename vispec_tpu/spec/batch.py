@@ -63,7 +63,10 @@ def batched_decode_round(
             eos_id, max_new_tokens,
         )
 
-    return jax.vmap(one)(states)
+    from ..ops.attention import no_kernel_scope
+
+    with no_kernel_scope():  # the vmapped Mosaic kernel is slower than XLA
+        return jax.vmap(one)(states)
 
 
 @functools.partial(
@@ -97,7 +100,10 @@ def batched_decode_rounds_chunk(
         states = jax.vmap(one)(states)
         return states, states.new_token  # [B] cumulative counters per round
 
-    states, counts = lax.scan(body, states, None, length=n_rounds)
+    from ..ops.attention import no_kernel_scope
+
+    with no_kernel_scope():  # the vmapped Mosaic kernel is slower than XLA
+        states, counts = lax.scan(body, states, None, length=n_rounds)
     return states, counts
 
 
