@@ -1,0 +1,93 @@
+"""Per-fusion TPU profile of the speculative decode round vs the AR step.
+
+Builds the bench 7B@2048 model (random weights), traces one chunk of decode
+rounds and one chunk of AR steps with jax.profiler, then parses the xplane
+proto directly (the tensorboard plugin's native converter is broken in this
+image — see CLAUDE.md) and prints the top fusions grouped per dispatch.
+
+Usage:  python scripts/profile_round.py [7B@2048|7B@1024|1B@1024]
+"""
+
+import os
+import sys
+
+os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import glob
+import collections
+
+import numpy as np
+import jax
+
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import bench
+
+
+def parse_xplane(logdir):
+    """Return {plane_name: [(event_name, total_us, count)]} from newest trace."""
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    paths = sorted(glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
+                             recursive=True), key=os.path.getmtime)
+    assert paths, f"no xplane under {logdir}"
+    xspace = xplane_pb2.XSpace()
+    with open(paths[-1], "rb") as f:
+        xspace.ParseFromString(f.read())
+    out = {}
+    for plane in xspace.planes:
+        if "TPU" not in plane.name and "tpu" not in plane.name.lower():
+            continue
+        ev_meta = {m.id: m.name for m in plane.event_metadata.values()}
+        agg = collections.defaultdict(lambda: [0.0, 0])
+        for line in plane.lines:
+            for ev in line.events:
+                name = ev_meta.get(ev.metadata_id, str(ev.metadata_id))
+                agg[name][0] += ev.duration_ps / 1e6  # ps -> us
+                agg[name][1] += 1
+        out[plane.name] = sorted(
+            ((k, v[0], v[1]) for k, v in agg.items()), key=lambda t: -t[1]
+        )
+    return out
+
+
+def show(title, table, top=40):
+    print(f"\n==== {title} ====")
+    total = sum(us for _, us, _ in table)
+    print(f"{'us_total':>10} {'count':>6} {'us_each':>9}  name   (plane total {total:.0f}us)")
+    for name, us, n in table[:top]:
+        print(f"{us:10.1f} {n:6d} {us / max(n, 1):9.2f}  {name[:110]}")
+
+
+def main():
+    label = sys.argv[1] if len(sys.argv) > 1 else "7B@2048"
+    cfg = next(c for c in bench.CONFIGS if c["label"] == label)
+    model = bench.build(cfg)
+    prompt = np.random.default_rng(0).integers(10, cfg["vocab_size"] - 10, 120).tolist()
+
+    # compile + warm everything
+    model.specgenerate(prompt, max_new_tokens=8)
+    model.ar_generate(prompt, max_new_tokens=8)
+
+    logdir = "/tmp/vispec_prof_spec"
+    with jax.profiler.trace(logdir):
+        res = model.specgenerate(prompt, max_new_tokens=64)
+    print(f"spec: {res.rounds} rounds, decode_time {res.decode_time * 1e3:.1f}ms "
+          f"=> {res.decode_time / max(res.rounds, 1) * 1e3:.2f}ms/round")
+    for plane, table in parse_xplane(logdir).items():
+        show(f"SPEC {plane}", table)
+
+    logdir = "/tmp/vispec_prof_ar"
+    with jax.profiler.trace(logdir):
+        res = model.ar_generate(prompt, max_new_tokens=64)
+    print(f"\nar: {res.new_tokens} tokens, decode_time {res.decode_time * 1e3:.1f}ms "
+          f"=> {res.decode_time / max(res.new_tokens - 1, 1) * 1e3:.2f}ms/step")
+    for plane, table in parse_xplane(logdir).items():
+        show(f"AR {plane}", table)
+
+
+if __name__ == "__main__":
+    main()

@@ -236,3 +236,46 @@ def test_multiturn_harness_carries_conversation(tmp_path):
     assert second.endswith("USER: Make it shorter. ASSISTANT:")
     # template oracle
     assert vicuna_prompt(["q1"], []).endswith("USER: q1 ASSISTANT:")
+
+
+# ---- offline save_to_disk copies for the hub-backed loaders ----
+
+
+def _save_ds(path, rows):
+    import datasets
+
+    cols = {k: [r[k] for r in rows] for k in rows[0]}
+    datasets.Dataset.from_dict(cols).save_to_disk(str(path))
+
+
+def _pil(size=(32, 24)):
+    from PIL import Image
+
+    return Image.new("RGB", size, (40, 90, 160))
+
+
+def test_load_sqa_local(tmp_path):
+    _save_ds(tmp_path / "scienceqa", [
+        {"question": "Which is a mammal?", "choices": ["frog", "whale"],
+         "image": _pil(), "topic": "biology"},
+        {"question": "text-only is skipped", "choices": ["a"], "image": None,
+         "topic": "x"},
+    ])
+    s = _check(B.load_sqa(str(tmp_path), 0, 10), 1)
+    assert "A. frog\nB. whale" in s[0]["text"]
+    assert s[0]["category"] == "biology"
+
+
+def test_load_synthdog_local(tmp_path):
+    _save_ds(tmp_path / "synthdog", [{"image": _pil()}])
+    s = _check(B.load_synthdog(str(tmp_path), 0, 10), 1)
+    assert s[0]["text"] == "Please read all text in the image."
+
+
+def test_load_hr_bench_local(tmp_path):
+    _save_ds(tmp_path / "hr_bench", [
+        {"question": "What color is the sign?", "A": "red", "B": "blue",
+         "C": "green", "D": "white", "image": _pil(), "category": "fsp"},
+    ])
+    s = _check(B.load_hr_bench(str(tmp_path), 0, 10), 1)
+    assert "A. red" in s[0]["text"] and s[0]["category"] == "fsp"

@@ -78,13 +78,26 @@ def _img(path: str):
     return Image.open(path).convert("RGB")
 
 
-def load_sqa(root, begin, end):
-    """ScienceQA: HF derek-thomas/ScienceQA or local problems.json + images
-    (gen_spec_answer_sqa.py:24-67)."""
-    try:
-        from datasets import load_dataset
+def _hf_dataset(root, local_name, hub_id, split):
+    """Offline-first HF dataset: a save_to_disk copy under --data-root wins,
+    falling back to the hub (the reference always hits the hub,
+    gen_spec_answer_sqa.py:28 — offline TPU pods need the local path)."""
+    from datasets import load_dataset, load_from_disk
 
-        ds = load_dataset("derek-thomas/ScienceQA", split="test")
+    local = os.path.join(root or "", local_name)
+    if root and os.path.isdir(local):
+        ds = load_from_disk(local)
+        if hasattr(ds, "keys") and split in ds:
+            ds = ds[split]
+        return ds
+    return load_dataset(hub_id, split=split)
+
+
+def load_sqa(root, begin, end):
+    """ScienceQA: local save_to_disk copy at {root}/scienceqa or HF
+    derek-thomas/ScienceQA (gen_spec_answer_sqa.py:24-67)."""
+    try:
+        ds = _hf_dataset(root, "scienceqa", "derek-thomas/ScienceQA", "test")
         items = [d for d in ds if d.get("image") is not None][begin:end]
         for i, d in enumerate(items):
             opts = "".join(
@@ -186,10 +199,10 @@ def load_seed_bench(root, begin, end):
 
 
 def load_synthdog(root, begin, end):
+    """SynthDoG OCR: local copy at {root}/synthdog or the HF dataset."""
     try:
-        from datasets import load_dataset
-
-        ds = load_dataset("naver-clova-ix/synthdog-en", split="validation")
+        ds = _hf_dataset(root, "synthdog", "naver-clova-ix/synthdog-en",
+                         "validation")
         for i, d in enumerate(list(ds)[begin:end]):
             yield dict(qid=begin + i, text="Please read all text in the image.",
                        image=d["image"], category="ocr")
@@ -198,12 +211,12 @@ def load_synthdog(root, begin, end):
 
 
 def load_hr_bench(root, begin, end):
+    """HR-Bench 4K: local copy at {root}/hr_bench or the HF dataset."""
     try:
-        from datasets import load_dataset
         import io
         from PIL import Image
 
-        ds = load_dataset("DreamMr/HR-Bench", split="hrbench_4k")
+        ds = _hf_dataset(root, "hr_bench", "DreamMr/HR-Bench", "hrbench_4k")
         for i, d in enumerate(list(ds)[begin:end]):
             img = d["image"]
             if isinstance(img, (bytes, bytearray)):
