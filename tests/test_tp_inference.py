@@ -30,20 +30,20 @@ DCFG = DraftConfig(
 SPEC = SpecConfig(total_tokens=12, depth=3, top_k=4)
 
 
-def run_rounds(tparams, dparams, target_cache, draft_cache, n=10):
+def run_rounds(tparams, dparams, target_cache, draft_cache, n=10, tcfg=TCFG):
     sampling = spec_loop.SamplingParams()
     prompt = list(range(40, 70))
     embeds = llama.embed(tparams, jnp.asarray(prompt, jnp.int32))
     embeds = jnp.pad(embeds, ((0, 128 - len(prompt)), (0, 0)))
     plan, ms = draft_mod.make_prefill_plan(None, len(prompt), DCFG.num_q, 128)
     state = spec_loop.spec_prefill(
-        tparams, dparams, TCFG, DCFG, SPEC, plan, sampling, embeds,
+        tparams, dparams, tcfg, DCFG, SPEC, plan, sampling, embeds,
         target_cache, draft_cache, jax.random.PRNGKey(0), 200, ms,
     )
     big = jnp.asarray(10**6, jnp.int32)
     for _ in range(n):
         state = spec_loop.decode_round(
-            tparams, dparams, TCFG, DCFG, SPEC, sampling, state, big, big,
+            tparams, dparams, tcfg, DCFG, SPEC, sampling, state, big, big,
         )
     return np.asarray(state.output)[: int(state.out_len)]
 
@@ -71,4 +71,39 @@ def test_tp2_matches_single_device():
 
     n = min(len(ref), len(out))
     assert n >= 8
+    np.testing.assert_array_equal(out[:n], ref[:n])
+
+
+def test_mixtral_ep2_matches_single_device():
+    """Expert-parallel Mixtral: MoE experts + attention heads sharded over
+    tp=2 must decode token-identically (mixtral_param_specs; the reference has
+    no EP — modeling_mixtral_kv.py:488-571 loops experts on one device)."""
+    from vispec_tpu.models import mixtral
+    from vispec_tpu.parallel.sharding import mixtral_param_specs
+
+    mcfg = mixtral.MixtralConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512, num_local_experts=4,
+        num_experts_per_tok=2,
+    )
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    tparams = mixtral.init_params(mcfg, k1, jnp.float32)
+    dparams = draft_mod.init_params(DCFG, k2, jnp.float32)
+    dparams["embed"] = tparams["embed"]
+
+    tc = kv.init_cache(2, 2, 256, 16, jnp.float32)
+    dc = kv.init_cache(1, 2, 256, 16, jnp.float32)
+    ref = run_rounds(tparams, dparams, tc, dc, n=6, tcfg=mcfg)
+
+    mesh = make_mesh(dp=1, tp=2, devices=jax.devices()[:2])
+    with mesh:
+        tp_t = apply_specs(mesh, tparams, mixtral_param_specs(mcfg))
+        tp_d = apply_specs(mesh, dparams, draft_param_specs(DCFG))
+        tc2 = shard_cache(mesh, kv.init_cache(2, 2, 256, 16, jnp.float32))
+        dc2 = shard_cache(mesh, kv.init_cache(1, 2, 256, 16, jnp.float32))
+        out = run_rounds(tp_t, tp_d, tc2, dc2, n=6, tcfg=mcfg)
+
+    n = min(len(ref), len(out))
+    assert n >= 6
     np.testing.assert_array_equal(out[:n], ref[:n])

@@ -73,6 +73,34 @@ def draft_param_specs(cfg: DraftConfig) -> dict:
     return specs
 
 
+def mixtral_param_specs(cfg) -> dict:
+    """Expert-parallel specs for models/mixtral.py: the expert dimension of the
+    MoE weights shards over the same ``tp`` axis as the attention heads (the
+    reference computes all experts densely on one GPU,
+    modeling_mixtral_kv.py:488-571 — no EP).  Each shard evaluates its local
+    experts in moe_block's stacked einsum; the final ``sed,se->sd`` weighted
+    sum reduces over the sharded expert axis, so XLA inserts one psum — no
+    all-to-all, correct for the dense top-k-as-weights formulation."""
+    layers = {
+        "input_norm": P(None, None),
+        "post_norm": P(None, None),
+        "wq": P(None, None, "tp"),
+        "wk": P(None, None, "tp"),
+        "wv": P(None, None, "tp"),
+        "wo": P(None, "tp", None),
+        "router": P(None, None, None),  # [L, D, E] — tiny; replicate
+        "we_gate": P(None, "tp", None, None),  # [L, E, D, I] experts split
+        "we_up": P(None, "tp", None, None),
+        "we_down": P(None, "tp", None, None),
+    }
+    return {
+        "embed": P("tp", None),
+        "layers": layers,
+        "final_norm": P(None),
+        "lm_head": P(None, "tp"),
+    }
+
+
 def kv_cache_specs():
     """PartitionSpecs for ops/kv_cache.KVCache: KV heads split over ``tp`` —
     attention activations are already head-sharded under llama_param_specs
