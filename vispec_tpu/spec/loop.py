@@ -56,6 +56,9 @@ class SpecState(NamedTuple):
     rope_delta: jax.Array  # [] int32 — Qwen M-RoPE offset (utils.py:398-402); 0 else
     fuse_wh: jax.Array  # [hidden, hidden] — folded img_fc->fc hidden weight
     fuse_b: jax.Array  # [hidden] f32 — folded constant bias (last_img fixed)
+    fuse_we: jax.Array  # [hidden, hidden] — fc_w[:d]; pre-sliced once at prefill
+    # (slicing fc_w inside decode_round re-materialized ~96MB of weight copies
+    # per round — 8 async slice-start DMAs in the xplane profile)
 
 
 class SamplingParams(NamedTuple):
@@ -151,6 +154,7 @@ def spec_prefill(
                     else jnp.asarray(rope_delta, jnp.int32)),
         fuse_wh=w_h,
         fuse_b=b_eff,
+        fuse_we=w_e,
     )
 
 
@@ -269,8 +273,7 @@ def decode_round(
     )  # row j pairs hidden[path[j]] with token[path[j+1]], last valid row w/ bonus
     # jnp.roll wraps the last element; rows >= acc are overwritten with bonus.
 
-    d = dcfg.hidden_size
-    fuse_w = (dparams["fc_w"][:d], state.fuse_wh, state.fuse_b)
+    fuse_w = (state.fuse_we, state.fuse_wh, state.fuse_b)
     seed, draft_cache = draft_mod.append_accepted(
         dparams, dcfg, accept_hidden, tok_next, acc + 1, state.last_img,
         state.draft_cache, fuse_w=fuse_w,
@@ -293,6 +296,7 @@ def decode_round(
         rope_delta=state.rope_delta,
         fuse_wh=state.fuse_wh,
         fuse_b=state.fuse_b,
+        fuse_we=state.fuse_we,
     )
     # in-graph done latch: rounds dispatched after completion (the host
     # pipelines one read-batch ahead) are no-ops on every cursor — see
@@ -429,6 +433,7 @@ def medusa_prefill(
         rope_delta=jnp.zeros((), jnp.int32),
         fuse_wh=jnp.zeros((1, 1), inputs_embeds.dtype),
         fuse_b=jnp.zeros((1,), jnp.float32),
+        fuse_we=jnp.zeros((1, 1), inputs_embeds.dtype),
     )
 
 
@@ -475,6 +480,7 @@ def medusa_decode_round(
         rope_delta=state.rope_delta,
         fuse_wh=state.fuse_wh,
         fuse_b=state.fuse_b,
+        fuse_we=state.fuse_we,
     )
     return latch_done(state, new_state)  # see decode_round
 
