@@ -68,3 +68,58 @@ def test_trained_draft_gets_accepted(tmp_path):
         n = min(r.new_tokens, ar.new_tokens, 40)
         assert r.sequences[: 16 + n].tolist() == ar.sequences[: 16 + n].tolist()
     assert np.mean(taus) >= 1.2, f"trained draft tau too low: {np.mean(taus)}"
+
+
+def test_quantized_draft_losslessness_and_tau(tmp_path):
+    """int8 draft mode (ops/quant.py): greedy output still equals AR exactly
+    (the verify pass keeps exact weights), and a trained draft's acceptance
+    survives weight-only int8 (tau within noise of the bf16 draft)."""
+    tparams = llama.init_params(T, jax.random.PRNGKey(0), jnp.float32)
+    cache = kv.init_cache(2, 2, 256, 16, jnp.float32)
+    rng = np.random.default_rng(0)
+    for i in range(8):
+        ids = rng.integers(1, 90, 16)
+        embeds = llama.embed(tparams, jnp.asarray(ids))
+        embeds = jnp.pad(embeds, ((0, 64 - len(ids)), (0, 0)))
+        sample, cache = data_gen.generate_sample(
+            tparams, T, embeds, len(ids), None, cache,
+            max_new_tokens=48, eos_token_id=999,
+        )
+        data_gen.save_sample(str(tmp_path), i, sample)
+
+    cfg = trainer.TrainConfig(lr=3e-3, bs=2, max_len=64, mtp_steps=1,
+                              warmup_steps=5, total_steps=4000, max_images=1,
+                              max_span_bucket=8, noise_std=0.05)
+    dparams = draft_mod.init_params(D, jax.random.PRNGKey(1), jnp.float32)
+    dparams["embed"] = tparams["embed"] + 0
+    head_w = tparams["lm_head"].astype(jnp.float32)
+    opt = make_optimizer(cfg.lr, cfg.warmup_steps, cfg.total_steps, cfg.grad_clip)
+    ost = opt.init(dparams)
+    for epoch in range(20):
+        for batch, _ in trainer.data_iterator(str(tmp_path), cfg, D, seed=epoch):
+            dparams, ost, metrics = train_step(
+                dparams, ost, D, head_w, batch, opt, mtp_steps=1, max_span=8,
+            )
+
+    spec = SpecConfig(total_tokens=16, depth=3, top_k=4)
+
+    def run(quantize):
+        model = SpecModel(T, D, spec, tparams, dict(dparams), max_len=512,
+                          dtype=jnp.float32, eos_token_id=999,
+                          quantize_draft=quantize)
+        taus = []
+        for s in range(4):
+            prompt = np.random.default_rng(100 + s).integers(1, 90, 16).tolist()
+            r = model.specgenerate(prompt, max_new_tokens=32)
+            taus.extend(a + 1 for a in r.acceptance_lengths)
+            ar = model.ar_generate(prompt, max_new_tokens=32)
+            n = min(r.new_tokens, ar.new_tokens, 32)
+            assert r.sequences[: 16 + n].tolist() == ar.sequences[: 16 + n].tolist()
+        return float(np.mean(taus))
+
+    tau_bf16 = run(False)
+    tau_int8 = run(True)
+    # int8 proposals must stay useful: within 15% of the exact draft's tau
+    assert tau_int8 >= 1.1, f"int8 draft tau collapsed: {tau_int8}"
+    assert tau_int8 >= 0.85 * tau_bf16, (tau_bf16, tau_int8)
+    print(f"tau bf16={tau_bf16:.3f} int8={tau_int8:.3f}")

@@ -46,6 +46,7 @@ from ..configs import DraftConfig, SpecConfig
 from ..ops import rope as rope_ops
 from ..ops.attention import attend, attend_region
 from ..ops.kv_cache import KVCache, advance, init_cache
+from ..ops.quant import QTensor, qdot, quantize_q8
 from ..ops.tree import Tree, build_tree
 from ..ops.topk import top_k as fast_top_k
 from .llama import rms_norm, swiglu_mlp
@@ -234,12 +235,16 @@ def decode_fuse_weights(params: dict, cfg: DraftConfig, last_img: jax.Array):
     else:  # EAGLE: no img_fc stage
         w_h = f2
         bias = b
+    if isinstance(params["layer"].get("wq"), QTensor):
+        # quantized-draft mode: the folds are recomputed once per generation,
+        # so quantize them to match the int8 layer's bandwidth profile
+        return quantize_q8(f1), quantize_q8(w_h.astype(jnp.float32)), bias.astype(jnp.float32)
     return f1, w_h, bias.astype(jnp.float32)
 
 
 def fused_input(w_e, w_h, b_eff, embeds: jax.Array, hidden: jax.Array) -> jax.Array:
-    out = (jnp.dot(embeds, w_e, preferred_element_type=jnp.float32)
-           + jnp.dot(hidden, w_h, preferred_element_type=jnp.float32) + b_eff)
+    out = (qdot(embeds, w_e, preferred_element_type=jnp.float32)
+           + qdot(hidden, w_h, preferred_element_type=jnp.float32) + b_eff)
     return out.astype(hidden.dtype)
 
 
@@ -303,9 +308,9 @@ def layer_forward(
     s = x.shape[0]
     h, hkv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
-    q = jnp.dot(x, lp["wq"], preferred_element_type=jnp.float32).astype(x.dtype)
-    k = jnp.dot(x, lp["wk"], preferred_element_type=jnp.float32).astype(x.dtype)
-    v = jnp.dot(x, lp["wv"], preferred_element_type=jnp.float32).astype(x.dtype)
+    q = qdot(x, lp["wq"], preferred_element_type=jnp.float32).astype(x.dtype)
+    k = qdot(x, lp["wk"], preferred_element_type=jnp.float32).astype(x.dtype)
+    v = qdot(x, lp["wv"], preferred_element_type=jnp.float32).astype(x.dtype)
     if cfg.qkv_bias:
         q = q + lp["bq"].astype(x.dtype)
         k = k + lp["bk"].astype(x.dtype)
@@ -320,7 +325,7 @@ def layer_forward(
     v_full = lax.dynamic_update_slice(cache.v[0], v, (zero, write_at, zero))
     attn = attend_region(q, k_full, v_full, attn_mask, region)
     attn = attn.transpose(1, 0, 2).reshape(s, h * d)
-    attn = jnp.dot(attn, lp["wo"], preferred_element_type=jnp.float32).astype(x.dtype)
+    attn = qdot(attn, lp["wo"], preferred_element_type=jnp.float32).astype(x.dtype)
 
     hidden = x + attn
     residual = hidden
@@ -562,9 +567,7 @@ def expand_tree(
     num_cand = spec.num_candidates
     vdtype = seed_hidden.dtype
 
-    logits0 = jnp.dot(
-        seed_hidden, head_w, preferred_element_type=jnp.float32
-    )
+    logits0 = qdot(seed_hidden, head_w, preferred_element_type=jnp.float32)
     logp0 = jax.nn.log_softmax(logits0)
     top_p0, top_i0 = fast_top_k(logp0, k_beam)
 
@@ -625,7 +628,7 @@ def expand_tree(
             region=(stable_len, reg_mask),
         )
 
-        logits = jnp.dot(hidden, head_w, preferred_element_type=jnp.float32)
+        logits = qdot(hidden, head_w, preferred_element_type=jnp.float32)
         logp = jax.nn.log_softmax(logits, axis=-1)  # [K, V]
         top_p, top_i = fast_top_k(logp, k_beam)  # [K, K]
         cu = top_p + beam_scores[:, None]  # [K, K]

@@ -47,10 +47,14 @@ def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
 
 
 def swiglu_mlp(x: jax.Array, w_gate, w_up, w_down) -> jax.Array:
-    gate = jnp.dot(x, w_gate, preferred_element_type=jnp.float32)
-    up = jnp.dot(x, w_up, preferred_element_type=jnp.float32)
+    # qdot == jnp.dot for plain arrays; weights may be int8 QTensors when the
+    # draft runs quantized (ops/quant.py — the target is never quantized)
+    from ..ops.quant import qdot
+
+    gate = qdot(x, w_gate, preferred_element_type=jnp.float32)
+    up = qdot(x, w_up, preferred_element_type=jnp.float32)
     inter = (jax.nn.silu(gate) * up).astype(x.dtype)
-    return jnp.dot(inter, w_down, preferred_element_type=jnp.float32).astype(x.dtype)
+    return qdot(inter, w_down, preferred_element_type=jnp.float32).astype(x.dtype)
 
 
 def attention_block(

@@ -133,7 +133,9 @@ def spec_prefill(
     last_hidden, last_img, draft_cache = draft_mod.prefill(
         dparams, dcfg, hidden, shifted, plan, draft_cache, max_span
     )
-    head_w = tparams["lm_head"]
+    # int8-draft mode keeps a quantized ranking copy of the head in dparams;
+    # the verify pass above always uses the exact bf16 head (ops/quant.py)
+    head_w = dparams["rank_head"] if "rank_head" in dparams else tparams["lm_head"]
     w_e, w_h, b_eff = draft_mod.decode_fuse_weights(dparams, dcfg, last_img)
     tree, draft_cache = draft_mod.expand_tree(
         dparams, dcfg, spec, last_hidden, first_token, last_img, head_w,
@@ -278,8 +280,9 @@ def decode_round(
         dparams, dcfg, accept_hidden, tok_next, acc + 1, state.last_img,
         state.draft_cache, fuse_w=fuse_w,
     )
+    rank_head = dparams["rank_head"] if "rank_head" in dparams else tparams["lm_head"]
     new_tree, draft_cache = draft_mod.expand_tree(
-        dparams, dcfg, spec, seed, bonus, state.last_img, tparams["lm_head"],
+        dparams, dcfg, spec, seed, bonus, state.last_img, rank_head,
         draft_cache, fuse_w=fuse_w,
     )
 

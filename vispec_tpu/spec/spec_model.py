@@ -84,7 +84,25 @@ class SpecModel:
         mparams: Optional[dict] = None,  # Medusa heads => medusa decode path
         min_pixels: int = 256 * 28 * 28,  # Qwen image budget — every reference
         max_pixels: int = 1280 * 28 * 28,  # prompt module sets these (mme_prompt.py:5-9)
+        quantize_draft: bool = False,  # int8 draft weights + ranking head
     ):
+        if quantize_draft and dparams.get("layer"):
+            # Weight-only int8 on the DRAFT side (ops/quant.py): halves the
+            # ~2.7GB/round of draft-layer + ranking-head HBM traffic.  Greedy
+            # losslessness vs the target is preserved (verification stays
+            # exact bf16); only the proposal quality (tau) can shift.  Not
+            # composable with tp sharding of the draft (QTensor leaves have no
+            # partition specs).
+            from ..ops.quant import quantize_q8
+
+            dparams = dict(dparams)
+            layer = dict(dparams["layer"])
+            for k in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
+                if k in layer:
+                    layer[k] = quantize_q8(layer[k])
+            dparams["layer"] = layer
+            dparams["rank_head"] = quantize_q8(tparams["lm_head"])
+        self.quantize_draft = quantize_draft
         self.tcfg, self.dcfg, self.spec = tcfg, dcfg, spec
         self.tparams, self.dparams = tparams, dparams
         self.mparams = mparams
@@ -129,6 +147,7 @@ class SpecModel:
         method: str = "vispec",  # "vispec" | "eagle" | "medusa"
         min_pixels: int = 256 * 28 * 28,
         max_pixels: int = 1280 * 28 * 28,
+        quantize_draft: bool = False,  # int8 draft + ranking head (ops/quant.py)
     ) -> "SpecModel":
         """Architecture dispatch + weight conversion (spec_model_ours.py:109-177;
         EAGLE/Medusa orchestrators spec_model.py / spec_model_medusa.py).
@@ -208,6 +227,7 @@ class SpecModel:
             model = cls._from_pretrained_qwen_vl(
                 base_model_path, spec_model_path, hf_cfg, spec_cfg, num_q,
                 max_len, dtype, min_pixels=min_pixels, max_pixels=max_pixels,
+                quantize_draft=quantize_draft,
             )
             if autotune:
                 model.autotune_total_token()
@@ -259,7 +279,7 @@ class SpecModel:
             llava_cfg=llava_cfg, vparams=vparams,
             eos_token_id=eos[0] if isinstance(eos, list) else eos,
             image_token_index=image_token_index,
-            mparams=mparams,
+            mparams=mparams, quantize_draft=quantize_draft,
         )
         if autotune:
             model.autotune_total_token()
@@ -270,7 +290,7 @@ class SpecModel:
     def _from_pretrained_qwen_vl(
         cls, base_model_path, spec_model_path, hf_cfg, spec_cfg, num_q,
         max_len, dtype, min_pixels: int = 256 * 28 * 28,
-        max_pixels: int = 1280 * 28 * 28,
+        max_pixels: int = 1280 * 28 * 28, quantize_draft: bool = False,
     ) -> "SpecModel":
         from ..convert import hf as hf_convert
 
@@ -315,6 +335,7 @@ class SpecModel:
             video_token_index=hf_cfg.get("video_token_id", 151656),
             vision_start_token_id=hf_cfg.get("vision_start_token_id", 151652),
             min_pixels=min_pixels, max_pixels=max_pixels,
+            quantize_draft=quantize_draft,
         )
 
     # ------------------------------------------------------------------
