@@ -1,0 +1,69 @@
+"""Continuous-batching engine: more requests than slots, admission mid-flight,
+and every greedy output identical to single-request specgenerate."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vispec_tpu.configs import DraftConfig, LlamaConfig, SpecConfig
+from vispec_tpu.models import draft as draft_mod
+from vispec_tpu.models import llama
+from vispec_tpu.spec.serving import ServingEngine
+from vispec_tpu.spec.spec_model import SpecModel
+
+T = LlamaConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
+                num_hidden_layers=2, num_attention_heads=4,
+                num_key_value_heads=2, max_position_embeddings=512)
+D = DraftConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
+                num_attention_heads=4, num_key_value_heads=2,
+                max_position_embeddings=512)
+
+
+def _model(eos=10**6):
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    tparams = llama.init_params(T, k1, jnp.float32)
+    dparams = draft_mod.init_params(D, k2, jnp.float32)
+    dparams["embed"] = tparams["embed"]
+    return SpecModel(T, D, SpecConfig(total_tokens=12, depth=3, top_k=4),
+                     tparams, dparams, max_len=512, dtype=jnp.float32,
+                     eos_token_id=eos)
+
+
+def test_continuous_batching_matches_single():
+    model = _model()
+    rng = np.random.default_rng(3)
+    prompts = [rng.integers(5, 120, rng.integers(8, 40)).tolist()
+               for _ in range(5)]
+
+    eng = ServingEngine(model, batch_size=2, max_new_tokens=24,
+                        chunk_rounds=4)
+    outs = eng.run_all(prompts)
+    assert len(outs) == 5 and all(o is not None for o in outs)
+    # engine ran more requests than slots => at least one admission happened
+    assert eng._n_prefills == 5
+
+    for p, o in zip(prompts, outs):
+        ref = model.specgenerate(p, max_new_tokens=24)
+        ref_new = list(ref.sequences[len(p):])
+        n = min(len(o), len(ref_new))
+        assert n >= 20, (len(o), len(ref_new))
+        assert list(o[:n]) == ref_new[:n], (list(o), ref_new)
+
+
+def test_engine_fewer_requests_than_slots():
+    model = _model()
+    prompts = [list(range(10, 22)), list(range(30, 45))]
+    eng = ServingEngine(model, batch_size=4, max_new_tokens=12)
+    outs = eng.run_all(prompts)
+    assert len(outs) == 2
+    for p, o in zip(prompts, outs):
+        ref = model.specgenerate(p, max_new_tokens=12)
+        ref_new = list(ref.sequences[len(p):])
+        n = min(len(o), len(ref_new))
+        assert n >= 8 and list(o[:n]) == ref_new[:n]
+
+
+def test_engine_empty():
+    model = _model()
+    eng = ServingEngine(model, batch_size=2)
+    assert eng.run_all([]) == []

@@ -1,0 +1,176 @@
+"""Continuous-batching serving engine — beyond the reference's bs=1 design.
+
+`spec/batch.py` decodes a FIXED batch to completion (all requests admitted up
+front, the batch drains together).  This engine keeps a pool of ``batch_size``
+slots decoding indefinitely: when a slot finishes, its output is harvested and
+a queued request is admitted into that slot mid-flight — the other slots'
+trees and KV caches are untouched because admission is one per-slot
+``dynamic_update_slice`` into each stacked state leaf under donation (no
+repacking, no pause).  The reference has no serving story at all
+(utils.py:541 "currently only support batch size is 1").
+
+Scheduling is decode-priority (admissions happen between chunks, one prefill
+at a time on the same chip); the slot's done latch (spec/loop.latch_done)
+keeps drained slots as no-ops until refilled.
+"""
+
+from __future__ import annotations
+
+import functools
+from collections import deque
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..ops import kv_cache as kv
+from . import batch as batch_mod
+from . import loop as spec_loop
+
+
+@functools.partial(jax.jit, donate_argnames=("states",))
+def admit(states: spec_loop.SpecState, state1: spec_loop.SpecState, slot):
+    """Write a freshly prefilled single-request state into batch row ``slot``.
+
+    ``slot`` is traced (no recompile per slot); every other row flows through
+    the donated buffers in place."""
+    def put(b, s):
+        return lax.dynamic_update_slice_in_dim(b, s[None], slot, axis=0)
+
+    return jax.tree.map(put, states, state1)
+
+
+class ServingEngine:
+    """Fixed-slot continuous batching over a SpecModel.
+
+    >>> eng = ServingEngine(model, batch_size=4)
+    >>> outs = eng.run_all(prompts)        # dynamic admission as slots free
+    """
+
+    def __init__(
+        self,
+        model,
+        batch_size: int,
+        max_new_tokens: int = 256,
+        temperature: float = 0.0,
+        pad_bucket: Optional[int] = None,
+        chunk_rounds: int = 8,
+        seed: int = 0,
+    ):
+        if model.mparams is not None:
+            raise NotImplementedError("serving engine supports the "
+                                      "vispec/eagle drafts, not medusa")
+        self.m = model
+        self.b = batch_size
+        self.sampling = spec_loop.SamplingParams(temperature)
+        self.chunk_rounds = chunk_rounds
+        self.seed = seed
+        spec = model.spec
+        self.slack = max(spec.total_tokens,
+                         spec.depth * spec.top_k + spec.depth + 2) + 10
+        self.pad = pad_bucket or 128
+        self.max_new = min(max_new_tokens,
+                           model.max_len - self.pad - self.slack)
+        if self.max_new <= 0:
+            raise ValueError(
+                f"no headroom: max_len={model.max_len}, pad bucket "
+                f"{self.pad}, slack {self.slack}")
+        self.max_out = self.max_new + 2 * (spec.depth + 2)
+        # one spare cache pair, reused for every admission prefill
+        self._spare = (
+            kv.init_cache(model.tcfg.num_hidden_layers,
+                          model.tcfg.num_key_value_heads, model.max_len,
+                          model.tcfg.head_dim, model.dtype),
+            kv.init_cache(1, model.dcfg.num_key_value_heads, model.max_len,
+                          model.dcfg.head_dim, model.dtype),
+        )
+        self._n_prefills = 0
+
+    # ------------------------------------------------------------------
+    def _prefill_one(self, prompt: Sequence[int]) -> spec_loop.SpecState:
+        from ..models import draft as draft_mod
+        from ..models import llama
+
+        l = len(prompt)
+        if l >= self.pad:
+            raise ValueError(f"prompt length {l} >= pad bucket {self.pad}")
+        m = self.m
+        embeds = llama.embed(m.tparams, jnp.asarray(prompt, jnp.int32))
+        embeds = jnp.pad(embeds, ((0, self.pad - l), (0, 0)))
+        plan, ms = draft_mod.make_prefill_plan(None, l, m.dcfg.num_q, self.pad)
+        tc, dc = kv.reset(self._spare[0]), kv.reset(self._spare[1])
+        self._n_prefills += 1
+        # non-donated prefill: the spare pair stays alive for the next admission
+        return spec_loop.spec_prefill(
+            m.tparams, m.dparams, m.tcfg, m.dcfg, m.spec, plan, self.sampling,
+            embeds, tc, dc, jax.random.PRNGKey(self.seed + self._n_prefills),
+            self.max_out, ms,
+        )
+
+    # ------------------------------------------------------------------
+    def run_all(self, prompts: Sequence[Sequence[int]]) -> List[np.ndarray]:
+        """Serve every prompt with dynamic slot admission; returns generated
+        token ids per prompt (submission order).  Greedy outputs match
+        single-request ``specgenerate`` exactly."""
+        m = self.m
+        queue = deque(enumerate(prompts))
+        if not queue:
+            return []
+
+        # ---- initial fill ----
+        first: List[spec_loop.SpecState] = []
+        active: Dict[int, int] = {}  # slot -> request idx
+        while queue and len(first) < self.b:
+            ridx, prompt = queue.popleft()
+            first.append(self._prefill_one(prompt))
+            active[len(first) - 1] = ridx
+        while len(first) < self.b:  # pad empty slots with a drained dummy
+            first.append(first[0]._replace(done=jnp.ones((), bool)))
+        states = jax.tree.map(lambda *xs: jnp.stack(xs), *first)
+
+        results: List[Optional[np.ndarray]] = [None] * len(prompts)
+        self.acceptance: Dict[int, List[int]] = {i: [] for i in range(len(prompts))}
+        prev = np.zeros(self.b, np.int64)
+        eos = jnp.asarray(m.eos_token_id, jnp.int32)
+        cap = jnp.asarray(self.max_new, jnp.int32)
+
+        guard = 0
+        while active:
+            states, counts = batch_mod.batched_decode_rounds_chunk(
+                m.tparams, m.dparams, m.tcfg, m.dcfg, m.spec, self.sampling,
+                states, eos, cap, n_rounds=self.chunk_rounds,
+            )
+            counts_np = np.asarray(counts)  # [n_rounds, B] cumulative; syncs
+            for r in range(counts_np.shape[0]):
+                for slot, ridx in active.items():
+                    c = int(counts_np[r, slot])
+                    if c != prev[slot]:
+                        self.acceptance[ridx].append(c - int(prev[slot]) - 1)
+                        prev[slot] = c
+            done = np.asarray(states.done)
+            out_lens = np.asarray(states.out_len)
+            outputs = None
+            for slot in [s for s, d in zip(range(self.b), done) if d]:
+                if slot not in active:
+                    continue
+                if outputs is None:  # fetch once per chunk, before donation
+                    outputs = np.asarray(states.output)
+                toks = outputs[slot][: int(out_lens[slot])]
+                epos = np.nonzero(toks == m.eos_token_id)[0]
+                if epos.size:
+                    toks = toks[: epos[0] + 1]
+                results[active[slot]] = toks[: self.max_new]
+                if queue:
+                    ridx, prompt = queue.popleft()
+                    states = admit(states, self._prefill_one(prompt),
+                                   jnp.asarray(slot, jnp.int32))
+                    active[slot] = ridx
+                    prev[slot] = 0
+                else:
+                    del active[slot]  # slot stays latched-done until drained
+            guard += self.chunk_rounds
+            if guard > (len(prompts) + self.b) * (self.max_new + 8):
+                raise RuntimeError("serving engine failed to converge")
+        return results

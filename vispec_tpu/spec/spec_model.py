@@ -806,6 +806,14 @@ class SpecModel:
         return results
 
     # ------------------------------------------------------------------
+    def serving_engine(self, batch_size: int, **kw):
+        """Continuous-batching engine over this model (spec/serving.py):
+        fixed decode slots, queued requests admitted as slots free up."""
+        from .serving import ServingEngine
+
+        return ServingEngine(self, batch_size, **kw)
+
+    # ------------------------------------------------------------------
     def ar_generate(
         self,
         input_ids: Sequence[int],
