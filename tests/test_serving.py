@@ -67,3 +67,21 @@ def test_engine_empty():
     model = _model()
     eng = ServingEngine(model, batch_size=2)
     assert eng.run_all([]) == []
+
+
+def test_engine_with_int8_draft():
+    """Recommended serving config: continuous batching + int8 draft.
+    Losslessness still holds per request (verify is exact)."""
+    model = _model()
+    q8 = SpecModel(T, D, model.spec, model.tparams, dict(model.dparams),
+                   max_len=512, dtype=jnp.float32, eos_token_id=10**6,
+                   quantize_draft=True)
+    rng = np.random.default_rng(11)
+    prompts = [rng.integers(5, 120, 12).tolist() for _ in range(3)]
+    outs = q8.serving_engine(batch_size=2, max_new_tokens=16,
+                             chunk_rounds=4).run_all(prompts)
+    for p, o in zip(prompts, outs):
+        ref = model.ar_generate(p, max_new_tokens=16)  # exact AR oracle
+        ref_new = list(ref.sequences[len(p):])
+        n = min(len(o), len(ref_new))
+        assert n >= 12 and list(o[:n]) == ref_new[:n]

@@ -61,6 +61,9 @@ def main():
     # smart_resize or token counts disagree with the tokenizer expansion
     p.add_argument("--min-pixels", type=int, default=256 * 28 * 28)
     p.add_argument("--max-pixels", type=int, default=1280 * 28 * 28)
+    p.add_argument("--quantize-draft", action="store_true",
+                   help="int8 draft mode (ops/quant.py): ~8%% faster rounds, "
+                        "greedy output unchanged, ~1%% tau cost")
     args = p.parse_args()
     _enable_compile_cache()
 
@@ -94,6 +97,7 @@ def main():
         method=args.method,
         min_pixels=args.min_pixels,
         max_pixels=args.max_pixels,
+        quantize_draft=args.quantize_draft,
     )
 
     questions = list(
