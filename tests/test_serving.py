@@ -85,3 +85,44 @@ def test_engine_with_int8_draft():
         ref_new = list(ref.sequences[len(p):])
         n = min(len(o), len(ref_new))
         assert n >= 12 and list(o[:n]) == ref_new[:n]
+
+
+def test_engine_vision_requests(tmp_path):
+    """Vision requests through the serving engine (fabricated LLaVA ckpt):
+    outputs match single-request specgenerate with pixels."""
+    import pytest
+
+    pytest.importorskip("safetensors.numpy")
+    from tests.vlm_fixtures import (IMAGE_TOKEN, write_llava_ckpt,
+                                    write_vision_draft_ckpt)
+
+    tdir, ddir = str(tmp_path / "t"), str(tmp_path / "d")
+    write_llava_ckpt(tdir, anyres=True)
+    write_vision_draft_ckpt(ddir)
+    model = SpecModel.from_pretrained(
+        tdir, ddir, total_token=12, depth=3, top_k=4, max_len=512,
+        dtype=jnp.float32,
+    )
+    rng = np.random.default_rng(0)
+    n = model.count_image_tokens((40, 40))
+    reqs = []
+    for s in range(3):
+        img = jnp.asarray(rng.uniform(0, 1, (40, 40, 3)).astype(np.float32))
+        ids = (list(range(10 + s, 20 + s)) + [IMAGE_TOKEN] * n
+               + list(range(30, 40 + 2 * s)))
+        reqs.append({"input_ids": ids, "pixel_values": img,
+                     "image_size": (40, 40)})
+    reqs.append({"input_ids": list(range(40, 70))})  # mixed text request
+
+    eng = ServingEngine(model, batch_size=2, max_new_tokens=10,
+                        pad_bucket=256, chunk_rounds=4, max_span=128)
+    outs = eng.run_all(reqs)
+    assert len(outs) == 4
+    for req, o in zip(reqs, outs):
+        ref = model.specgenerate(req["input_ids"], max_new_tokens=10,
+                                 pixel_values=req.get("pixel_values"),
+                                 image_size=req.get("image_size"))
+        ref_new = list(ref.sequences[len(req["input_ids"]):])
+        m = min(len(o), len(ref_new), 10)
+        assert m >= 5
+        assert list(o[:m]) == ref_new[:m]

@@ -31,6 +31,10 @@ def main():
     p.add_argument("--sizes", default="1,2,4")
     p.add_argument("--max-len", type=int, default=512)
     p.add_argument("--new-tokens", type=int, default=64)
+    p.add_argument("--int8", action="store_true", help="int8 draft mode")
+    p.add_argument("--engine", action="store_true",
+                   help="continuous-batching engine (2x requests over the "
+                        "slots, admission mid-flight) instead of a fixed batch")
     args = p.parse_args()
 
     import jax
@@ -57,27 +61,42 @@ def main():
     dparams["embed"] = tparams["embed"]
     model = SpecModel(tcfg, dcfg, SpecConfig(total_tokens=30, depth=3, top_k=8),
                       tparams, dparams, max_len=args.max_len,
-                      dtype=jnp.bfloat16, eos_token_id=10**6)
+                      dtype=jnp.bfloat16, eos_token_id=10**6,
+                      quantize_draft=args.int8)
 
     rng = np.random.default_rng(0)
     rows = []
     base_tps = None
     for b in [int(x) for x in args.sizes.split(",")]:
-        reqs = [{"input_ids": rng.integers(10, 31990, 100).tolist()}
-                for _ in range(b)]
-        # warm with the SAME max_new_tokens: max_out sizes the SpecState and
-        # keys the compiled graphs
-        model.specgenerate_batch(reqs, max_new_tokens=args.new_tokens)
-        t0 = time.perf_counter()
-        results = model.specgenerate_batch(reqs, max_new_tokens=args.new_tokens)
-        dt = time.perf_counter() - t0
-        toks = sum(r.new_tokens for r in results)
+        if args.engine:
+            prompts = [rng.integers(10, 31990, 100).tolist()
+                       for _ in range(2 * b)]
+            eng = model.serving_engine(batch_size=b,
+                                       max_new_tokens=args.new_tokens)
+            eng.run_all(prompts[: b])  # warm compile
+            t0 = time.perf_counter()
+            outs = eng.run_all(prompts)
+            dt = time.perf_counter() - t0
+            toks = sum(len(o) for o in outs)
+        else:
+            reqs = [{"input_ids": rng.integers(10, 31990, 100).tolist()}
+                    for _ in range(b)]
+            # warm with the SAME max_new_tokens: max_out sizes the SpecState
+            # and keys the compiled graphs
+            model.specgenerate_batch(reqs, max_new_tokens=args.new_tokens)
+            t0 = time.perf_counter()
+            results = model.specgenerate_batch(reqs,
+                                               max_new_tokens=args.new_tokens)
+            dt = time.perf_counter() - t0
+            toks = sum(r.new_tokens for r in results)
         tps = toks / dt
         if base_tps is None:
             base_tps = tps
         rows.append(dict(batch=b, tokens_per_s=round(tps, 1),
                          scaling_vs_b1=round(tps / base_tps, 2),
-                         wall_s=round(dt, 3), tokens=toks))
+                         wall_s=round(dt, 3), tokens=toks,
+                         mode=("engine" if args.engine else "fixed")
+                              + ("+int8" if args.int8 else "")))
         print(json.dumps(rows[-1]), flush=True)
     return rows
 

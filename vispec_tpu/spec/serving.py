@@ -58,6 +58,8 @@ class ServingEngine:
         pad_bucket: Optional[int] = None,
         chunk_rounds: int = 8,
         seed: int = 0,
+        max_images: int = 4,  # vision-span plan buckets (fixed at engine
+        max_span: int = 64,   # construction so admissions reuse one graph)
     ):
         if model.mparams is not None:
             raise NotImplementedError("serving engine supports the "
@@ -71,6 +73,7 @@ class ServingEngine:
         self.slack = max(spec.total_tokens,
                          spec.depth * spec.top_k + spec.depth + 2) + 10
         self.pad = pad_bucket or 128
+        self.max_images, self.max_span = max_images, max_span
         self.max_new = min(max_new_tokens,
                            model.max_len - self.pad - self.slack)
         if self.max_new <= 0:
@@ -89,31 +92,60 @@ class ServingEngine:
         self._n_prefills = 0
 
     # ------------------------------------------------------------------
-    def _prefill_one(self, prompt: Sequence[int]) -> spec_loop.SpecState:
+    def _prefill_one(self, request) -> spec_loop.SpecState:
+        """Prefill one request into the spare cache pair.  ``request`` is
+        either a plain token list or a dict with ``input_ids`` and optional
+        vision inputs (``pixel_values``/``image_size``/``pixel_values_videos``
+        — same surface as specgenerate_batch)."""
         from ..models import draft as draft_mod
         from ..models import llama
 
-        l = len(prompt)
+        m = self.m
+        if isinstance(request, dict):
+            ids = np.asarray(request["input_ids"], np.int64)
+            embeds, image_mask, position_ids, rope_delta = m._prompt_embeds(
+                ids, request.get("pixel_values"), request.get("image_size"),
+                request.get("pixel_values_videos"),
+                request.get("second_per_grid_ts", 1.0),
+            )
+            shifted = image_mask[1:] if image_mask is not None else None
+        else:
+            ids = np.asarray(request, np.int64)
+            embeds = llama.embed(m.tparams, jnp.asarray(ids, jnp.int32))
+            shifted, position_ids, rope_delta = None, None, 0
+        l = len(ids)
         if l >= self.pad:
             raise ValueError(f"prompt length {l} >= pad bucket {self.pad}")
-        m = self.m
-        embeds = llama.embed(m.tparams, jnp.asarray(prompt, jnp.int32))
         embeds = jnp.pad(embeds, ((0, self.pad - l), (0, 0)))
-        plan, ms = draft_mod.make_prefill_plan(None, l, m.dcfg.num_q, self.pad)
+        if position_ids is not None:
+            cont = position_ids[:, -1:] + 1 + np.arange(self.pad - l)[None, :]
+            position_ids = jnp.asarray(
+                np.concatenate([position_ids, cont], axis=1), jnp.int32)
+        plan, ms = draft_mod.make_prefill_plan(
+            shifted, l, m.dcfg.num_q, self.pad,
+            max_images=self.max_images, max_span=self.max_span,
+        )
+        if ms > self.max_span:
+            raise ValueError(
+                f"image span {ms} exceeds engine max_span={self.max_span}; "
+                f"construct the engine with a larger bucket")
         tc, dc = kv.reset(self._spare[0]), kv.reset(self._spare[1])
         self._n_prefills += 1
         # non-donated prefill: the spare pair stays alive for the next admission
         return spec_loop.spec_prefill(
             m.tparams, m.dparams, m.tcfg, m.dcfg, m.spec, plan, self.sampling,
             embeds, tc, dc, jax.random.PRNGKey(self.seed + self._n_prefills),
-            self.max_out, ms,
+            self.max_out, self.max_span,
+            position_ids=position_ids,
+            rope_delta=jnp.asarray(rope_delta, jnp.int32),
         )
 
     # ------------------------------------------------------------------
-    def run_all(self, prompts: Sequence[Sequence[int]]) -> List[np.ndarray]:
-        """Serve every prompt with dynamic slot admission; returns generated
-        token ids per prompt (submission order).  Greedy outputs match
-        single-request ``specgenerate`` exactly."""
+    def run_all(self, prompts: Sequence) -> List[np.ndarray]:
+        """Serve every request with dynamic slot admission; returns generated
+        token ids per request (submission order).  Each request is a token
+        list or a dict (``input_ids`` + optional vision inputs).  Greedy
+        outputs match single-request ``specgenerate`` exactly."""
         m = self.m
         queue = deque(enumerate(prompts))
         if not queue:
