@@ -126,3 +126,34 @@ def test_engine_vision_requests(tmp_path):
         m = min(len(o), len(ref_new), 10)
         assert m >= 5
         assert list(o[:m]) == ref_new[:m]
+
+
+def test_engine_prefix_caching():
+    """Shared system-prompt prefix prefilled once; admissions continue from
+    the snapshot. Outputs must match full-prompt specgenerate."""
+    model = _model()
+    rng = np.random.default_rng(5)
+    prefix = rng.integers(5, 120, 24).tolist()
+    suffixes = [rng.integers(5, 120, rng.integers(6, 30)).tolist()
+                for _ in range(4)]
+    prompts = [prefix + s for s in suffixes]
+
+    eng = ServingEngine(model, batch_size=2, max_new_tokens=16,
+                        chunk_rounds=4, pad_bucket=128, prefix_ids=prefix,
+                        suffix_bucket=64)
+    outs = eng.run_all(prompts)
+    assert len(outs) == 4 and eng._n_prefills == 4
+    for p, o in zip(prompts, outs):
+        ref = model.specgenerate(p, max_new_tokens=16)
+        ref_new = list(ref.sequences[len(p):])
+        n = min(len(o), len(ref_new))
+        assert n >= 12, (len(o), len(ref_new))
+        assert list(o[:n]) == ref_new[:n], (list(o), ref_new)
+
+    # a request NOT starting with the prefix falls back to full prefill
+    other = rng.integers(5, 120, 20).tolist()
+    outs2 = eng.run_all([other])
+    ref = model.specgenerate(other, max_new_tokens=16)
+    ref_new = list(ref.sequences[len(other):])
+    n = min(len(outs2[0]), len(ref_new))
+    assert n >= 12 and list(outs2[0][:n]) == ref_new[:n]

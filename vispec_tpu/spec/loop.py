@@ -160,6 +160,176 @@ def spec_prefill(
     )
 
 
+# ---------------------------------------------------------------------------
+# Prefix caching (shared text prefix — e.g. a system prompt — prefilled once)
+# ---------------------------------------------------------------------------
+
+
+class PrefixSnapshot(NamedTuple):
+    """Reusable KV + boundary state of a shared TEXT prefix.
+
+    The draft cache holds rows for positions [0, prefix_len-1): the row at
+    prefix_len-1 pairs the boundary hidden with the FIRST SUFFIX token's
+    embedding (cnets_ours.py:1066-1082's shift), so it cannot be part of the
+    snapshot and is recomputed per continuation."""
+
+    t_k: jax.Array  # [L, H, prefix_pad, D]
+    t_v: jax.Array
+    d_k: jax.Array  # [1, H, prefix_pad, D]
+    d_v: jax.Array
+    prefix_len: jax.Array  # [] int32
+    boundary_hidden: jax.Array  # [hidden] — target hidden at prefix_len-1
+
+
+@functools.partial(jax.jit, static_argnames=("tcfg", "dcfg"))
+def make_prefix_snapshot(
+    tparams: dict,
+    dparams: dict,
+    tcfg: LlamaConfig,
+    dcfg: DraftConfig,
+    prefix_embeds: jax.Array,  # [prefix_pad, hidden]
+    prefix_len: jax.Array,  # [] int32
+    target_cache: kv.KVCache,  # scratch (reset) caches; not mutated logically
+    draft_cache: kv.KVCache,
+) -> PrefixSnapshot:
+    """Prefill a shared text prefix once; returns trimmed KV rows + boundary
+    hidden for spec_prefill_continue.  Text-only (no image spans)."""
+    pad = prefix_embeds.shape[0]
+    pos = jnp.arange(pad, dtype=jnp.int32)
+    mask = causal_mask(pad, target_cache.max_len, 0)
+    hidden, tc = target_forward(tparams, tcfg, prefix_embeds, pos,
+                                target_cache, mask)
+    boundary = jnp.take(hidden, prefix_len - 1, axis=0)
+
+    # draft rows for positions [0, prefix_len-1): hidden[i] + embed(token[i+1])
+    shifted = jnp.roll(prefix_embeds, -1, axis=0)
+    x = draft_mod.fuse(dparams, shifted.astype(hidden.dtype), hidden,
+                       jnp.zeros((dcfg.hidden_size,), hidden.dtype))
+    rows = jnp.arange(pad, dtype=jnp.int32)
+    attn = jnp.zeros((pad, draft_cache.max_len), bool)
+    attn = attn.at[:, :pad].set(rows[None, :] <= rows[:, None])
+    _, dc = draft_mod.layer_forward(
+        dparams, dcfg, x, rows, draft_cache, jnp.zeros((), jnp.int32), attn
+    )
+    return PrefixSnapshot(
+        t_k=tc.k[:, :, :pad], t_v=tc.v[:, :, :pad],
+        d_k=dc.k[:, :, :pad], d_v=dc.v[:, :, :pad],
+        prefix_len=jnp.asarray(prefix_len, jnp.int32),
+        boundary_hidden=boundary,
+    )
+
+
+def spec_prefill_continue(
+    tparams: dict,
+    dparams: dict,
+    tcfg: LlamaConfig,
+    dcfg: DraftConfig,
+    spec: SpecConfig,
+    sampling: SamplingParams,
+    snap: PrefixSnapshot,
+    suffix_embeds: jax.Array,  # [suffix_pad, hidden]
+    suffix_len: jax.Array,  # [] int32
+    target_cache: kv.KVCache,
+    draft_cache: kv.KVCache,
+    key: jax.Array,
+    max_out: int,
+) -> SpecState:
+    """spec_prefill for ``prefix + suffix`` that only computes the suffix:
+    the snapshot's KV rows are written into the (donated) caches, the target
+    runs over suffix positions, and the draft continues from the boundary row.
+    Bitwise-equal target KV/hiddens to a full prefill (same weights, same
+    positions); only batch-shape float associativity can differ."""
+    zero = jnp.zeros((), jnp.int32)
+    plen = snap.prefix_len
+    pad_s = suffix_embeds.shape[0]
+
+    # seed caches with the snapshot rows
+    target_cache = target_cache._replace(
+        k=lax.dynamic_update_slice(target_cache.k, snap.t_k, (0, 0, 0, 0)),
+        v=lax.dynamic_update_slice(target_cache.v, snap.t_v, (0, 0, 0, 0)),
+        length=plen, real_length=plen + 0,
+    )
+    draft_cache = draft_cache._replace(
+        k=lax.dynamic_update_slice(draft_cache.k, snap.d_k, (0, 0, 0, 0)),
+        v=lax.dynamic_update_slice(draft_cache.v, snap.d_v, (0, 0, 0, 0)),
+        # distinct ops => distinct buffers (donated pytrees must not alias —
+        # see kv_cache.reset)
+        length=plen - 1, real_length=(plen - 1) + 0,
+    )
+
+    # ---- target forward over the suffix ----
+    pos = plen + jnp.arange(pad_s, dtype=jnp.int32)
+    mask = causal_mask(pad_s, target_cache.max_len, plen)
+    hidden_s, target_cache = target_forward(
+        tparams, tcfg, suffix_embeds, pos, target_cache, mask
+    )
+    target_cache = kv.advance(target_cache, suffix_len)
+
+    last_logits = llama.lm_head(tparams, jnp.take(hidden_s, suffix_len - 1, axis=0))
+    key, k_sample = jax.random.split(key)
+    if sampling.greedy:
+        first_token = jnp.argmax(last_logits).astype(jnp.int32)
+    else:
+        p = jax.nn.softmax(process_logits(
+            last_logits, sampling.temperature, sampling.top_p, sampling.top_k))
+        first_token = sample_categorical(k_sample, p).astype(jnp.int32)
+
+    # ---- draft continuation over positions [plen-1, plen+suffix_len) ----
+    # row j (block-relative) is position plen-1+j: hidden + NEXT token's embed
+    first_embed = jnp.take(dparams["embed"], first_token, axis=0)
+    drows = pad_s + 1
+    d_embeds = jnp.concatenate([suffix_embeds[:1],
+                                jnp.roll(suffix_embeds, -1, axis=0)], axis=0)
+    ridx = jnp.arange(drows, dtype=jnp.int32)
+    d_embeds = jnp.where((ridx == suffix_len)[:, None],
+                         first_embed[None].astype(d_embeds.dtype), d_embeds)
+    d_hidden = jnp.concatenate([snap.boundary_hidden[None], hidden_s], axis=0)
+    last_img = jnp.zeros((dcfg.hidden_size,), d_hidden.dtype)
+    x = draft_mod.fuse(dparams, d_embeds.astype(d_hidden.dtype), d_hidden,
+                       last_img)
+    d_pos = plen - 1 + ridx
+    cols = jnp.arange(draft_cache.max_len, dtype=jnp.int32)
+    committed = cols[None, :] < draft_cache.length
+    in_block = (cols[None, :] >= draft_cache.length) & (
+        cols[None, :] <= draft_cache.length + ridx[:, None]
+    )
+    attn = committed | in_block
+    d_out, draft_cache = draft_mod.layer_forward(
+        dparams, dcfg, x, d_pos, draft_cache, draft_cache.length, attn
+    )
+    draft_cache = kv.advance(draft_cache, suffix_len + 1)
+    last_hidden = jnp.take(d_out, suffix_len, axis=0)
+
+    head_w = dparams["rank_head"] if "rank_head" in dparams else tparams["lm_head"]
+    w_e, w_h, b_eff = draft_mod.decode_fuse_weights(dparams, dcfg, last_img)
+    tree, draft_cache = draft_mod.expand_tree(
+        dparams, dcfg, spec, last_hidden, first_token, last_img, head_w,
+        draft_cache, fuse_w=(w_e, w_h, b_eff),
+    )
+    return SpecState(
+        tree=tree, target_cache=target_cache, draft_cache=draft_cache,
+        last_img=last_img,
+        output=jnp.zeros((max_out,), jnp.int32),
+        out_len=jnp.zeros((), jnp.int32),
+        new_token=jnp.zeros((), jnp.int32),
+        done=jnp.zeros((), bool),
+        key=key,
+        rope_delta=jnp.zeros((), jnp.int32),
+        fuse_wh=w_h, fuse_b=b_eff, fuse_we=w_e,
+    )
+
+
+_CONTINUE_STATIC = ("tcfg", "dcfg", "spec", "sampling", "max_out")
+_spec_prefill_continue_fn = spec_prefill_continue
+# non-donated: the serving engine reuses one spare cache pair per admission
+spec_prefill_continue = jax.jit(
+    _spec_prefill_continue_fn, static_argnames=_CONTINUE_STATIC)
+spec_prefill_continue_donated = jax.jit(
+    _spec_prefill_continue_fn, static_argnames=_CONTINUE_STATIC,
+    donate_argnames=("target_cache", "draft_cache"),
+)
+
+
 _PREFILL_STATIC = ("tcfg", "dcfg", "spec", "sampling", "max_out", "max_span")
 _spec_prefill_fn = spec_prefill
 spec_prefill = jax.jit(_spec_prefill_fn, static_argnames=_PREFILL_STATIC)

@@ -60,6 +60,8 @@ class ServingEngine:
         seed: int = 0,
         max_images: int = 4,  # vision-span plan buckets (fixed at engine
         max_span: int = 64,   # construction so admissions reuse one graph)
+        prefix_ids: Optional[Sequence[int]] = None,  # shared TEXT prefix
+        suffix_bucket: int = 128,  # pad bucket for prefix-cached suffixes
     ):
         if model.mparams is not None:
             raise NotImplementedError("serving engine supports the "
@@ -91,6 +93,34 @@ class ServingEngine:
         )
         self._n_prefills = 0
 
+        # ---- optional prefix cache: prefill the shared text prefix ONCE ----
+        # (e.g. a long system prompt); admissions whose ids start with it run
+        # spec_prefill_continue over just the suffix.
+        self._snap = None
+        self._prefix = None
+        if prefix_ids is not None:
+            from ..models import llama
+
+            self._prefix = np.asarray(prefix_ids, np.int64)
+            plen = len(self._prefix)
+            ppad = max(128, -(-plen // 128) * 128)
+            self.suffix_bucket = suffix_bucket
+            if plen < 2 or plen + suffix_bucket + self.slack > model.max_len:
+                raise ValueError(
+                    f"prefix length {plen} + suffix bucket {suffix_bucket} + "
+                    f"slack {self.slack} exceeds max_len={model.max_len}")
+            pembeds = llama.embed(model.tparams,
+                                  jnp.asarray(self._prefix, jnp.int32))
+            pembeds = jnp.pad(pembeds, ((0, ppad - plen), (0, 0)))
+            self._snap = spec_loop.make_prefix_snapshot(
+                model.tparams, model.dparams, model.tcfg, model.dcfg,
+                pembeds, jnp.asarray(plen, jnp.int32),
+                kv.reset(self._spare[0]), kv.reset(self._spare[1]),
+            )
+            # snapshots cap generation: prompt = prefix + suffix
+            self.max_new = min(self.max_new,
+                               model.max_len - plen - suffix_bucket - self.slack)
+
     # ------------------------------------------------------------------
     def _prefill_one(self, request) -> spec_loop.SpecState:
         """Prefill one request into the spare cache pair.  ``request`` is
@@ -101,6 +131,32 @@ class ServingEngine:
         from ..models import llama
 
         m = self.m
+        if self._snap is not None:
+            ids = np.asarray(request["input_ids"] if isinstance(request, dict)
+                             else request, np.int64)
+            is_text = not (isinstance(request, dict) and (
+                request.get("pixel_values") is not None
+                or request.get("pixel_values_videos") is not None))
+            plen = len(self._prefix)
+            if (is_text and len(ids) > plen
+                    and np.array_equal(ids[:plen], self._prefix)):
+                suffix = ids[plen:]
+                sl = len(suffix)
+                if sl >= self.suffix_bucket:
+                    raise ValueError(f"suffix length {sl} >= suffix bucket "
+                                     f"{self.suffix_bucket}")
+                sembeds = llama.embed(m.tparams, jnp.asarray(suffix, jnp.int32))
+                sembeds = jnp.pad(sembeds,
+                                  ((0, self.suffix_bucket - sl), (0, 0)))
+                tc, dc = kv.reset(self._spare[0]), kv.reset(self._spare[1])
+                self._n_prefills += 1
+                return spec_loop.spec_prefill_continue(
+                    m.tparams, m.dparams, m.tcfg, m.dcfg, m.spec,
+                    self.sampling, self._snap, sembeds,
+                    jnp.asarray(sl, jnp.int32), tc, dc,
+                    jax.random.PRNGKey(self.seed + self._n_prefills),
+                    self.max_out,
+                )
         if isinstance(request, dict):
             ids = np.asarray(request["input_ids"], np.int64)
             embeds, image_mask, position_ids, rope_delta = m._prompt_embeds(
