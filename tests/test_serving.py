@@ -157,3 +157,30 @@ def test_engine_prefix_caching():
     ref_new = list(ref.sequences[len(other):])
     n = min(len(outs2[0]), len(ref_new))
     assert n >= 12 and list(outs2[0][:n]) == ref_new[:n]
+
+
+def test_engine_prefix_caching_mrope():
+    """Prefix caching under an M-RoPE (Qwen-style) text target: linear
+    positions broadcast over the 3 rope streams."""
+    from vispec_tpu.spec.spec_model import dataclass_replace
+
+    tq = dataclass_replace(T, mrope_section=(2, 2, 4), qkv_bias=True)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(8))
+    tparams = llama.init_params(tq, k1, jnp.float32)
+    dparams = draft_mod.init_params(D, k2, jnp.float32)
+    dparams["embed"] = tparams["embed"]
+    model = SpecModel(tq, D, SpecConfig(total_tokens=12, depth=3, top_k=4),
+                      tparams, dparams, max_len=512, dtype=jnp.float32,
+                      eos_token_id=10**6)
+    rng = np.random.default_rng(4)
+    prefix = rng.integers(5, 120, 20).tolist()
+    prompts = [prefix + rng.integers(5, 120, 10).tolist() for _ in range(2)]
+    eng = ServingEngine(model, batch_size=2, max_new_tokens=12,
+                        chunk_rounds=4, pad_bucket=128, prefix_ids=prefix,
+                        suffix_bucket=64)
+    outs = eng.run_all(prompts)
+    for p, o in zip(prompts, outs):
+        ref = model.specgenerate(p, max_new_tokens=12)
+        ref_new = list(ref.sequences[len(p):])
+        n = min(len(o), len(ref_new))
+        assert n >= 8 and list(o[:n]) == ref_new[:n]

@@ -196,6 +196,9 @@ def make_prefix_snapshot(
     hidden for spec_prefill_continue.  Text-only (no image spans)."""
     pad = prefix_embeds.shape[0]
     pos = jnp.arange(pad, dtype=jnp.int32)
+    if tcfg.mrope_section is not None:
+        # Qwen text-only: M-RoPE collapses to linear over all 3 streams
+        pos = jnp.broadcast_to(pos[None], (3, pad))
     mask = causal_mask(pad, target_cache.max_len, 0)
     hidden, tc = target_forward(tparams, tcfg, prefix_embeds, pos,
                                 target_cache, mask)
@@ -259,6 +262,8 @@ def spec_prefill_continue(
 
     # ---- target forward over the suffix ----
     pos = plen + jnp.arange(pad_s, dtype=jnp.int32)
+    if tcfg.mrope_section is not None:
+        pos = jnp.broadcast_to(pos[None], (3, pad_s))  # Qwen text-only
     mask = causal_mask(pad_s, target_cache.max_len, plen)
     hidden_s, target_cache = target_forward(
         tparams, tcfg, suffix_embeds, pos, target_cache, mask
