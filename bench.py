@@ -67,7 +67,6 @@ REPEATS = 3
 
 
 def build(cfg_d, dtype=jnp.bfloat16) -> SpecModel:
-    quantize_draft = os.environ.get("VISPEC_DRAFT_INT8", "0") == "1"
     max_len = cfg_d["max_len"]
     tcfg = LlamaConfig(
         vocab_size=cfg_d["vocab_size"], hidden_size=cfg_d["hidden_size"],
@@ -91,7 +90,7 @@ def build(cfg_d, dtype=jnp.bfloat16) -> SpecModel:
     # out-of-vocab eos: random weights must not stop generation early
     return SpecModel(tcfg, dcfg, SpecConfig(total_tokens=30, depth=3, top_k=8),
                      tparams, dparams, max_len=max_len, dtype=dtype,
-                     eos_token_id=10**6, quantize_draft=quantize_draft)
+                     eos_token_id=10**6)
 
 
 def _time_spec(model, prompt):
@@ -101,21 +100,6 @@ def _time_spec(model, prompt):
         res = model.specgenerate(prompt, max_new_tokens=N_TOKENS)
         t_round = min(t_round, res.decode_time / max(res.rounds, 1))
     return t_round
-
-
-def _quantize_in_place(model):
-    """Swap the draft to int8 mode on an existing model (ops/quant.py) without
-    duplicating the multi-GB target params or caches."""
-    from vispec_tpu.ops.quant import quantize_q8
-
-    layer = dict(model.dparams["layer"])
-    for k in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
-        if k in layer:
-            layer[k] = quantize_q8(layer[k])
-    dq = dict(model.dparams)
-    dq["layer"] = layer
-    dq["rank_head"] = quantize_q8(model.tparams["lm_head"])
-    model.dparams = dq
 
 
 def run_bench(cfg_d):
@@ -137,8 +121,9 @@ def run_bench(cfg_d):
     # ---- spec path, int8 draft mode (losslessness preserved — the verify
     # pass keeps exact bf16 weights; measured tau cost on a trained draft is
     # ~1% (tests/test_e2e_tau.py::test_quantized_draft_losslessness_and_tau),
-    # the round is ~8% faster: the recommended serving configuration) ----
-    _quantize_in_place(model)
+    # the round is ~8% faster: the recommended serving configuration).
+    # In-place swap: no duplicate multi-GB target params or caches. ----
+    model.quantize_draft_inplace()
     t_round_q8 = _time_spec(model, prompt)
 
     r = t_round / t_ar

@@ -73,7 +73,7 @@ def main():
                        for _ in range(2 * b)]
             eng = model.serving_engine(batch_size=b,
                                        max_new_tokens=args.new_tokens)
-            eng.run_all(prompts[: b])  # warm compile
+            eng.run_all(prompts)  # warm: full run compiles admit() too
             t0 = time.perf_counter()
             outs = eng.run_all(prompts)
             dt = time.perf_counter() - t0

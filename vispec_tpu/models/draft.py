@@ -212,6 +212,49 @@ def img_adaptor(params: dict, cfg: DraftConfig, span_embeds: jax.Array, span_mas
     return jnp.dot(out, a["wo"], preferred_element_type=jnp.float32).astype(span_embeds.dtype)
 
 
+def fuse_weight_mats(params: dict, cfg: DraftConfig):
+    """The two request-INDEPENDENT matrices of the decode-path fuse fold
+    (see decode_fuse_weights): W_e = F1 and W_h = G1 @ F2 (or F2 for EAGLE).
+    SpecModel precomputes these once into dparams["fuse_we"/"fuse_wh"] so
+    batched/serving states don't carry B identical [D, D] copies."""
+    d = cfg.hidden_size
+    f1 = params["fc_w"][:d]
+    f2 = params["fc_w"][d:]
+    if "img_fc_w" in params:
+        g1 = params["img_fc_w"][:d]
+        w_h = jnp.dot(g1, f2, preferred_element_type=jnp.float32).astype(f1.dtype)
+    else:  # EAGLE: no img_fc stage
+        w_h = f2
+    if isinstance(params["layer"].get("wq"), QTensor):
+        # quantized-draft mode: match the int8 layer's bandwidth profile
+        return quantize_q8(f1), quantize_q8(w_h.astype(jnp.float32))
+    return f1, w_h
+
+
+def ensure_fuse_mats(params: dict, cfg: DraftConfig):
+    """Precomputed fuse matrices when present (SpecModel), derived otherwise
+    (raw spec_loop callers / tests — pays a [D,D] matmul per call)."""
+    if "fuse_we" in params and "fuse_wh" in params:
+        return params["fuse_we"], params["fuse_wh"]
+    return fuse_weight_mats(params, cfg)
+
+
+def decode_fuse_bias(params: dict, cfg: DraftConfig, last_img: jax.Array) -> jax.Array:
+    """The request-dependent constant of the fuse fold:
+    b_eff = (L @ G2 + gb) @ F2 + fb (L = last_img, fixed per generation)."""
+    d = cfg.hidden_size
+    f2 = params["fc_w"][d:]
+    b = params.get("fc_b", jnp.zeros((d,), f2.dtype)).astype(jnp.float32)
+    if "img_fc_w" in params:
+        g2 = params["img_fc_w"][d:]
+        gb = params.get("img_fc_b", jnp.zeros((d,), f2.dtype)).astype(jnp.float32)
+        bias = (jnp.dot(last_img.astype(jnp.float32), g2.astype(jnp.float32))
+                + gb) @ f2.astype(jnp.float32) + b
+    else:
+        bias = b
+    return bias.astype(jnp.float32)
+
+
 def decode_fuse_weights(params: dict, cfg: DraftConfig, last_img: jax.Array):
     """Fold the decode-path fc(img_fc(.)) composition into two D x D matmuls.
 
@@ -221,25 +264,8 @@ def decode_fuse_weights(params: dict, cfg: DraftConfig, last_img: jax.Array):
     traffic per draft step and collapses 4 matmuls + 2 concats into 2 matmuls
     + adds.  Returns (W_e [D, D], W_h [D, D], b_eff [D]).
     """
-    d = cfg.hidden_size
-    f1 = params["fc_w"][:d]
-    f2 = params["fc_w"][d:]
-    b = params.get("fc_b", jnp.zeros((d,), f1.dtype)).astype(jnp.float32)
-    if "img_fc_w" in params:
-        g1 = params["img_fc_w"][:d]
-        g2 = params["img_fc_w"][d:]
-        gb = params.get("img_fc_b", jnp.zeros((d,), f1.dtype)).astype(jnp.float32)
-        w_h = jnp.dot(g1, f2, preferred_element_type=jnp.float32).astype(f1.dtype)
-        bias = (jnp.dot(last_img.astype(jnp.float32), g2.astype(jnp.float32))
-                + gb) @ f2.astype(jnp.float32) + b
-    else:  # EAGLE: no img_fc stage
-        w_h = f2
-        bias = b
-    if isinstance(params["layer"].get("wq"), QTensor):
-        # quantized-draft mode: the folds are recomputed once per generation,
-        # so quantize them to match the int8 layer's bandwidth profile
-        return quantize_q8(f1), quantize_q8(w_h.astype(jnp.float32)), bias.astype(jnp.float32)
-    return f1, w_h, bias.astype(jnp.float32)
+    w_e, w_h = ensure_fuse_mats(params, cfg)
+    return w_e, w_h, decode_fuse_bias(params, cfg, last_img)
 
 
 def fused_input(w_e, w_h, b_eff, embeds: jax.Array, hidden: jax.Array) -> jax.Array:

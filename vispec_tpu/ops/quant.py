@@ -42,11 +42,13 @@ MaybeQuant = Union[jax.Array, QTensor]
 def quantize_q8(w: jax.Array, chunk_cols: int = 8192) -> QTensor:
     """Per-output-channel symmetric int8: w ~= q * s[None, :].
 
-    Column-chunked so the float32 transient stays small — quantizing the
-    0.5GB lm_head at near-full HBM (7B @ max_len=2048 occupancy) OOMs if the
-    whole f32 copy materializes at once."""
-    s = (jnp.max(jnp.abs(w).astype(jnp.float32), axis=0) / 127.0)
-    s = jnp.where(s == 0, jnp.ones_like(s), s)
+    Column-chunked (scales included) so the float32 transient stays small —
+    quantizing the 0.5GB lm_head at near-full HBM (7B @ max_len=2048
+    occupancy) OOMs if a whole f32 copy materializes at once."""
+
+    def _scale(block):
+        s = jnp.max(jnp.abs(block).astype(jnp.float32), axis=0) / 127.0
+        return jnp.where(s == 0, jnp.ones_like(s), s)
 
     def _q(block, sblock):
         return jnp.clip(
@@ -54,14 +56,30 @@ def quantize_q8(w: jax.Array, chunk_cols: int = 8192) -> QTensor:
         ).astype(jnp.int8)
 
     if w.ndim == 2 and w.shape[1] > chunk_cols:
-        parts = [
-            _q(w[:, i:i + chunk_cols], s[i:i + chunk_cols])
-            for i in range(0, w.shape[1], chunk_cols)
-        ]
-        q = jnp.concatenate(parts, axis=1)
-    else:
-        q = _q(w, s)
-    return QTensor(q=q, s=s)
+        s_parts, q_parts = [], []
+        for i in range(0, w.shape[1], chunk_cols):
+            block = w[:, i:i + chunk_cols]
+            sb = _scale(block)
+            q_parts.append(_q(block, sb))
+            s_parts.append(sb)
+        return QTensor(q=jnp.concatenate(q_parts, axis=1),
+                       s=jnp.concatenate(s_parts))
+    s = _scale(w)
+    return QTensor(q=_q(w, s), s=s)
+
+
+def quantize_draft_params(dparams: dict, lm_head: jax.Array) -> dict:
+    """int8 copies of the draft layer weights + a ranking copy of the target
+    head — the single source for SpecModel(quantize_draft=True) and bench
+    mode swaps.  Returns a NEW dict (originals not mutated)."""
+    dparams = dict(dparams)
+    layer = dict(dparams["layer"])
+    for k in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
+        if k in layer:
+            layer[k] = quantize_q8(layer[k])
+    dparams["layer"] = layer
+    dparams["rank_head"] = quantize_q8(lm_head)
+    return dparams
 
 
 def dequantize(w: MaybeQuant, dtype=jnp.bfloat16) -> jax.Array:

@@ -167,6 +167,20 @@ def text_requests(tparams, dcfg, prompts: Sequence[Sequence[int]],
     return out
 
 
+def apply_count_diffs(counts_np, prev, accepts, slot_keys) -> None:
+    """Recover per-round acceptance lengths from cumulative device counters.
+
+    counts_np: [n_rounds, B] cumulative new_token per round; prev: mutable
+    per-slot int array; accepts: mapping key -> list; slot_keys: (slot, key)
+    pairs to track.  A round whose counter didn't move was latched (done)."""
+    for r in range(counts_np.shape[0]):
+        for slot, key in slot_keys:
+            c = int(counts_np[r, slot])
+            if c != int(prev[slot]):
+                accepts[key].append(c - int(prev[slot]) - 1)
+                prev[slot] = c
+
+
 def drain_batch(
     tparams, dparams, tcfg, dcfg, spec, sampling, states,
     budget: int, eos_id: int, chunk_rounds: int = 8,
@@ -178,19 +192,14 @@ def drain_batch(
     b = int(states.done.shape[0])
     prev = np.zeros(b, np.int64)
     accepts: List[List[int]] = [[] for _ in range(b)]
+    slot_keys = [(j, j) for j in range(b)]
     rounds = 0
     while rounds < budget:
         states, counts = batched_decode_rounds_chunk(
             tparams, dparams, tcfg, dcfg, spec, sampling, states, eos, cap,
             n_rounds=chunk_rounds,
         )
-        counts = np.asarray(counts)  # [n_rounds, B] cumulative
-        for r in range(counts.shape[0]):
-            for j in range(b):
-                c = int(counts[r, j])
-                if c != prev[j]:
-                    accepts[j].append(c - int(prev[j]) - 1)
-                    prev[j] = c
+        apply_count_diffs(np.asarray(counts), prev, accepts, slot_keys)
         rounds += chunk_rounds
         if bool(jnp.all(states.done)):
             break

@@ -54,11 +54,10 @@ class SpecState(NamedTuple):
     done: jax.Array  # [] bool
     key: jax.Array
     rope_delta: jax.Array  # [] int32 — Qwen M-RoPE offset (utils.py:398-402); 0 else
-    fuse_wh: jax.Array  # [hidden, hidden] — folded img_fc->fc hidden weight
-    fuse_b: jax.Array  # [hidden] f32 — folded constant bias (last_img fixed)
-    fuse_we: jax.Array  # [hidden, hidden] — fc_w[:d]; pre-sliced once at prefill
-    # (slicing fc_w inside decode_round re-materialized ~96MB of weight copies
-    # per round — 8 async slice-start DMAs in the xplane profile)
+    fuse_b: jax.Array  # [hidden] f32 — folded fuse constant (last_img fixed).
+    # The request-INDEPENDENT fuse matrices live in dparams["fuse_we"/"fuse_wh"]
+    # (draft.ensure_fuse_mats): carrying them here stacked B identical [D, D]
+    # copies in the batched/serving paths and re-sliced fc_w per round.
 
 
 class SamplingParams(NamedTuple):
@@ -154,9 +153,7 @@ def spec_prefill(
         key=key,
         rope_delta=(jnp.zeros((), jnp.int32) if rope_delta is None
                     else jnp.asarray(rope_delta, jnp.int32)),
-        fuse_wh=w_h,
         fuse_b=b_eff,
-        fuse_we=w_e,
     )
 
 
@@ -242,7 +239,6 @@ def spec_prefill_continue(
     runs over suffix positions, and the draft continues from the boundary row.
     Bitwise-equal target KV/hiddens to a full prefill (same weights, same
     positions); only batch-shape float associativity can differ."""
-    zero = jnp.zeros((), jnp.int32)
     plen = snap.prefix_len
     pad_s = suffix_embeds.shape[0]
 
@@ -320,7 +316,7 @@ def spec_prefill_continue(
         done=jnp.zeros((), bool),
         key=key,
         rope_delta=jnp.zeros((), jnp.int32),
-        fuse_wh=w_h, fuse_b=b_eff, fuse_we=w_e,
+        fuse_b=b_eff,
     )
 
 
@@ -450,7 +446,8 @@ def decode_round(
     )  # row j pairs hidden[path[j]] with token[path[j+1]], last valid row w/ bonus
     # jnp.roll wraps the last element; rows >= acc are overwritten with bonus.
 
-    fuse_w = (state.fuse_we, state.fuse_wh, state.fuse_b)
+    w_e, w_h = draft_mod.ensure_fuse_mats(dparams, dcfg)
+    fuse_w = (w_e, w_h, state.fuse_b)
     seed, draft_cache = draft_mod.append_accepted(
         dparams, dcfg, accept_hidden, tok_next, acc + 1, state.last_img,
         state.draft_cache, fuse_w=fuse_w,
@@ -472,9 +469,7 @@ def decode_round(
         done=done,
         key=key,
         rope_delta=state.rope_delta,
-        fuse_wh=state.fuse_wh,
         fuse_b=state.fuse_b,
-        fuse_we=state.fuse_we,
     )
     # in-graph done latch: rounds dispatched after completion (the host
     # pipelines one read-batch ahead) are no-ops on every cursor — see
@@ -609,9 +604,7 @@ def medusa_prefill(
         done=jnp.zeros((), bool),
         key=key,
         rope_delta=jnp.zeros((), jnp.int32),
-        fuse_wh=jnp.zeros((1, 1), inputs_embeds.dtype),
         fuse_b=jnp.zeros((1,), jnp.float32),
-        fuse_we=jnp.zeros((1, 1), inputs_embeds.dtype),
     )
 
 
@@ -656,9 +649,7 @@ def medusa_decode_round(
         done=done,
         key=key,
         rope_delta=state.rope_delta,
-        fuse_wh=state.fuse_wh,
         fuse_b=state.fuse_b,
-        fuse_we=state.fuse_we,
     )
     return latch_done(state, new_state)  # see decode_round
 

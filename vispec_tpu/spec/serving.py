@@ -83,14 +83,6 @@ class ServingEngine:
                 f"no headroom: max_len={model.max_len}, pad bucket "
                 f"{self.pad}, slack {self.slack}")
         self.max_out = self.max_new + 2 * (spec.depth + 2)
-        # one spare cache pair, reused for every admission prefill
-        self._spare = (
-            kv.init_cache(model.tcfg.num_hidden_layers,
-                          model.tcfg.num_key_value_heads, model.max_len,
-                          model.tcfg.head_dim, model.dtype),
-            kv.init_cache(1, model.dcfg.num_key_value_heads, model.max_len,
-                          model.dcfg.head_dim, model.dtype),
-        )
         self._n_prefills = 0
 
         # ---- optional prefix cache: prefill the shared text prefix ONCE ----
@@ -112,14 +104,28 @@ class ServingEngine:
             pembeds = llama.embed(model.tparams,
                                   jnp.asarray(self._prefix, jnp.int32))
             pembeds = jnp.pad(pembeds, ((0, ppad - plen), (0, 0)))
+            tc, dc = self._fresh_caches()
             self._snap = spec_loop.make_prefix_snapshot(
                 model.tparams, model.dparams, model.tcfg, model.dcfg,
-                pembeds, jnp.asarray(plen, jnp.int32),
-                kv.reset(self._spare[0]), kv.reset(self._spare[1]),
+                pembeds, jnp.asarray(plen, jnp.int32), tc, dc,
             )
             # snapshots cap generation: prompt = prefix + suffix
             self.max_new = min(self.max_new,
                                model.max_len - plen - suffix_bucket - self.slack)
+
+    # ------------------------------------------------------------------
+    def _fresh_caches(self):
+        """New zero cache pair per admission: admission prefills DONATE their
+        caches (a non-donated prefill copies both multi-hundred-MB buffers —
+        the loop.py spec_prefill_donated rationale); fresh zeros cost one
+        write and keep no spare resident."""
+        m = self.m
+        return (
+            kv.init_cache(m.tcfg.num_hidden_layers, m.tcfg.num_key_value_heads,
+                          m.max_len, m.tcfg.head_dim, m.dtype),
+            kv.init_cache(1, m.dcfg.num_key_value_heads, m.max_len,
+                          m.dcfg.head_dim, m.dtype),
+        )
 
     # ------------------------------------------------------------------
     def _prefill_one(self, request) -> spec_loop.SpecState:
@@ -138,19 +144,17 @@ class ServingEngine:
                 request.get("pixel_values") is not None
                 or request.get("pixel_values_videos") is not None))
             plen = len(self._prefix)
-            if (is_text and len(ids) > plen
+            sl = len(ids) - plen
+            if (is_text and sl > 0 and sl < self.suffix_bucket
                     and np.array_equal(ids[:plen], self._prefix)):
+                # (an over-long suffix falls through to the full prefill path)
                 suffix = ids[plen:]
-                sl = len(suffix)
-                if sl >= self.suffix_bucket:
-                    raise ValueError(f"suffix length {sl} >= suffix bucket "
-                                     f"{self.suffix_bucket}")
                 sembeds = llama.embed(m.tparams, jnp.asarray(suffix, jnp.int32))
                 sembeds = jnp.pad(sembeds,
                                   ((0, self.suffix_bucket - sl), (0, 0)))
-                tc, dc = kv.reset(self._spare[0]), kv.reset(self._spare[1])
+                tc, dc = self._fresh_caches()
                 self._n_prefills += 1
-                return spec_loop.spec_prefill_continue(
+                return spec_loop.spec_prefill_continue_donated(
                     m.tparams, m.dparams, m.tcfg, m.dcfg, m.spec,
                     self.sampling, self._snap, sembeds,
                     jnp.asarray(sl, jnp.int32), tc, dc,
@@ -185,10 +189,9 @@ class ServingEngine:
             raise ValueError(
                 f"image span {ms} exceeds engine max_span={self.max_span}; "
                 f"construct the engine with a larger bucket")
-        tc, dc = kv.reset(self._spare[0]), kv.reset(self._spare[1])
+        tc, dc = self._fresh_caches()
         self._n_prefills += 1
-        # non-donated prefill: the spare pair stays alive for the next admission
-        return spec_loop.spec_prefill(
+        return spec_loop.spec_prefill_donated(
             m.tparams, m.dparams, m.tcfg, m.dcfg, m.spec, plan, self.sampling,
             embeds, tc, dc, jax.random.PRNGKey(self.seed + self._n_prefills),
             self.max_out, self.max_span,
@@ -230,21 +233,16 @@ class ServingEngine:
                 m.tparams, m.dparams, m.tcfg, m.dcfg, m.spec, self.sampling,
                 states, eos, cap, n_rounds=self.chunk_rounds,
             )
-            counts_np = np.asarray(counts)  # [n_rounds, B] cumulative; syncs
-            for r in range(counts_np.shape[0]):
-                for slot, ridx in active.items():
-                    c = int(counts_np[r, slot])
-                    if c != prev[slot]:
-                        self.acceptance[ridx].append(c - int(prev[slot]) - 1)
-                        prev[slot] = c
-            done = np.asarray(states.done)
-            out_lens = np.asarray(states.out_len)
-            outputs = None
+            # ONE host readback per chunk (each separate np.asarray pays the
+            # full tunnel RTT — CLAUDE.md); outputs are fetched before any
+            # admission donates the buffers
+            counts_np, done, out_lens, outputs = jax.device_get(
+                (counts, states.done, states.out_len, states.output))
+            batch_mod.apply_count_diffs(
+                counts_np, prev, self.acceptance, list(active.items()))
             for slot in [s for s, d in zip(range(self.b), done) if d]:
                 if slot not in active:
                     continue
-                if outputs is None:  # fetch once per chunk, before donation
-                    outputs = np.asarray(states.output)
                 toks = outputs[slot][: int(out_lens[slot])]
                 epos = np.nonzero(toks == m.eos_token_id)[0]
                 if epos.size:

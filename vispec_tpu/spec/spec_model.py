@@ -86,25 +86,13 @@ class SpecModel:
         max_pixels: int = 1280 * 28 * 28,  # prompt module sets these (mme_prompt.py:5-9)
         quantize_draft: bool = False,  # int8 draft weights + ranking head
     ):
-        if quantize_draft and dparams.get("layer"):
-            # Weight-only int8 on the DRAFT side (ops/quant.py): halves the
-            # ~2.7GB/round of draft-layer + ranking-head HBM traffic.  Greedy
-            # losslessness vs the target is preserved (verification stays
-            # exact bf16); only the proposal quality (tau) can shift.  Not
-            # composable with tp sharding of the draft (QTensor leaves have no
-            # partition specs).
-            from ..ops.quant import quantize_q8
-
-            dparams = dict(dparams)
-            layer = dict(dparams["layer"])
-            for k in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
-                if k in layer:
-                    layer[k] = quantize_q8(layer[k])
-            dparams["layer"] = layer
-            dparams["rank_head"] = quantize_q8(tparams["lm_head"])
-        self.quantize_draft = quantize_draft
+        self.quantize_draft = False
         self.tcfg, self.dcfg, self.spec = tcfg, dcfg, spec
         self.tparams, self.dparams = tparams, dparams
+        if quantize_draft:
+            self.quantize_draft_inplace()
+        else:
+            self._derive_fuse_mats()
         self.mparams = mparams
         self.llava_cfg, self.vparams = llava_cfg, vparams
         self.qwen_cfg = qwen_cfg
@@ -130,6 +118,35 @@ class SpecModel:
             dcfg.num_hidden_layers, dcfg.num_key_value_heads, max_len,
             dcfg.head_dim, dtype,
         )
+
+    # ------------------------------------------------------------------
+    def _derive_fuse_mats(self) -> None:
+        """Precompute the request-independent decode fuse matrices into
+        dparams (draft.fuse_weight_mats) so per-request state doesn't carry
+        them (batched paths would stack B identical [D, D] copies)."""
+        d = self.dparams
+        if not d.get("layer") or getattr(d.get("fc_w"), "ndim", 0) != 2:
+            return  # stub / medusa draft: no decode fuse path
+        w_e, w_h = draft_mod.fuse_weight_mats(d, self.dcfg)
+        self.dparams = dict(d)
+        self.dparams["fuse_we"], self.dparams["fuse_wh"] = w_e, w_h
+
+    def quantize_draft_inplace(self) -> None:
+        """Switch the draft to weight-only int8 (ops/quant.py): halves the
+        ~2.7GB/round of draft-layer + ranking-head HBM traffic.  Greedy
+        losslessness vs the target is preserved (verification stays exact
+        bf16); only proposal quality (tau) can shift (~1% measured).  Not
+        composable with tp sharding of the draft (QTensor leaves have no
+        partition specs)."""
+        from ..ops.quant import quantize_draft_params
+
+        if not self.dparams.get("layer"):
+            return
+        base = {k: v for k, v in self.dparams.items()
+                if k not in ("fuse_we", "fuse_wh")}
+        self.dparams = quantize_draft_params(base, self.tparams["lm_head"])
+        self.quantize_draft = True
+        self._derive_fuse_mats()
 
     # ------------------------------------------------------------------
     @classmethod
