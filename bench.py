@@ -165,10 +165,15 @@ def main():
 
     last_err = ""
     for i, cfg_d in enumerate(CONFIGS):
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--config", str(i)],
-            capture_output=True, text=True, timeout=3000,
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--config", str(i)],
+                capture_output=True, text=True, timeout=3000,
+            )
+        except subprocess.TimeoutExpired:
+            last_err = f"{cfg_d['label']} timed out (cold compile?)"
+            sys.stderr.write(f"[bench] {last_err}\n")
+            continue  # fall back to the next (smaller) config
         line = ""
         for l in proc.stdout.splitlines():
             if l.startswith("{"):

@@ -232,3 +232,7 @@ def test_build_pretrain_ids_expands_image_span(tmp_path):
     # contiguous span
     pos = np.nonzero(ids == IMAGE_TOKEN)[0]
     assert pos[-1] - pos[0] + 1 == n
+    # a max_len that cannot hold the span intact returns None (caller skips)
+    # instead of slicing through it and desyncing the vision feature count
+    assert build_pretrain_ids(FakeTok(), model, "<image>\nDescribe.",
+                              (40, 40), n // 2) is None

@@ -53,8 +53,11 @@ def main():
     dims = MODELS[args.model]
     tcfg = LlamaConfig(vocab_size=32000, max_position_embeddings=args.max_len,
                        **dims)
+    # drafts are 1-layer: copying the target's num_hidden_layers would
+    # allocate an L-deep draft KV cache that is never used past layer 0
+    ddims = {k: v for k, v in dims.items() if k != "num_hidden_layers"}
     dcfg = DraftConfig(vocab_size=32000, max_position_embeddings=args.max_len,
-                       **dims)
+                       **ddims)
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     tparams = llama.init_params(tcfg, k1, jnp.bfloat16)
     dparams = draft_mod.init_params(dcfg, k2, jnp.bfloat16)

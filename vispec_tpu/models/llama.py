@@ -105,6 +105,7 @@ def forward_hidden(
     attn_mask: jax.Array,  # [S, max_len] bool
     region=None,  # optional (start, mask[S, T_reg]) => Pallas decode kernel
     return_new_kv: bool = False,
+    seq_len=None,  # real kv length (dynamic-NTK stretch; None => from positions)
 ) -> Tuple[jax.Array, KVCache]:
     """Run the decoder stack; returns (last hidden [S, hidden], cache with the
     new block written at cache.length — call kv_cache.advance with the valid
@@ -125,6 +126,7 @@ def forward_hidden(
                 (cfg.rope_scaling_factor, cfg.max_position_embeddings)
                 if cfg.rope_scaling_type == "dynamic" else None
             ),
+            seq_len=seq_len,
         )
 
     write_at = cache.length

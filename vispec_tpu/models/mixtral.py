@@ -66,6 +66,7 @@ def forward_hidden(
     attn_mask: jax.Array,
     region=None,  # optional (start, mask[S, T_reg]) => Pallas decode kernel
     return_new_kv: bool = False,
+    seq_len=None,  # real kv length (dynamic-NTK stretch; None => from positions)
 ) -> Tuple[jax.Array, KVCache]:
     """Same contract as llama.forward_hidden (region / return_new_kv included)
     so the verify pass can commit accepted rows via kv_cache.commit_from_blocks
@@ -78,6 +79,7 @@ def forward_hidden(
             (cfg.rope_scaling_factor, cfg.max_position_embeddings)
             if cfg.rope_scaling_type == "dynamic" else None
         ),
+        seq_len=seq_len,
     )
     write_at = cache.length
     from ..ops.attention import attend, kernel_eligible, pick_block, use_pallas

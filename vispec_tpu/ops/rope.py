@@ -31,6 +31,7 @@ def cos_sin(
     theta: float = 10000.0,
     linear_scale: float = 1.0,
     dynamic_ntk: "Tuple[float, int] | None" = None,
+    seq_len=None,  # real (unpadded) kv sequence length for the NTK stretch
 ) -> Tuple[jax.Array, jax.Array]:
     """cos, sin of shape [..., head_dim] for the given integer positions.
 
@@ -42,16 +43,19 @@ def cos_sin(
     rotary classes in modeling_llama_kv.py ~186-240): once the sequence
     exceeds ``max_position_embeddings`` the base theta is stretched by
     ``((factor*s/max) - (factor-1)) ** (dim/(dim-2))``.  The reference gates
-    the recompute on ``seq_len > max_seq_len_cached``; we compute the
-    effective sequence length as ``max(position_ids)+1`` (positions are
-    absolute here) and clamp the stretch at 1, which reproduces that gate
-    without a data-dependent branch.
+    the recompute on ``seq_len > max_seq_len_cached``; clamping the stretch at
+    1 reproduces that gate without a data-dependent branch.  Callers must pass
+    the REAL kv sequence length via ``seq_len`` — the ``max(position_ids)+1``
+    fallback over-counts 128-bucket prefill padding rows and would stretch
+    theta differently from HF for long prompts.
     """
     if dynamic_ntk is not None:
         factor, max_pos = dynamic_ntk
-        seq_len = jnp.max(position_ids).astype(jnp.float32) + 1.0
+        if seq_len is None:
+            seq_len = jnp.max(position_ids) + 1
+        s = jnp.asarray(seq_len, jnp.float32)
         stretch = jnp.maximum(
-            factor * seq_len / float(max_pos) - (factor - 1.0), 1.0
+            factor * s / float(max_pos) - (factor - 1.0), 1.0
         )
         theta_eff = theta * stretch ** (head_dim / (head_dim - 2))
         exponent = jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim

@@ -10,7 +10,7 @@ Serving-path features (parity with the single-request path):
 - vision requests: callers pass vision-merged embeds + PrefillPlans (built by
   SpecModel._prompt_embeds — see SpecModel.specgenerate_batch);
 - chunked device-side rounds (one host sync per ``n_rounds``, mirroring
-  spec/loop.decode_rounds_chunk);
+  batched_decode_rounds_chunk);
 - KV-cache buffer reuse across calls (no per-request init_cache churn).
 
 Memory note: KV caches dominate ([B, L, H, max_len, D]); pick max_len per

@@ -30,15 +30,15 @@ from ..ops.tree import Tree, greedy_accept, path_to_root, sampling_accept
 
 
 def target_forward(tparams, tcfg, embeds, pos, cache, mask, region=None,
-                   return_new_kv=False):
+                   return_new_kv=False, seq_len=None):
     """Dispatch dense vs MoE target backbones on the parameter pytree."""
     if "router" in tparams["layers"]:
         from ..models import mixtral
 
         return mixtral.forward_hidden(tparams, tcfg, embeds, pos, cache, mask,
-                                      region, return_new_kv)
+                                      region, return_new_kv, seq_len=seq_len)
     return llama.forward_hidden(tparams, tcfg, embeds, pos, cache, mask, region,
-                                return_new_kv)
+                                return_new_kv, seq_len=seq_len)
 
 
 class SpecState(NamedTuple):
@@ -108,7 +108,8 @@ def spec_prefill(
         position_ids = jnp.arange(pad_len, dtype=jnp.int32)
     mask = causal_mask(pad_len, target_cache.max_len, 0)
     hidden, target_cache = target_forward(
-        tparams, tcfg, inputs_embeds, position_ids, target_cache, mask
+        tparams, tcfg, inputs_embeds, position_ids, target_cache, mask,
+        seq_len=real_len,
     )
     target_cache = kv.advance(target_cache, real_len)
 
@@ -198,7 +199,7 @@ def make_prefix_snapshot(
         pos = jnp.broadcast_to(pos[None], (3, pad))
     mask = causal_mask(pad, target_cache.max_len, 0)
     hidden, tc = target_forward(tparams, tcfg, prefix_embeds, pos,
-                                target_cache, mask)
+                                target_cache, mask, seq_len=prefix_len)
     boundary = jnp.take(hidden, prefix_len - 1, axis=0)
 
     # draft rows for positions [0, prefix_len-1): hidden[i] + embed(token[i+1])
@@ -262,7 +263,8 @@ def spec_prefill_continue(
         pos = jnp.broadcast_to(pos[None], (3, pad_s))  # Qwen text-only
     mask = causal_mask(pad_s, target_cache.max_len, plen)
     hidden_s, target_cache = target_forward(
-        tparams, tcfg, suffix_embeds, pos, target_cache, mask
+        tparams, tcfg, suffix_embeds, pos, target_cache, mask,
+        seq_len=plen + suffix_len,
     )
     target_cache = kv.advance(target_cache, suffix_len)
 
@@ -377,6 +379,7 @@ def _verify_accept_commit(
     hidden, target_cache, new_kv = target_forward(
         tparams, tcfg, embeds, pos, state.target_cache, mask,
         region=(tree_start, tree.mask), return_new_kv=True,
+        seq_len=tree_start + t,
     )
     logits = llama.lm_head(tparams, hidden)  # [T, V] float32
 
@@ -510,41 +513,10 @@ def latch_done(prev: SpecState, new: SpecState) -> SpecState:
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("tcfg", "dcfg", "spec", "sampling", "n_rounds"),
-    donate_argnames=("state",),
-)
-def decode_rounds_chunk(
-    tparams: dict,
-    dparams: dict,
-    tcfg: LlamaConfig,
-    dcfg: DraftConfig,
-    spec: SpecConfig,
-    sampling: SamplingParams,
-    state: SpecState,
-    eos_id,
-    max_new_tokens,
-    n_rounds: int = 8,
-) -> SpecState:
-    """Run ``n_rounds`` decode rounds in one dispatch; rounds after the done
-    latch still execute but their effects are discarded (see latch_done — a
-    lax.cond here costs 5x by breaking cache aliasing).  The host checks
-    ``done`` once per chunk instead of once per round — the reference pays
-    several host syncs per round (SURVEY.md §3.2)."""
-
-    def body(state, _):
-        # decode_round latches internally (latch_done)
-        new_state = decode_round.__wrapped__(
-            tparams, dparams, tcfg, dcfg, spec, sampling, state,
-            eos_id, max_new_tokens,
-        )
-        # cumulative token counter per round; the host diffs these to recover
-        # per-round acceptance lengths (tau reporting)
-        return new_state, new_state.new_token
-
-    state, counts = lax.scan(body, state, None, length=n_rounds)
-    return state, counts
+# (The single-request host loops pipeline SOLO decode_round/ar_step dispatches
+# and read counters one batch behind — measured equal to a fused scan-of-rounds
+# graph at 7B while compiling one round instead of two graphs.  The batched
+# paths use spec/batch.batched_decode_rounds_chunk.)
 
 
 # ---------------------------------------------------------------------------
@@ -575,7 +547,8 @@ def medusa_prefill(
     position_ids = jnp.arange(pad_len, dtype=jnp.int32)
     mask = causal_mask(pad_len, target_cache.max_len, 0)
     hidden, target_cache = target_forward(
-        tparams, tcfg, inputs_embeds, position_ids, target_cache, mask
+        tparams, tcfg, inputs_embeds, position_ids, target_cache, mask,
+        seq_len=real_len,
     )
     target_cache = kv.advance(target_cache, real_len)
     last_hidden = jnp.take(hidden, real_len - 1, axis=0)
@@ -654,38 +627,6 @@ def medusa_decode_round(
     return latch_done(state, new_state)  # see decode_round
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("tcfg", "spec", "sampling", "n_rounds"),
-    donate_argnames=("state",),
-)
-def medusa_decode_rounds_chunk(
-    tparams: dict,
-    mparams: dict,
-    tcfg: LlamaConfig,
-    spec: SpecConfig,
-    sampling: SamplingParams,
-    state: SpecState,
-    eos_id,
-    max_new_tokens,
-    n_rounds: int = 8,
-):
-    """Medusa analog of decode_rounds_chunk: one dispatch per ``n_rounds``
-    rounds with a done latch (the Medusa path previously paid a host sync
-    every round).  Rounds run unconditionally; latch_done keeps the cache
-    aliasing in place."""
-
-    def body(state, _):
-        # medusa_decode_round latches internally (latch_done)
-        new_state = medusa_decode_round.__wrapped__(
-            tparams, mparams, tcfg, spec, sampling, state, eos_id,
-            max_new_tokens,
-        )
-        return new_state, new_state.new_token
-
-    return lax.scan(body, state, None, length=n_rounds)
-
-
 # ---------------------------------------------------------------------------
 # Autoregressive baseline (for speedup measurement / parity tests)
 # ---------------------------------------------------------------------------
@@ -718,6 +659,7 @@ def ar_step(
     hidden, cache = target_forward(
         tparams, tcfg, embeds, pos, cache, mask,
         region=(cache.length, jnp.ones((1, 1), bool)),
+        seq_len=cache.length + 1,
     )
     cache = kv.advance(cache, 1)
     logits = llama.lm_head(tparams, hidden[0])
@@ -730,49 +672,6 @@ def ar_step(
         )
         nxt = sample_categorical(k_s, p).astype(jnp.int32)
     return nxt, cache, key
-
-
-@functools.partial(jax.jit, static_argnames=("tcfg", "sampling", "n_steps"),
-                   donate_argnames=("cache",))
-def ar_steps_chunk(
-    tparams: dict,
-    tcfg: LlamaConfig,
-    sampling: SamplingParams,
-    token: jax.Array,  # [] int32 — last emitted token
-    cache: kv.KVCache,
-    key: jax.Array,
-    eos_id,
-    rope_delta: Optional[jax.Array] = None,
-    n_steps: int = 8,
-) -> Tuple[jax.Array, jax.Array, kv.KVCache, jax.Array]:
-    """``n_steps`` AR decode steps in one dispatch (host dispatch costs ~1 ms
-    on this host — see CLAUDE.md).  Steps after the EOS latch still execute
-    but only the cursor leaves advance (a lax.cond here would break the
-    in-place cache aliasing and cost 5x — see latch_done).  Returns
-    (tokens [n_steps], done, cache, key); tokens after EOS are repeats of EOS
-    and must be trimmed by the caller."""
-    delta = (jnp.zeros((), jnp.int32) if rope_delta is None
-             else jnp.asarray(rope_delta, jnp.int32))
-
-    def body(carry, _):
-        token, cache, key, done = carry
-        nxt, new_cache, new_key = ar_step.__wrapped__(
-            tparams, tcfg, sampling, token, cache, key, rope_delta=delta
-        )
-        sel = lambda old, upd: jnp.where(done, old, upd)
-        new_cache = new_cache._replace(
-            length=sel(cache.length, new_cache.length),
-            real_length=sel(cache.real_length, new_cache.real_length),
-        )
-        nxt = sel(token, nxt)
-        new_key = sel(key, new_key)
-        done = done | (nxt == eos_id)
-        return (nxt, new_cache, new_key, done), nxt
-
-    (token, cache, key, done), toks = lax.scan(
-        body, (token, cache, key, jnp.zeros((), bool)), None, length=n_steps
-    )
-    return toks, done, cache, key
 
 
 def ar_prefill(
@@ -789,7 +688,8 @@ def ar_prefill(
     pos = (jnp.arange(pad_len, dtype=jnp.int32)
            if position_ids is None else position_ids)
     mask = causal_mask(pad_len, cache.max_len, 0)
-    hidden, cache = target_forward(tparams, tcfg, inputs_embeds, pos, cache, mask)
+    hidden, cache = target_forward(tparams, tcfg, inputs_embeds, pos, cache,
+                                   mask, seq_len=real_len)
     cache = kv.advance(cache, real_len)
     logits = llama.lm_head(tparams, hidden[real_len - 1])
     key, k_s = jax.random.split(key)

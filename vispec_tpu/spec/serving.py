@@ -161,26 +161,15 @@ class ServingEngine:
                     jax.random.PRNGKey(self.seed + self._n_prefills),
                     self.max_out,
                 )
-        if isinstance(request, dict):
-            ids = np.asarray(request["input_ids"], np.int64)
-            embeds, image_mask, position_ids, rope_delta = m._prompt_embeds(
-                ids, request.get("pixel_values"), request.get("image_size"),
-                request.get("pixel_values_videos"),
-                request.get("second_per_grid_ts", 1.0),
-            )
-            shifted = image_mask[1:] if image_mask is not None else None
-        else:
-            ids = np.asarray(request, np.int64)
-            embeds = llama.embed(m.tparams, jnp.asarray(ids, jnp.int32))
-            shifted, position_ids, rope_delta = None, None, 0
+        req = request if isinstance(request, dict) else {"input_ids": request}
+        ids = np.asarray(req["input_ids"], np.int64)
         l = len(ids)
         if l >= self.pad:
             raise ValueError(f"prompt length {l} >= pad bucket {self.pad}")
-        embeds = jnp.pad(embeds, ((0, self.pad - l), (0, 0)))
-        if position_ids is not None:
-            cont = position_ids[:, -1:] + 1 + np.arange(self.pad - l)[None, :]
-            position_ids = jnp.asarray(
-                np.concatenate([position_ids, cont], axis=1), jnp.int32)
+        embeds, _, shifted, _, position_ids, rope_delta = m._padded_prompt(
+            ids, self.pad, req.get("pixel_values"), req.get("image_size"),
+            req.get("pixel_values_videos"), req.get("second_per_grid_ts", 1.0),
+        )
         plan, ms = draft_mod.make_prefill_plan(
             shifted, l, m.dcfg.num_q, self.pad,
             max_images=self.max_images, max_span=self.max_span,

@@ -542,6 +542,33 @@ class SpecModel:
         return embeds, image_mask, position_ids, rope_delta
 
     # ------------------------------------------------------------------
+    def _padded_prompt(self, input_ids, pad_len, pixel_values=None,
+                       image_size=None, pixel_values_videos=None,
+                       second_per_grid_ts: float = 1.0):
+        """Vision-merged embeds padded to ``pad_len`` with the M-RoPE position
+        counter continued over the padding, plus the SHIFTED image mask
+        (cnets_ours.py:880) and its span count.  One implementation shared by
+        specgenerate, specgenerate_batch, and train.data_gen."""
+        ids = np.asarray(input_ids, np.int64)
+        l = int(ids.shape[0])
+        embeds, image_mask, position_ids, rope_delta = self._prompt_embeds(
+            ids, pixel_values, image_size, pixel_values_videos,
+            second_per_grid_ts,
+        )
+        embeds = jnp.pad(embeds, ((0, pad_len - l), (0, 0)))
+        if position_ids is not None:
+            cont = position_ids[:, -1:] + 1 + np.arange(pad_len - l)[None, :]
+            position_ids = jnp.asarray(
+                np.concatenate([position_ids, cont], axis=1), jnp.int32
+            )
+        shifted = image_mask[1:] if image_mask is not None else None
+        n_spans = 0
+        if shifted is not None:
+            m = np.asarray(shifted, bool)
+            n_spans = int((m & ~np.concatenate([[False], m[:-1]])).sum())
+        return embeds, image_mask, shifted, n_spans, position_ids, rope_delta
+
+    # ------------------------------------------------------------------
     def specgenerate(
         self,
         input_ids: Sequence[int],
@@ -571,25 +598,11 @@ class SpecModel:
             )
         sampling = spec_loop.SamplingParams(temperature, top_p, int(top_k))
 
-        embeds, image_mask, position_ids, rope_delta = self._prompt_embeds(
-            input_ids, pixel_values, image_size, pixel_values_videos,
-            second_per_grid_ts,
-        )
-        embeds = jnp.pad(embeds, ((0, pad_len - l), (0, 0)))
-        if position_ids is not None:
-            # pad 3-D positions by continuing the text counter
-            cont = position_ids[:, -1:] + 1 + np.arange(pad_len - l)[None, :]
-            position_ids = jnp.asarray(
-                np.concatenate([position_ids, cont], axis=1), jnp.int32
-            )
-
-        shifted_mask = image_mask[1:] if image_mask is not None else None
+        embeds, _, shifted_mask, n_spans, position_ids, rope_delta = \
+            self._padded_prompt(input_ids, pad_len, pixel_values, image_size,
+                                pixel_values_videos, second_per_grid_ts)
         # bucket the image-span count (the reference draft handles arbitrarily
         # many spans, cnets_ours.py:896-956); 4-step buckets bound recompiles
-        n_spans = 0
-        if shifted_mask is not None:
-            m = np.asarray(shifted_mask, bool)
-            n_spans = int((m & ~np.concatenate([[False], m[:-1]])).sum())
         max_images = max(4, -(-n_spans // 4) * 4)
         plan, max_span = draft_mod.make_prefill_plan(
             shifted_mask, l, self.dcfg.num_q, pad_len,
@@ -743,22 +756,12 @@ class SpecModel:
         spans = []
         for r in requests:
             ids = np.asarray(r["input_ids"], np.int64)
-            embeds, image_mask, position_ids, rope_delta = self._prompt_embeds(
-                ids, r.get("pixel_values"), r.get("image_size"),
-                r.get("pixel_values_videos"), r.get("second_per_grid_ts", 1.0),
-            )
-            l = len(ids)
-            embeds = jnp.pad(embeds, ((0, pad - l), (0, 0)))
-            if position_ids is not None:
-                cont = position_ids[:, -1:] + 1 + np.arange(pad - l)[None, :]
-                position_ids = jnp.asarray(
-                    np.concatenate([position_ids, cont], axis=1), jnp.int32
+            embeds, _, shifted, n_spans, position_ids, rope_delta = \
+                self._padded_prompt(
+                    ids, pad, r.get("pixel_values"), r.get("image_size"),
+                    r.get("pixel_values_videos"),
+                    r.get("second_per_grid_ts", 1.0),
                 )
-            shifted = image_mask[1:] if image_mask is not None else None
-            n_spans = 0
-            if shifted is not None:
-                m = np.asarray(shifted, bool)
-                n_spans = int((m & ~np.concatenate([[False], m[:-1]])).sum())
             spans.append(n_spans)
             prepared.append(dict(ids=ids, embeds=embeds, shifted=shifted,
                                  position_ids=position_ids,
@@ -791,12 +794,13 @@ class SpecModel:
         max_out = min(self.max_len, max_new_tokens + 2 * pad_block)
         if not hasattr(self, "_batch_pool"):
             self._batch_pool = []
-        t0 = time.perf_counter()
         states = batch_mod.batched_prefill(
             self.tparams, self.dparams, self.tcfg, self.dcfg, self.spec,
             sampling, reqs, self.max_len, max_out, self.dtype, seed,
             cache_pool=self._batch_pool,
         )
+        # decode_time excludes prefill — same semantics as specgenerate
+        t0 = time.perf_counter()
         budget = min(max_new_tokens, self.max_len - max(lens) - slack)
         states, accepts = batch_mod.drain_batch(
             self.tparams, self.dparams, self.tcfg, self.dcfg, self.spec,
@@ -877,6 +881,11 @@ class SpecModel:
         chunk = self.chunk_rounds  # read-batch size (host sync ~25 ms RTT)
         # headroom for one lookahead batch of steps past eos/budget
         budget = min(max_new_tokens, self.max_len - l - 2 * chunk - 2)
+        if budget <= 0:
+            # near-context-limit prompt: shrink the pipeline to 1-step batches
+            # instead of silently emitting only the prefill token
+            chunk = 1
+            budget = min(max_new_tokens, self.max_len - l - 4)
         delta = jnp.asarray(rope_delta, jnp.int32)
         # Pipelined AR baseline: dispatch ``chunk`` solo steps asynchronously
         # (dispatch ~1 ms each overlaps the ~20 ms execution), stack the

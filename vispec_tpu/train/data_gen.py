@@ -143,16 +143,12 @@ def generate_vlm_sample(
     """
     ids = np.asarray(input_ids, np.int64)
     l = int(ids.shape[0])
-    embeds, image_mask, position_ids, rope_delta = model._prompt_embeds(
-        ids, pixel_values, image_size, pixel_values_videos, second_per_grid_ts
-    )
     pad_len = max(128, ((l + 127) // 128) * 128)
-    embeds = jnp.pad(embeds, ((0, pad_len - l), (0, 0)))
-    if position_ids is not None:
-        cont = position_ids[:, -1:] + 1 + np.arange(pad_len - l)[None, :]
-        position_ids = jnp.asarray(
-            np.concatenate([position_ids, cont], axis=1), jnp.int32
-        )
+    # shared prompt prep (vision merge + pad + M-RoPE continuation)
+    embeds, image_mask, _, _, position_ids, rope_delta = model._padded_prompt(
+        ids, pad_len, pixel_values, image_size, pixel_values_videos,
+        second_per_grid_ts,
+    )
 
     budget = min(max_new_tokens, model.target_cache.max_len - l - 2)
     sample, cache = generate_sample(

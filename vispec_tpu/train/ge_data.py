@@ -96,6 +96,12 @@ def build_pretrain_ids(tokenizer, model, prompt: str, image_size, max_len: int):
     # tokenize the tail without re-adding BOS
     ids_post = tokenizer(post, add_special_tokens=False)["input_ids"]
     n_img = model.count_image_tokens(image_size)
+    if len(ids_pre) + n_img > max_len:
+        # a [:max_len] crop would slice THROUGH the image span, making the
+        # placeholder count disagree with the vision feature count and
+        # crashing _prompt_embeds; the caller skips such samples
+        return None
+    # crop only the text tail — the image span stays intact
     ids = (list(ids_pre) + [model.image_token_index] * n_img
            + list(ids_post))[:max_len]
     return np.asarray(ids, np.int32)
@@ -176,6 +182,10 @@ def main():
                 ids = build_pretrain_ids(
                     tokenizer, model, prompt, image_size, args.max_len
                 )
+                if ids is None:  # image span wouldn't fit max_len intact
+                    print(f"[ge_data] skip {idx}: image span exceeds "
+                          f"--max-len {args.max_len}")
+                    continue
             else:
                 text = (f"{VICUNA_SYSTEM} USER: "
                         f"{prompt.replace('<image>', '').strip()} "
