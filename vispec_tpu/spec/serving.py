@@ -55,6 +55,8 @@ class ServingEngine:
         batch_size: int,
         max_new_tokens: int = 256,
         temperature: float = 0.0,
+        top_p: float = 0.0,
+        top_k: int = 0,
         pad_bucket: Optional[int] = None,
         chunk_rounds: int = 8,
         seed: int = 0,
@@ -68,7 +70,7 @@ class ServingEngine:
                                       "vispec/eagle drafts, not medusa")
         self.m = model
         self.b = batch_size
-        self.sampling = spec_loop.SamplingParams(temperature)
+        self.sampling = spec_loop.SamplingParams(temperature, top_p, int(top_k))
         self.chunk_rounds = chunk_rounds
         self.seed = seed
         spec = model.spec

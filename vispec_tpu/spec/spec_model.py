@@ -732,6 +732,8 @@ class SpecModel:
         temperature: float = 0.0,
         max_new_tokens: int = 256,
         seed: int = 0,
+        top_p: float = 0.0,
+        top_k: int = 0,
     ) -> List[GenerationResult]:
         """Batched multi-request decoding (beyond the reference's bs=1 design,
         utils.py:541): each request dict carries ``input_ids`` and optionally
@@ -744,7 +746,7 @@ class SpecModel:
         if self.mparams is not None:
             raise NotImplementedError("batched decoding supports the "
                                       "vispec/eagle drafts, not medusa")
-        sampling = spec_loop.SamplingParams(temperature)
+        sampling = spec_loop.SamplingParams(temperature, top_p, int(top_k))
         slack = self._cache_slack()
         lens = [len(np.asarray(r["input_ids"])) for r in requests]
         pad = _bucket(max(lens))
