@@ -119,6 +119,42 @@ def batch_examples(examples: List[Tuple[dict, draft_mod.PrefillPlan, int]]) -> T
 
 def data_iterator(
     datadir: str, cfg: TrainConfig, dcfg: DraftConfig, seed: int = 0,
+    prefetch: int = 2,
+) -> Iterator[Tuple[TrainBatch, int]]:
+    """Shuffled batches of prepared examples.  ``prefetch`` > 0 overlaps the
+    host-side npz load + crop/shift pipeline with the device step on a
+    background thread (the reference leans on torch DataLoader workers,
+    main_mtp.py:609-611; this host has few cores, so one loader thread
+    double-buffering is the right scale)."""
+    it = _data_iterator_sync(datadir, cfg, dcfg, seed)
+    if prefetch <= 0:
+        yield from it
+        return
+
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    _END = object()
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        yield item
+
+
+def _data_iterator_sync(
+    datadir: str, cfg: TrainConfig, dcfg: DraftConfig, seed: int = 0,
 ) -> Iterator[Tuple[TrainBatch, int]]:
     from .data_gen import load_sample
 
