@@ -1,0 +1,88 @@
+"""User-style end-to-end drive of vispec_tpu on the real chip (verify skill)."""
+import sys
+
+sys.path.insert(0, __file__.rsplit("/scripts", 1)[0])
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vispec_tpu.configs import DraftConfig, LlamaConfig, SpecConfig
+from vispec_tpu.models import draft as draft_mod
+from vispec_tpu.models import llama
+from vispec_tpu.ops import kv_cache as kv
+from vispec_tpu.spec import loop as spec_loop
+from vispec_tpu.spec.spec_model import SpecModel
+
+print("devices:", jax.devices())
+
+tcfg = LlamaConfig(vocab_size=512, hidden_size=128, intermediate_size=256,
+                   num_hidden_layers=2, num_attention_heads=4,
+                   num_key_value_heads=2, max_position_embeddings=512)
+dcfg = DraftConfig(vocab_size=512, hidden_size=128, intermediate_size=256,
+                   num_attention_heads=4, num_key_value_heads=2,
+                   max_position_embeddings=512, num_q=2)
+k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+tparams = llama.init_params(tcfg, k1, jnp.bfloat16)
+dparams = draft_mod.init_params(dcfg, k2, jnp.bfloat16)
+dparams["embed"] = tparams["embed"]
+
+model = SpecModel(tcfg, dcfg, SpecConfig(total_tokens=12, depth=3, top_k=4),
+                  tparams, dparams, max_len=512, dtype=jnp.bfloat16,
+                  eos_token_id=10**6)
+prompt = np.random.default_rng(0).integers(10, 500, 48).tolist()
+
+# 1. spec vs AR greedy
+res_s = model.specgenerate(prompt, max_new_tokens=32)
+res_a = model.ar_generate(prompt, max_new_tokens=32)
+spec_toks = list(res_s.sequences)
+ar_toks = list(res_a.sequences)
+n = min(len(spec_toks), len(ar_toks))
+match = sum(a == b for a, b in zip(spec_toks[:n], ar_toks[:n]))
+print(f"greedy: spec {len(spec_toks)} toks, ar {len(ar_toks)} toks, "
+      f"prefix match {match}/{n}")
+assert match >= n - 2, (spec_toks[:n], ar_toks[:n])  # argmax-tie caveat
+tau = res_s.new_tokens / max(res_s.rounds, 1)
+print(f"tau={tau:.2f} rounds={res_s.rounds} decode_time={res_s.decode_time:.3f}s")
+assert 1.0 <= tau <= 5.0
+
+# 2. vision span path (synthetic image mask through the public API)
+img = np.random.default_rng(1).random((64, 64, 3)).astype(np.float32)
+ids = prompt[:20]
+emb = np.asarray(llama.embed(tparams, jnp.asarray(ids, jnp.int32)))
+image_mask = np.zeros(len(ids), bool)
+image_mask[5:11] = True
+plan, ms = draft_mod.make_prefill_plan(image_mask, len(ids), dcfg.num_q, 128)
+embp = jnp.pad(jnp.asarray(emb), ((0, 128 - len(ids)), (0, 0)))
+tc = kv.init_cache(2, 2, 512, 32, jnp.bfloat16)
+dc = kv.init_cache(1, 2, 512, 32, jnp.bfloat16)
+st = spec_loop.spec_prefill(tparams, dparams, tcfg, dcfg,
+                            SpecConfig(total_tokens=12, depth=3, top_k=4),
+                            plan, spec_loop.SamplingParams(), embp, tc, dc,
+                            jax.random.PRNGKey(0), 64, ms)
+big = jnp.asarray(10**6, jnp.int32)
+for _ in range(4):
+    st = spec_loop.decode_round(tparams, dparams, tcfg, dcfg,
+                                SpecConfig(total_tokens=12, depth=3, top_k=4),
+                                spec_loop.SamplingParams(), st, big, big)
+out = np.asarray(st.output)[: int(st.out_len)]
+print(f"vision-span path: {len(out)} tokens via image-masked prefill: {out[:8]}")
+assert len(out) >= 4
+
+# 3. temperature > 0
+res_t = model.specgenerate(prompt, max_new_tokens=24, temperature=0.8, top_p=0.9)
+print(f"T=0.8: {res_t.new_tokens} tokens in {res_t.rounds} rounds")
+assert res_t.new_tokens >= 8
+
+# 4. int8 draft mode: losslessness must hold exactly (verify is exact)
+model8 = SpecModel(tcfg, dcfg, SpecConfig(total_tokens=12, depth=3, top_k=4),
+                   tparams, dict(dparams), max_len=512, dtype=jnp.bfloat16,
+                   eos_token_id=10**6, quantize_draft=True)
+res_q = model8.specgenerate(prompt, max_new_tokens=32)
+q_toks = list(res_q.sequences)
+n = min(len(q_toks), len(res_a.sequences), len(prompt) + 32)
+match = sum(a == b for a, b in zip(q_toks[:n], list(res_a.sequences)[:n]))
+print(f"int8 draft: {res_q.new_tokens} toks, prefix match vs AR {match}/{n}")
+assert match >= n - 2
+
+print("DRIVE OK")
