@@ -184,3 +184,26 @@ def test_engine_prefix_caching_mrope():
         ref_new = list(ref.sequences[len(p):])
         n = min(len(o), len(ref_new))
         assert n >= 8 and list(o[:n]) == ref_new[:n]
+
+
+def test_engine_streaming_callback():
+    """on_tokens streams each request's tokens incrementally; the stream is a
+    prefix-consistent view of the final result."""
+    model = _model()
+    rng = np.random.default_rng(13)
+    prompts = [rng.integers(5, 120, 14).tolist() for _ in range(3)]
+    streamed = {i: [] for i in range(3)}
+
+    def on_tokens(ridx, toks):
+        assert len(toks) > 0
+        streamed[ridx].extend(int(t) for t in toks)
+
+    eng = ServingEngine(model, batch_size=2, max_new_tokens=16, chunk_rounds=2)
+    outs = eng.run_all(prompts, on_tokens=on_tokens)
+    for i, o in enumerate(outs):
+        s = streamed[i]
+        n = min(len(s), len(o))
+        assert n >= 12
+        assert s[:n] == list(o[:n])
+        # incremental: chunk_rounds=2 with tau~1 => several callbacks, not one
+        assert len(s) >= len(o)

@@ -191,11 +191,15 @@ class ServingEngine:
         )
 
     # ------------------------------------------------------------------
-    def run_all(self, prompts: Sequence) -> List[np.ndarray]:
+    def run_all(self, prompts: Sequence, on_tokens=None) -> List[np.ndarray]:
         """Serve every request with dynamic slot admission; returns generated
         token ids per request (submission order).  Each request is a token
         list or a dict (``input_ids`` + optional vision inputs).  Greedy
-        outputs match single-request ``specgenerate`` exactly."""
+        outputs match single-request ``specgenerate`` exactly.
+
+        ``on_tokens(request_idx, token_ids)`` streams each request's newly
+        generated tokens once per chunk (may include up to one lookahead
+        round's tokens past EOS; the final trim happens at completion)."""
         m = self.m
         queue = deque(enumerate(prompts))
         if not queue:
@@ -214,6 +218,7 @@ class ServingEngine:
 
         results: List[Optional[np.ndarray]] = [None] * len(prompts)
         self.acceptance: Dict[int, List[int]] = {i: [] for i in range(len(prompts))}
+        emitted = np.zeros(len(prompts), np.int64)  # streamed-token cursors
         prev = np.zeros(self.b, np.int64)
         eos = jnp.asarray(m.eos_token_id, jnp.int32)
         cap = jnp.asarray(self.max_new, jnp.int32)
@@ -231,6 +236,12 @@ class ServingEngine:
                 (counts, states.done, states.out_len, states.output))
             batch_mod.apply_count_diffs(
                 counts_np, prev, self.acceptance, list(active.items()))
+            if on_tokens is not None:
+                for slot, ridx in active.items():
+                    n = min(int(out_lens[slot]), self.max_new)
+                    if n > emitted[ridx]:
+                        on_tokens(ridx, outputs[slot][emitted[ridx]:n])
+                        emitted[ridx] = n
             for slot in [s for s, d in zip(range(self.b), done) if d]:
                 if slot not in active:
                     continue
