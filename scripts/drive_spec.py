@@ -1,13 +1,15 @@
 """User-style end-to-end drive of vispec_tpu on the real chip (verify skill)."""
+import os
 import sys
 
-sys.path.insert(0, __file__.rsplit("/scripts", 1)[0])
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vispec_tpu.configs import DraftConfig, LlamaConfig, SpecConfig
+from _tiny_model import tiny_model
+from vispec_tpu.configs import SpecConfig
 from vispec_tpu.models import draft as draft_mod
 from vispec_tpu.models import llama
 from vispec_tpu.ops import kv_cache as kv
@@ -16,20 +18,7 @@ from vispec_tpu.spec.spec_model import SpecModel
 
 print("devices:", jax.devices())
 
-tcfg = LlamaConfig(vocab_size=512, hidden_size=128, intermediate_size=256,
-                   num_hidden_layers=2, num_attention_heads=4,
-                   num_key_value_heads=2, max_position_embeddings=512)
-dcfg = DraftConfig(vocab_size=512, hidden_size=128, intermediate_size=256,
-                   num_attention_heads=4, num_key_value_heads=2,
-                   max_position_embeddings=512, num_q=2)
-k1, k2 = jax.random.split(jax.random.PRNGKey(0))
-tparams = llama.init_params(tcfg, k1, jnp.bfloat16)
-dparams = draft_mod.init_params(dcfg, k2, jnp.bfloat16)
-dparams["embed"] = tparams["embed"]
-
-model = SpecModel(tcfg, dcfg, SpecConfig(total_tokens=12, depth=3, top_k=4),
-                  tparams, dparams, max_len=512, dtype=jnp.bfloat16,
-                  eos_token_id=10**6)
+model, tcfg, dcfg, tparams, dparams = tiny_model()
 prompt = np.random.default_rng(0).integers(10, 500, 48).tolist()
 
 # 1. spec vs AR greedy
@@ -47,7 +36,6 @@ print(f"tau={tau:.2f} rounds={res_s.rounds} decode_time={res_s.decode_time:.3f}s
 assert 1.0 <= tau <= 5.0
 
 # 2. vision span path (synthetic image mask through the public API)
-img = np.random.default_rng(1).random((64, 64, 3)).astype(np.float32)
 ids = prompt[:20]
 emb = np.asarray(llama.embed(tparams, jnp.asarray(ids, jnp.int32)))
 image_mask = np.zeros(len(ids), bool)

@@ -38,7 +38,9 @@ dcfg = {"vocab_size": V, "hidden_size": cfg["hidden_size"],
         "num_key_value_heads": cfg["num_key_value_heads"],
         "num_hidden_layers": 1, "max_position_embeddings": 512}
 json.dump(dcfg, open("/tmp/drive_train/dcfg.json", "w"))
-env = dict(os.environ, JAX_PLATFORMS="cpu",
+# NOTE: no JAX_PLATFORMS=cpu — the site hook pins the axon TPU backend anyway
+# (see __graft_entry__), and the env var would only disable the compile cache
+env = dict(os.environ,
            PYTHONPATH=__file__.rsplit("/scripts", 1)[0] + ":"
            + os.environ.get("PYTHONPATH", ""))
 r2 = subprocess.run([sys.executable, "-m", "vispec_tpu.train.main_mtp",

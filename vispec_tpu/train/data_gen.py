@@ -36,7 +36,11 @@ def _prefill_with_hidden(tparams, tcfg: LlamaConfig, embeds, real_len, cache,
     pad_len = embeds.shape[0]
     pos = jnp.arange(pad_len, dtype=jnp.int32) if position_ids is None else position_ids
     mask = causal_mask(pad_len, cache.max_len, 0)
-    hidden, cache = llama.forward_hidden(tparams, tcfg, embeds, pos, cache, mask)
+    # seq_len: the dynamic-NTK stretch must use the REAL prompt length, same
+    # as the inference prefills — otherwise the saved hidden-state training
+    # targets use a different theta than the model produces at inference
+    hidden, cache = llama.forward_hidden(tparams, tcfg, embeds, pos, cache,
+                                         mask, seq_len=real_len)
     cache = kv.advance(cache, real_len)
     logits = llama.lm_head(tparams, jnp.take(hidden, real_len - 1, axis=0))
     return hidden, jnp.argmax(logits).astype(jnp.int32), cache
@@ -55,7 +59,7 @@ def _step_with_hidden(tparams, tcfg: LlamaConfig, token, cache, rope_delta=None)
         # streams (reference utils.py:398-402)
         pos = jnp.broadcast_to(pos[None], (3, 1))
     hidden, cache = llama.forward_hidden(
-        tparams, tcfg, embeds, pos, cache, mask
+        tparams, tcfg, embeds, pos, cache, mask, seq_len=cache.length + 1
     )
     cache = kv.advance(cache, 1)
     logits = llama.lm_head(tparams, hidden[0])

@@ -141,8 +141,9 @@ def data_iterator(
         try:
             for item in it:
                 q.put(item)
-        finally:
             q.put(_END)
+        except BaseException as e:  # propagate to the consumer, don't
+            q.put(e)                # silently truncate the epoch
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
@@ -150,6 +151,8 @@ def data_iterator(
         item = q.get()
         if item is _END:
             break
+        if isinstance(item, BaseException):
+            raise item
         yield item
 
 
