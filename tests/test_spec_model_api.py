@@ -124,3 +124,30 @@ def test_autotune_total_token():
     best = model.autotune_total_token(cans=(8, 12), weights=(1.0, 1.05), iters=2)
     assert best in (8, 12)
     assert model.spec.total_tokens == best
+
+
+def test_eagle_draft_int8_losslessness():
+    """EAGLE drafter + int8 draft mode: the no-img_fc fuse fold quantizes too
+    and greedy output still equals exact AR decoding."""
+    ecfg = DCFG.__class__(**{**DCFG.__dict__, "vision": False})
+    k1, k2 = jax.random.split(jax.random.PRNGKey(9))
+    tparams = llama.init_params(TCFG, k1, jnp.float32)
+    dparams = draft_mod.init_params(ecfg, k2, jnp.float32)
+    dparams["embed"] = tparams["embed"]
+    model = SpecModel(
+        TCFG, ecfg, SpecConfig(total_tokens=12, depth=3, top_k=4),
+        tparams, dparams, max_len=512, dtype=jnp.float32, eos_token_id=0,
+        quantize_draft=True,
+    )
+    from vispec_tpu.ops.quant import QTensor
+
+    assert isinstance(model.dparams["layer"]["wq"], QTensor)
+    assert isinstance(model.dparams["fuse_wh"], QTensor)
+    assert "rank_head" in model.dparams
+    prompt = list(range(15, 45))
+    spec = model.specgenerate(prompt, max_new_tokens=20)
+    ar = model.ar_generate(prompt, max_new_tokens=20)
+    n = min(spec.new_tokens, ar.new_tokens, 20)
+    assert n >= 8
+    assert spec.sequences[: len(prompt) + n].tolist() == \
+        ar.sequences[: len(prompt) + n].tolist()
