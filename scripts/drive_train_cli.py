@@ -6,7 +6,7 @@ sys.path.insert(0, __file__.rsplit("/scripts", 1)[0] + "/tests")
 import numpy as np, jax
 jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
-from test_from_pretrained import write_llama_ckpt, V, H, I as INTER
+from test_from_pretrained import write_llama_ckpt, V
 from vispec_tpu.configs import LlamaConfig
 from vispec_tpu.models import llama
 from vispec_tpu.ops import kv_cache as kv

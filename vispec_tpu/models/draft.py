@@ -34,7 +34,6 @@ converter is 1:1 — module tree at cnets_ours.py:683-757):
 
 from __future__ import annotations
 
-from dataclasses import dataclass
 from typing import NamedTuple, Optional, Tuple
 
 import jax

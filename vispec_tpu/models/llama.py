@@ -26,7 +26,7 @@ Weight layout (bf16 unless noted):
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

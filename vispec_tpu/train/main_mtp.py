@@ -72,7 +72,6 @@ def main():
     import jax.numpy as jnp
 
     from ..configs import DraftConfig
-    from ..models import draft as draft_mod
     from .trainer import TrainConfig, train
 
     dcfg = DraftConfig.from_json(args.configpath, num_q=args.num_q)
