@@ -40,6 +40,38 @@ def gen_dataset(tmp_path, n=4):
     return tparams
 
 
+def test_data_gen_pipelined_matches_synced():
+    """The scan-chunked pipelined generator (VERDICT r2 #1) must reproduce the
+    per-token synced loop bit-for-bit, including eos trimming mid-chunk."""
+    tparams = llama.init_params(TCFG, jax.random.PRNGKey(0), jnp.float32)
+    cache = kv.init_cache(2, 2, 128, 8, jnp.float32)
+    rng = np.random.default_rng(7)
+    ids = rng.integers(1, 90, 17)
+    embeds = llama.embed(tparams, jnp.asarray(ids))
+    embeds = jnp.pad(embeds, ((0, 64 - len(ids)), (0, 0)))
+
+    ref, cache = data_gen.generate_sample(
+        tparams, TCFG, embeds, len(ids), None, cache,
+        max_new_tokens=37, eos_token_id=999, pipelined=False,
+    )
+    # eos mid-stream: pick a token the synced run actually generated so the
+    # pipelined run must trim inside a chunk
+    gen = ref["input_ids"][len(ids):]
+    eos_cases = [999] + ([int(gen[11])] if len(gen) > 11 else [])
+    for eos in eos_cases:
+        ref_e, cache = data_gen.generate_sample(
+            tparams, TCFG, embeds, len(ids), None, kv.reset(cache),
+            max_new_tokens=37, eos_token_id=eos, pipelined=False,
+        )
+        pipe, cache = data_gen.generate_sample(
+            tparams, TCFG, embeds, len(ids), None, kv.reset(cache),
+            max_new_tokens=37, eos_token_id=eos, chunk=8, pipelined=True,
+        )
+        assert set(ref_e) == set(pipe)
+        for k in ref_e:
+            np.testing.assert_array_equal(ref_e[k], pipe[k], err_msg=f"{k} eos={eos}")
+
+
 def test_data_gen_and_train_loss_decreases(tmp_path):
     tparams = gen_dataset(tmp_path)
     head_w = tparams["lm_head"].astype(jnp.float32)

@@ -66,6 +66,41 @@ def _step_with_hidden(tparams, tcfg: LlamaConfig, token, cache, rope_delta=None)
     return hidden[0], jnp.argmax(logits).astype(jnp.int32), cache
 
 
+@functools.partial(
+    jax.jit, static_argnames=("tcfg", "chunk"), donate_argnames=("cache",)
+)
+def _scan_steps_with_hidden(tparams, tcfg: LlamaConfig, token, cache, chunk: int,
+                            rope_delta):
+    """``chunk`` greedy AR steps as one dispatched ``lax.scan``.
+
+    Per step the scan stacks the step's INPUT token, that token's embedding,
+    and the hidden state the step produced — exactly the per-token record the
+    reference's ``generate(..., output_hidden_states=True)`` loop accumulates
+    (ge_data_all_llava_pretrain_gen.py:141-153) — so the host only reads
+    results, never participates in the generation chain."""
+
+    def body(carry, _):
+        token, cache = carry
+        embeds = llama.embed(tparams, token[None])
+        cols = jnp.arange(cache.max_len, dtype=jnp.int32)
+        mask = (cols <= cache.length)[None, :]
+        pos = cache.length[None] + rope_delta
+        if tcfg.mrope_section is not None:
+            pos = jnp.broadcast_to(pos[None], (3, 1))
+        hidden, cache = llama.forward_hidden(
+            tparams, tcfg, embeds, pos, cache, mask, seq_len=cache.length + 1
+        )
+        cache = kv.advance(cache, 1)
+        logits = llama.lm_head(tparams, hidden[0])
+        nxt = jnp.argmax(logits).astype(jnp.int32)
+        return (nxt, cache), (token, embeds[0], hidden[0])
+
+    (token, cache), (in_toks, in_embeds, hiddens) = jax.lax.scan(
+        body, (token, cache), None, length=chunk
+    )
+    return token, cache, in_toks, in_embeds, hiddens
+
+
 def generate_sample(
     tparams: dict,
     tcfg: LlamaConfig,
@@ -77,8 +112,18 @@ def generate_sample(
     eos_token_id: int = 2,
     position_ids: Optional[jax.Array] = None,  # [pad_len] or [3, pad_len]
     rope_delta: int = 0,
+    chunk: int = 16,
+    pipelined: bool = True,
 ) -> Tuple[Dict[str, np.ndarray], kv.KVCache]:
     """One training sample: prompt + greedy continuation with hiddens.
+
+    Pipelined (default): the token loop is dispatched as ``lax.scan`` chunks;
+    the host reads only each chunk's small token vector — ONE batch behind the
+    chunk in flight, so the ~25 ms tunnel readback overlaps device execution
+    (the ``ar_generate`` pattern, spec_model.py) — and the large
+    hidden/embedding stacks stay on device until one final batched
+    ``jax.device_get``.  ``pipelined=False`` keeps the per-token synced loop as
+    the bit-identity oracle (tests/test_training.py).
 
     Returns arrays shaped like the reference .ckpt records:
       input_ids   [S]  (generated portion only has real ids; prompt ids must be
@@ -93,22 +138,78 @@ def generate_sample(
         tparams, tcfg, prompt_embeds, jnp.asarray(prompt_len, jnp.int32), cache,
         position_ids=position_ids,
     )
-    hiddens = [np.asarray(hidden_prefix[:prompt_len])]
-    embeds = [np.asarray(prompt_embeds[:prompt_len])]
-    gen_ids = []
     delta = jnp.asarray(rope_delta, jnp.int32)
-    for _ in range(max_new_tokens):
-        tid = int(token)
-        gen_ids.append(tid)
-        if tid == eos_token_id:
-            break
-        h, token, cache = _step_with_hidden(tparams, tcfg, token, cache,
-                                            rope_delta=delta)
-        hiddens.append(np.asarray(h)[None])
-        embeds.append(np.asarray(llama.embed(tparams, jnp.asarray([tid])))[:1])
 
-    hidden_state = np.concatenate(hiddens, axis=0)
-    inputs_embeds = np.concatenate(embeds, axis=0)
+    if not pipelined:
+        hiddens = [np.asarray(hidden_prefix[:prompt_len])]
+        embeds = [np.asarray(prompt_embeds[:prompt_len])]
+        gen_ids = []
+        for _ in range(max_new_tokens):
+            tid = int(token)
+            gen_ids.append(tid)
+            if tid == eos_token_id:
+                break
+            h, token, cache = _step_with_hidden(tparams, tcfg, token, cache,
+                                                rope_delta=delta)
+            hiddens.append(np.asarray(h)[None])
+            embeds.append(np.asarray(llama.embed(tparams, jnp.asarray([tid])))[:1])
+        hidden_state = np.concatenate(hiddens, axis=0)
+        inputs_embeds = np.concatenate(embeds, axis=0)
+        gen_np = np.asarray(gen_ids, np.int32)
+    else:
+        # pipeline dispatches up to one chunk past the budget — shrink the
+        # chunk if the cache can't hold that overshoot
+        avail = int(cache.max_len) - prompt_len
+        if max_new_tokens > avail - 2:
+            max_new_tokens = max(0, avail - 2)
+        while chunk > 1 and max_new_tokens + 2 * chunk > avail:
+            chunk //= 2
+
+        stream: list = []  # host copies of each chunk's input-token vector
+        big: list = []  # (embeds_dev, hiddens_dev) per chunk, left on device
+        total = 0
+        eos_idx: Optional[int] = None
+
+        def process(tok_np) -> bool:
+            nonlocal total, eos_idx
+            stream.append(tok_np)
+            if eos_idx is None:
+                hit = np.nonzero(tok_np == eos_token_id)[0]
+                if hit.size:
+                    eos_idx = total + int(hit[0])
+            total += len(tok_np)
+            return eos_idx is not None or total >= max_new_tokens
+
+        pending = None
+        done = max_new_tokens <= 0
+        while not done:
+            token, cache, toks, embs, hids = _scan_steps_with_hidden(
+                tparams, tcfg, token, cache, chunk, delta
+            )
+            big.append((embs, hids))
+            if pending is not None:
+                done = process(pending)
+            if not done:
+                pending = toks
+
+        if eos_idx is not None and eos_idx < max_new_tokens:
+            n_exec = eos_idx
+        else:
+            n_exec = min(total, max_new_tokens)
+        n_chunks = -(-n_exec // chunk) if n_exec else 0
+        prefix_h, prefix_e, embs_np, hids_np = jax.device_get((
+            hidden_prefix[:prompt_len], prompt_embeds[:prompt_len],
+            [b[0] for b in big[:n_chunks]], [b[1] for b in big[:n_chunks]],
+        ))
+        hidden_state = np.concatenate(
+            [prefix_h] + hids_np, axis=0
+        )[: prompt_len + n_exec] if n_chunks else prefix_h
+        inputs_embeds = np.concatenate(
+            [prefix_e] + embs_np, axis=0
+        )[: prompt_len + n_exec] if n_chunks else prefix_e
+        gen_np = (np.concatenate(stream) if stream
+                  else np.zeros(0, np.int32))[:n_exec].astype(np.int32)
+
     s = hidden_state.shape[0]
     loss_mask = np.zeros(s, np.float32)
     loss_mask[prompt_len:] = 1.0
@@ -116,8 +217,8 @@ def generate_sample(
     if image_mask is not None:
         img[: len(image_mask)] = image_mask[:s]
     sample = {
-        "input_ids": np.asarray(
-            [0] * prompt_len + gen_ids[: s - prompt_len], np.int32
+        "input_ids": np.concatenate(
+            [np.zeros(prompt_len, np.int32), gen_np[: s - prompt_len]]
         ),
         "hidden_state": hidden_state,
         "inputs_embeds": inputs_embeds,
@@ -135,6 +236,8 @@ def generate_vlm_sample(
     pixel_values_videos=None,
     second_per_grid_ts: float = 1.0,
     max_new_tokens: int = 512,
+    chunk: int = 16,
+    pipelined: bool = True,
 ) -> Dict[str, np.ndarray]:
     """Image-conditioned training sample: pixels run through the real vision
     path (tower + projector + merge), the target generates the continuation,
@@ -160,6 +263,7 @@ def generate_vlm_sample(
         image_mask, kv.reset(model.target_cache),
         max_new_tokens=budget, eos_token_id=model.eos_token_id,
         position_ids=position_ids, rope_delta=rope_delta,
+        chunk=chunk, pipelined=pipelined,
     )
     model.target_cache = kv.reset(cache)
     s = sample["hidden_state"].shape[0]
