@@ -45,6 +45,10 @@ from vispec_tpu.spec.spec_model import SpecModel
 
 REF_TAU = 2.98  # LLaVA-1.6 7B, T=0 (BASELINE.md)
 REF_SPEEDUP = 2.58
+TAU_COST_INT4 = 0.012  # measured toy-scale tau haircut of the int4 draft vs
+# bf16 (test_e2e_tau::test_quantized_draft_losslessness_and_tau:
+# tau bf16=1.651 int8=1.631 int4=1.631 — int4 matches int8's cost at this
+# scale; per-group-128 scaling keeps the quantization tight)
 
 # LLaVA-1.6-7B text backbone (Vicuna-7B): 32 x 4096 x 11008, 32 heads, vocab 32000
 CONFIGS = [
@@ -121,18 +125,44 @@ def run_bench(cfg_d):
     # ---- spec path, int8 draft mode (losslessness preserved — the verify
     # pass keeps exact bf16 weights; measured tau cost on a trained draft is
     # ~1% (tests/test_e2e_tau.py::test_quantized_draft_losslessness_and_tau),
-    # the round is ~8% faster: the recommended serving configuration).
-    # In-place swap: no duplicate multi-GB target params or caches. ----
-    model.quantize_draft_inplace()
+    # the round is ~8% faster).  In-place swap: no duplicate multi-GB target
+    # params or caches. ----
+    orig_dparams = model.dparams  # pristine bf16 source for each quant mode
+    model.quantize_draft_inplace("int8")
     t_round_q8 = _time_spec(model, prompt)
+
+    # ---- spec path, int4 packed draft (Pallas in-VMEM nibble unpack halves
+    # the beam loop's weight bytes vs int8; losslessness still exact; tau
+    # cost measured at toy scale in test_e2e_tau).  Quantize from the
+    # pristine bf16 params; drop the int8 copies first. ----
+    model.dparams = orig_dparams
+    model.quantize_draft_inplace("int4")
+    t_round_q4 = _time_spec(model, prompt)
+
+    # ---- spec path, auto mode: per-matrix fastest of bf16/int8/int4,
+    # measured in-graph on the chip (no single representation wins every
+    # matrix — see ops/quant._heuristic_repr's table) ----
+    model.dparams = orig_dparams
+    model.quantize_draft_inplace("auto")
+    from vispec_tpu.ops.quant import last_auto_choices
+
+    choices = dict(last_auto_choices)
+    t_round_auto = _time_spec(model, prompt)
 
     r = t_round / t_ar
     r_q8 = t_round_q8 / t_ar
+    r_q4 = t_round_q4 / t_ar
+    r_auto = t_round_auto / t_ar
     return dict(
         t_ar_ms=t_ar * 1e3, t_round_ms=t_round * 1e3,
-        t_round_int8_ms=t_round_q8 * 1e3, ratio=r, ratio_int8=r_q8,
+        t_round_int8_ms=t_round_q8 * 1e3, t_round_int4_ms=t_round_q4 * 1e3,
+        t_round_auto_ms=t_round_auto * 1e3,
+        ratio=r, ratio_int8=r_q8, ratio_int4=r_q4, ratio_auto=r_auto,
         speedup_at_ref_tau=REF_TAU / r,
         speedup_at_ref_tau_int8=REF_TAU / r_q8,
+        speedup_at_ref_tau_int4=REF_TAU / r_q4,
+        speedup_at_ref_tau_auto=REF_TAU / r_auto,
+        auto_choices=choices,
         model=cfg_d["label"],
     )
 
@@ -145,8 +175,16 @@ def _run_one(idx: int) -> None:
     measured -1.2% tau on a trained draft at test scale).  The exact-bf16-draft
     number is in detail.speedup_at_ref_tau for the conservative reading."""
     res = run_bench(CONFIGS[idx])
-    value = res["speedup_at_ref_tau_int8"]
+    # headline: fastest lossless-output mode; tau haircuts measured at toy
+    # scale live in detail for the honest reading
+    by_mode = {m: res[f"speedup_at_ref_tau_{m}"]
+               for m in ("int8", "int4", "auto")}
+    res["headline_mode"] = max(by_mode, key=by_mode.get)
+    value = by_mode[res["headline_mode"]]
     res["tau_cost_int8_measured_smallscale"] = 0.012
+    res["tau_cost_int4_measured_smallscale"] = TAU_COST_INT4
+    res["speedup_at_adjusted_tau_int4"] = (
+        REF_TAU * (1 - TAU_COST_INT4) / res["ratio_int4"])
     print(json.dumps({
         "metric": "spec_speedup_at_ref_tau_T0",
         "value": round(value, 3),

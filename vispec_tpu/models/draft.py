@@ -45,7 +45,7 @@ from ..configs import DraftConfig, SpecConfig
 from ..ops import rope as rope_ops
 from ..ops.attention import attend, attend_region
 from ..ops.kv_cache import KVCache, advance, init_cache
-from ..ops.quant import QTensor, qdot, quantize_q8
+from ..ops.quant import Q4Tensor, QTensor, qdot, quantize_q4, quantize_q8
 from ..ops.tree import Tree, build_tree
 from ..ops.topk import top_k as fast_top_k
 from .llama import rms_norm, swiglu_mlp
@@ -224,7 +224,11 @@ def fuse_weight_mats(params: dict, cfg: DraftConfig):
         w_h = jnp.dot(g1, f2, preferred_element_type=jnp.float32).astype(f1.dtype)
     else:  # EAGLE: no img_fc stage
         w_h = f2
-    if isinstance(params["layer"].get("wq"), QTensor):
+    wq = params["layer"].get("wq")
+    if isinstance(wq, Q4Tensor):
+        # int4-draft mode: fold matrices match the layer's byte width
+        return quantize_q4(f1), quantize_q4(w_h.astype(jnp.float32))
+    if isinstance(wq, QTensor):
         # quantized-draft mode: match the int8 layer's bandwidth profile
         return quantize_q8(f1), quantize_q8(w_h.astype(jnp.float32))
     return f1, w_h

@@ -15,6 +15,7 @@ Per-output-channel symmetric quantization; scales kept in float32.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Union
 
 import jax
@@ -36,7 +37,36 @@ class QTensor(NamedTuple):
         return jnp.bfloat16
 
 
-MaybeQuant = Union[jax.Array, QTensor]
+class Q4Tensor(NamedTuple):
+    """Packed int4 weight (two rows per byte) + per-group scales.
+
+    ``packed[r, n]`` holds original row ``r`` in its LOW nibble and row
+    ``r + K//2`` in its HIGH nibble, so unpacking is two contiguous
+    half-matrices (no interleave) and the matmul splits into
+    ``x[:, :K//2] @ lo + x[:, K//2:] @ hi``.  Scales are per
+    (input-row-group, output-column): group ``g`` covers original rows
+    ``[g*group_size, (g+1)*group_size)`` where
+    ``group_size = K // s.shape[0]`` (derived — keeps the pytree static-free).
+
+    jnp.int4 itself RecursionErrors in this jax build (round-2 finding); the
+    nibble-packed uint8 layout sidesteps the dtype entirely and a Pallas
+    kernel (``_q4_matmul``) unpacks in VMEM so HBM traffic is the true int4
+    byte count — an XLA unpack would materialize int8 halves and read MORE
+    bytes than plain int8."""
+
+    packed: jax.Array  # uint8 [K//2, N]
+    s: jax.Array  # float32 [G, N]
+
+    @property
+    def shape(self):
+        return (self.packed.shape[0] * 2, self.packed.shape[1])
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16
+
+
+MaybeQuant = Union[jax.Array, QTensor, "Q4Tensor"]
 
 
 def quantize_q8(w: jax.Array, chunk_cols: int = 8192) -> QTensor:
@@ -68,32 +98,288 @@ def quantize_q8(w: jax.Array, chunk_cols: int = 8192) -> QTensor:
     return QTensor(q=_q(w, s), s=s)
 
 
-def quantize_draft_params(dparams: dict, lm_head: jax.Array) -> dict:
-    """int8 copies of the draft layer weights + a ranking copy of the target
-    head — the single source for SpecModel(quantize_draft=True) and bench
-    mode swaps.  Returns a NEW dict (originals not mutated)."""
+def quantize_q4(w: jax.Array, group_size: int = 128) -> Q4Tensor:
+    """Per-group symmetric int4 (AWQ-style group_size=128 default):
+    ``w[k, n] ~= q[k, n] * s[k // group_size, n]`` with q in [-8, 7], packed
+    two rows per uint8 byte (see Q4Tensor)."""
+    k, n = w.shape
+    if k % 2:
+        raise ValueError(f"int4 packing needs an even input dim, got {k}")
+    group_size = min(group_size, k // 2)
+    while (k // 2) % group_size:
+        group_size //= 2
+    g = k // group_size
+    wf = w.astype(jnp.float32).reshape(g, group_size, n)
+    s = jnp.max(jnp.abs(wf), axis=1) / 7.0
+    s = jnp.where(s == 0, jnp.ones_like(s), s)
+    q = jnp.clip(jnp.round(wf / s[:, None, :]), -8, 7).astype(jnp.int32)
+    q = q.reshape(k, n)
+    lo = (q[: k // 2] & 0xF).astype(jnp.uint8)
+    hi = (q[k // 2:] & 0xF).astype(jnp.uint8)
+    return Q4Tensor(packed=lo | (hi << 4), s=s)
+
+
+def _q4_unpack_halves(packed: jax.Array):
+    """(lo, hi) int32 values in [-8, 7] for the two stacked half-matrices."""
+    p = packed.astype(jnp.int32)
+    lo = ((p & 0xF) ^ 8) - 8
+    hi = ((p >> 4) ^ 8) - 8
+    return lo, hi
+
+
+def _q4_dequant(w: Q4Tensor, dtype=jnp.bfloat16) -> jax.Array:
+    lo, hi = _q4_unpack_halves(w.packed)
+    k = w.packed.shape[0] * 2
+    g = w.s.shape[0]
+    vals = jnp.concatenate([lo, hi], axis=0).astype(jnp.float32)
+    vals = vals.reshape(g, k // g, w.packed.shape[1]) * w.s[:, None, :]
+    return vals.reshape(k, w.packed.shape[1]).astype(dtype)
+
+
+def _q4_kernel(x_ref, p_ref, s_ref, o_ref, *, group_size: int):
+    """One N-tile of ``x @ dequant(packed)``: unpack nibbles in VMEM (HBM only
+    ever streams the 4-bit bytes), one MXU dot per quantization group with the
+    group's scale applied to the small [m, tile_n] OUTPUT —
+    ``y_g = (x_g @ q_g) * s[g]`` is exact because the scale is constant over
+    the group's rows.  Output-side scaling is the load-bearing choice, probed
+    on-chip at the rank-head shape:
+      - weight-side f32 scaling with jnp.repeat inside fori_loop: 50.8 ms
+      - per-group dots + output scaling inside fori_loop:           1.39 ms
+      - whole-block unpack (VMEM-infeasible for the 11008-deep mlp): 1.38 ms
+    int4 values in [-8, 7] are exact in bf16, so the unpacked operand feeds
+    the MXU without a weight-side multiply.  (A jnp.repeat-free
+    reshape-broadcast also fails Mosaic's gather lowering on this build.)"""
+    from jax.experimental import pallas as pl
+
+    kh = p_ref.shape[0]
+    gh = kh // group_size  # groups per half; lo holds groups [0, gh)
+
+    def body(g, acc):
+        lo, hi = _q4_unpack_halves(p_ref[pl.ds(g * group_size, group_size), :])
+        yl = jnp.dot(x_ref[:, pl.ds(g * group_size, group_size)],
+                     lo.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+        yh = jnp.dot(x_ref[:, pl.ds(kh + g * group_size, group_size)],
+                     hi.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+        return acc + yl * s_ref[g, :][None, :] + yh * s_ref[gh + g, :][None, :]
+
+    acc = jnp.zeros(o_ref.shape, jnp.float32)
+    o_ref[:] = jax.lax.fori_loop(0, gh, body, acc)
+
+
+def _q4_tile_n(kh: int, n: int):
+    """N-tile width for the Pallas kernel, or None if shapes don't fit.
+    Shrinks for deep matrices so the packed block + double buffering stay
+    comfortably inside VMEM."""
+    tile_n = 256 if kh > 4096 else 512
+    if n % tile_n:
+        tile_n = 128 if n % 128 == 0 else None
+    return tile_n
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _q4_matmul(x: jax.Array, packed: jax.Array, s: jax.Array,
+               interpret: bool = False):
+    """Pallas [M, K] @ int4-packed [K, N] -> [M, N] f32, grid over N tiles."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m, k = x.shape
+    kh, n = packed.shape
+    g = s.shape[0]
+    group_size = (2 * kh) // g
+    tile_n = _q4_tile_n(kh, n)
+    kernel = functools.partial(_q4_kernel, group_size=group_size)
+    return pl.pallas_call(
+        kernel,
+        grid=(n // tile_n,),
+        in_specs=[
+            pl.BlockSpec((m, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kh, tile_n), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, tile_n), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m, tile_n), lambda j: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        interpret=interpret,
+    )(x, packed, s)
+
+
+def _q4_supports_pallas(m: int, w: Q4Tensor) -> bool:
+    from .attention import use_pallas
+
+    if not use_pallas():  # real TPU only; off under vmap (no_kernel_scope)
+        return False
+    kh, n = w.packed.shape
+    g = w.s.shape[0]
+    group_size = (2 * kh) // g
+    # small-M decode shapes only: large M (prefill) is compute-bound and goes
+    # through a one-shot dequant + XLA dot instead
+    return (m <= 64 and _q4_tile_n(kh, n) is not None
+            and kh % group_size == 0 and group_size % 8 == 0)
+
+
+def qdot4(x: jax.Array, w: Q4Tensor,
+          preferred_element_type=jnp.float32) -> jax.Array:
+    """x @ w for an int4-packed rhs; Pallas in-VMEM unpack on TPU decode
+    shapes, grouped-einsum fallback elsewhere (identical quantized math)."""
+    squeeze = x.ndim == 1
+    x2 = x[None] if squeeze else x.reshape(-1, x.shape[-1])
+    x2 = x2.astype(jnp.bfloat16)
+    if _q4_supports_pallas(x2.shape[0], w):
+        y = _q4_matmul(x2, w.packed, w.s)
+    else:
+        wd = _q4_dequant(w)
+        y = jnp.dot(x2, wd, preferred_element_type=jnp.float32)
+    y = y.astype(preferred_element_type)
+    if squeeze:
+        return y[0]
+    return y.reshape(*x.shape[:-1], y.shape[-1])
+
+
+_LAYER_QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+
+# shape-keyed decisions of the last auto-quantization (observability/tests)
+last_auto_choices: dict = {}
+_AUTO_CACHE: dict = {}
+
+
+def _heuristic_repr(k: int, n: int) -> str:
+    """Static per-matrix representation choice, from the on-chip in-graph
+    m=8 measurements at 7B shapes (v5e, ms/use):
+
+      rank_head [4096,32000]: bf16 .498  int8 .306  int4-kernel .637
+      w_down   [11008, 4096]: bf16 .315  int8 .559  int4-kernel .244
+      w_up     [4096, 11008]: bf16 .258  int8 .339  int4-kernel .318
+      wq       [4096,  4096]: bf16 .178  int8 .158  int4-kernel .161
+
+    Deep matrices (K >> N) are where XLA's int8 convert-into-dot collapses
+    (81 GB/s on w_down) and the Pallas int4 kernel wins outright; the vocab
+    head is where XLA int8 shines (428 GB/s) and the kernel's VPU nibble
+    unpack can't keep up; the wide mlp-up is fastest left in plain bf16."""
+    if k >= 2 * n:
+        return "int4"
+    if n >= 4 * k:
+        return "int8"
+    if n >= 2 * k:
+        return "bf16"
+    return "int8"
+
+
+def _measure_repr(w: jax.Array, m: int = 8, reps: int = 8,
+                  iters: int = 5) -> str:
+    """Time bf16/int8/int4 for this matrix IN-GRAPH on the live device (a
+    scan of ``reps`` back-to-back uses — per-call timing is dispatch/tunnel
+    noise) and return the fastest mode.  Scalar-readback fenced per
+    CLAUDE.md's measurement rule."""
+    import time as _time
+
+    k, n = w.shape
+    cands: dict = {"bf16": w.astype(jnp.bfloat16), "int8": quantize_q8(w)}
+    q4 = quantize_q4(w)
+    if _q4_supports_pallas(m, q4):
+        cands["int4"] = q4
+    key = jax.random.PRNGKey(0)
+    xs = jax.random.normal(key, (reps, m, k), jnp.bfloat16)
+    best, best_t = "int8", None
+    for name, wr in cands.items():
+        def f_(xs, wr=wr):
+            def step(c, x):
+                return c + jnp.sum(qdot(x, wr)), None
+            return jax.lax.scan(step, jnp.float32(0), xs)[0]
+
+        f = jax.jit(f_)
+        float(f(xs))  # warm + fence
+        t0 = _time.perf_counter()
+        for _ in range(iters):
+            out = f(xs)
+        float(out)  # fence the chain
+        dt = _time.perf_counter() - t0
+        if best_t is None or dt < best_t:
+            best, best_t = name, dt
+    return best
+
+
+def _auto_repr(w: jax.Array) -> str:
+    """Per-matrix representation for mode="auto": measured on a real TPU,
+    the static 7B-measurement heuristic elsewhere (hermetic CPU tests)."""
+    from .attention import use_pallas
+
+    shape = tuple(w.shape)
+    if shape not in _AUTO_CACHE:
+        _AUTO_CACHE[shape] = (_measure_repr(w) if use_pallas()
+                              else _heuristic_repr(*shape))
+    return _AUTO_CACHE[shape]
+
+
+_QUANTIZERS = {
+    "bf16": lambda w: w.astype(jnp.bfloat16),
+    "int8": quantize_q8,
+    "int4": quantize_q4,
+}
+
+
+def quantize_draft_params(dparams: dict, lm_head: jax.Array,
+                          mode: str = "int8") -> dict:
+    """Quantized copies of the draft layer weights + a ranking copy of the
+    target head — the single source for SpecModel(quantize_draft=...) and
+    bench mode swaps.  Returns a NEW dict (originals not mutated).
+
+    Modes: ``int8`` (per-channel int8 everywhere), ``int4`` (per-group int4
+    everywhere — halves the beam loop's weight bytes again), ``int4_head``
+    (int4 ranking head + int8 layer), ``auto`` (per-matrix fastest of
+    bf16/int8/int4, measured in-graph on the live chip — see
+    _heuristic_repr's table for why no single representation wins
+    everywhere)."""
+    if mode not in ("int8", "int4", "int4_head", "auto"):
+        raise ValueError(f"unknown quantize mode {mode!r}")
+    last_auto_choices.clear()
     dparams = dict(dparams)
     layer = dict(dparams["layer"])
-    for k in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
-        if k in layer:
-            layer[k] = quantize_q8(layer[k])
+    for k in _LAYER_QUANT_KEYS:
+        if k not in layer:
+            continue
+        if mode == "auto":
+            choice = _auto_repr(layer[k])
+        else:
+            choice = "int4" if mode == "int4" else "int8"
+        last_auto_choices[k] = choice
+        layer[k] = _QUANTIZERS[choice](layer[k])
     dparams["layer"] = layer
-    dparams["rank_head"] = quantize_q8(lm_head)
+    if mode == "auto":
+        head_choice = _auto_repr(lm_head)
+    else:
+        head_choice = "int4" if mode in ("int4", "int4_head") else "int8"
+    last_auto_choices["rank_head"] = head_choice
+    if head_choice == "bf16":
+        # no quantized ranking copy: the draft ranks with the target's own
+        # bf16 head (draft.py falls back to tparams["lm_head"]) instead of
+        # duplicating a multi-hundred-MB bf16 matrix
+        dparams.pop("rank_head", None)
+    else:
+        dparams["rank_head"] = _QUANTIZERS[head_choice](lm_head)
     return dparams
 
 
 def dequantize(w: MaybeQuant, dtype=jnp.bfloat16) -> jax.Array:
     if isinstance(w, QTensor):
         return (w.q.astype(jnp.float32) * w.s).astype(dtype)
+    if isinstance(w, Q4Tensor):
+        return _q4_dequant(w, dtype)
     return w
 
 
 def qdot(x: jax.Array, w: MaybeQuant, preferred_element_type=jnp.float32):
     """jnp.dot with an optionally-quantized rhs.  int8 values up to +-127 are
     exact in bf16, so the convert-into-matmul keeps full int8 fidelity while
-    streaming half the weight bytes from HBM."""
+    streaming half the weight bytes from HBM; int4 goes through qdot4."""
     if isinstance(w, QTensor):
         y = jnp.dot(x, w.q.astype(jnp.bfloat16),
                     preferred_element_type=preferred_element_type)
         return y * w.s.astype(y.dtype)
+    if isinstance(w, Q4Tensor):
+        return qdot4(x, w, preferred_element_type)
     return jnp.dot(x, w, preferred_element_type=preferred_element_type)
