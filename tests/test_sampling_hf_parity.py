@@ -51,6 +51,38 @@ def test_top_p_tie_handling():
     assert (ours[0] > -1e8).sum() == 2  # 0.5 + first 0.25 crosses 0.7
 
 
+def test_repetition_penalty_hf_parity():
+    """apply_repetition_penalty vs transformers'
+    RepetitionPenaltyLogitsProcessor (the reference plumbs the flag,
+    utils.py:41-50, but calls the list with input_ids=None — here the history
+    is a seen-token mask and the math must match HF exactly)."""
+    from vispec_tpu.ops.sampling import apply_repetition_penalty, seen_mask
+
+    rng = np.random.default_rng(3)
+    vocab = 200
+    logits = rng.normal(0, 3, (1, vocab)).astype(np.float32)
+    history = rng.integers(0, vocab, 40)
+    penalty = 1.3
+
+    proc = hf.RepetitionPenaltyLogitsProcessor(penalty)
+    ref = proc(torch.tensor(history[None]), torch.tensor(logits)).numpy()
+
+    seen = jnp.asarray(seen_mask(vocab, history))
+    ours = np.asarray(apply_repetition_penalty(jnp.asarray(logits), seen, penalty))
+    np.testing.assert_allclose(ours, ref, rtol=1e-6)
+
+    # full process_logits order: temperature then penalty then top-p (HF order)
+    t = hf.TemperatureLogitsWarper(0.7)(None, torch.tensor(logits))
+    t = proc(torch.tensor(history[None]), t)
+    t = hf.TopPLogitsWarper(0.9)(None, t)
+    ref2 = t.numpy()
+    ours2 = np.asarray(process_logits(jnp.asarray(logits), 0.7, 0.9, 0,
+                                      repetition_penalty=penalty, seen=seen))
+    finite = ref2 > -1e8
+    np.testing.assert_array_equal(ours2 > -1e8, finite)
+    np.testing.assert_allclose(ours2[finite], ref2[finite], rtol=1e-5)
+
+
 def test_top_k_clamps_to_vocab():
     logits = np.random.default_rng(1).normal(size=(2, 50)).astype(np.float32)
     out = np.asarray(process_logits(jnp.asarray(logits), 1.0, 0.0, 500))

@@ -59,12 +59,12 @@ def ar_generate(tparams, prompt, max_new, pad_len=64):
     embeds = llama.embed(tparams, jnp.asarray(prompt, jnp.int32))
     embeds = jnp.pad(embeds, ((0, pad_len - len(prompt)), (0, 0)))
     key = jax.random.PRNGKey(0)
-    tok, cache, key = spec_loop.ar_prefill(
+    tok, cache, key, _ = spec_loop.ar_prefill(
         tparams, TCFG, sampling, embeds, jnp.asarray(len(prompt), jnp.int32), cache, key
     )
     out = [int(tok)]
     for _ in range(max_new - 1):
-        tok, cache, key = spec_loop.ar_step(tparams, TCFG, sampling, tok, cache, key)
+        tok, cache, key, _ = spec_loop.ar_step(tparams, TCFG, sampling, tok, cache, key)
         out.append(int(tok))
     return out
 

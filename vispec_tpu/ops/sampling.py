@@ -1,16 +1,27 @@
 """Logits processing and token sampling (vectorized, jit-safe).
 
 Replaces the HF LogitsProcessorList the reference assembles in
-vispec/model/utils.py:39-55 (temperature -> top-p -> top-k warpers; repetition
-penalty is plumbed but never enabled in the eval harness).  All transforms
-operate on the last axis and broadcast over leading dims, so the same code
-processes the [T, vocab] verify logits in one shot instead of row loops.
+vispec/model/utils.py:39-55 (temperature -> repetition penalty -> top-p ->
+top-k).  All transforms operate on the last axis and broadcast over leading
+dims, so the same code processes the [T, vocab] verify logits in one shot
+instead of row loops.
+
+Repetition penalty: the reference plumbs the flag (utils.py:41-50) but calls
+its processor list with ``input_ids=None`` (utils.py:286, 454), so HF's
+``RepetitionPenaltyLogitsProcessor`` would crash if ever enabled — here the
+committed-token history is carried as a [vocab+1] boolean ``seen`` mask
+(updated by scatter as tokens commit; the +1 row is a trash slot for masked
+scatters), so the penalty actually works and stays O(vocab) per round
+regardless of history length.
 """
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 NEG_INF = jnp.float32(-1e9)
 
@@ -20,19 +31,54 @@ def process_logits(
     temperature: float = 0.0,
     top_p: float = 0.0,
     top_k: int = 0,
+    repetition_penalty: float = 1.0,
+    seen: Optional[jax.Array] = None,  # [vocab+1] bool (seen_mask / update_seen)
 ) -> jax.Array:
-    """Apply temperature/top-p/top-k warping in HF order (utils.py:45-54).
+    """Apply temperature/repetition/top-p/top-k warping in HF order
+    (utils.py:45-54).
 
     Static Python floats select the compiled graph (they come from CLI flags);
     temperature <= 1e-5 means greedy and callers shouldn't be here.
     """
     if temperature >= 1e-5 and temperature != 1.0:
         logits = logits / temperature
+    if repetition_penalty != 1.0 and seen is not None:
+        logits = apply_repetition_penalty(logits, seen, repetition_penalty)
     if 1e-8 <= top_p < 1.0:
         logits = _top_p_warp(logits, top_p)
     if top_k > 0:
         logits = _top_k_warp(logits, int(top_k))
     return logits
+
+
+def apply_repetition_penalty(
+    logits: jax.Array,  # [..., vocab]
+    seen: jax.Array,  # [vocab+1] bool — last row ignored
+    penalty: float,
+) -> jax.Array:
+    """HF RepetitionPenaltyLogitsProcessor semantics: for every token already
+    in the sequence, positive logits are divided by ``penalty`` and negative
+    ones multiplied (transformers' processor; reference utils.py:49-50)."""
+    pen = jnp.where(logits > 0, logits / penalty, logits * penalty)
+    return jnp.where(seen[: logits.shape[-1]], pen, logits)
+
+
+def seen_mask(vocab_size: int, token_ids) -> np.ndarray:
+    """Host-side [vocab+1] bool mask of tokens present in ``token_ids``
+    (the prompt); out-of-range ids land in the trash row."""
+    m = np.zeros(vocab_size + 1, bool)
+    ids = np.clip(np.asarray(token_ids, np.int64), 0, vocab_size)
+    m[ids] = True
+    m[vocab_size] = False
+    return m
+
+
+def update_seen(seen: jax.Array, tokens: jax.Array, valid: jax.Array) -> jax.Array:
+    """Scatter newly committed tokens into the seen mask; invalid rows are
+    routed to the trash slot (index vocab)."""
+    trash = jnp.asarray(seen.shape[0] - 1, tokens.dtype)
+    idx = jnp.where(valid, tokens, trash)
+    return seen.at[idx].set(True)
 
 
 def _top_p_warp(logits: jax.Array, top_p: float) -> jax.Array:

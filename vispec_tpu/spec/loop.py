@@ -25,7 +25,7 @@ from ..models import draft as draft_mod
 from ..models import llama
 from ..ops import kv_cache as kv
 from ..ops.attention import causal_mask, tree_verify_mask
-from ..ops.sampling import process_logits, sample_categorical
+from ..ops.sampling import process_logits, sample_categorical, update_seen
 from ..ops.tree import Tree, greedy_accept, path_to_root, sampling_accept
 
 
@@ -58,6 +58,13 @@ class SpecState(NamedTuple):
     # The request-INDEPENDENT fuse matrices live in dparams["fuse_we"/"fuse_wh"]
     # (draft.ensure_fuse_mats): carrying them here stacked B identical [D, D]
     # copies in the batched/serving paths and re-sliced fc_w per round.
+    seen: Optional[jax.Array] = None  # [vocab+1] bool — committed-token mask
+    # for the repetition penalty (ops/sampling.py); None when the penalty is
+    # off (greedy, or repetition_penalty == 1.0) so the default path pays zero
+    hiddens: Optional[jax.Array] = None  # [max_out, hidden] — per-committed-
+    # token target verify hiddens (keep_hiddens mode), indexed like ``output``;
+    # lets a finished generation become a PrefixSnapshot at ANY committed cut
+    # (multi-turn conversation reuse).  None => zero cost on the default path
 
 
 class SamplingParams(NamedTuple):
@@ -66,6 +73,7 @@ class SamplingParams(NamedTuple):
     temperature: float = 0.0
     top_p: float = 0.0
     top_k: int = 0
+    repetition_penalty: float = 1.0  # >1 penalizes seen tokens (utils.py:41-50)
 
     @property
     def greedy(self) -> bool:
@@ -93,6 +101,8 @@ def spec_prefill(
     max_span: int = 1,
     position_ids: Optional[jax.Array] = None,  # override ([pad_len] or [3, pad_len])
     rope_delta: Optional[jax.Array] = None,  # [] int32 (Qwen M-RoPE)
+    seen: Optional[jax.Array] = None,  # [vocab+1] bool prompt-token mask
+    keep_hiddens: bool = False,  # record committed-token verify hiddens
 ) -> SpecState:
     """Target prompt prefill, first-token sample, draft prefill + first tree.
 
@@ -119,9 +129,12 @@ def spec_prefill(
         first_token = jnp.argmax(last_logits).astype(jnp.int32)
     else:
         p = jax.nn.softmax(
-            process_logits(last_logits, sampling.temperature, sampling.top_p, sampling.top_k)
+            process_logits(last_logits, sampling.temperature, sampling.top_p,
+                           sampling.top_k, sampling.repetition_penalty, seen)
         )
         first_token = sample_categorical(k_sample, p).astype(jnp.int32)
+    if seen is not None:
+        seen = seen.at[first_token].set(True)
 
     # Draft prefill embeds: shifted merged embeds + the sampled token's embedding
     # at slot real_len-1 (cnets_ours.py:1081-1082).
@@ -155,6 +168,9 @@ def spec_prefill(
         rope_delta=(jnp.zeros((), jnp.int32) if rope_delta is None
                     else jnp.asarray(rope_delta, jnp.int32)),
         fuse_b=b_eff,
+        seen=seen,
+        hiddens=(jnp.zeros((max_out, hidden.shape[-1]), hidden.dtype)
+                 if keep_hiddens else None),
     )
 
 
@@ -234,6 +250,7 @@ def spec_prefill_continue(
     draft_cache: kv.KVCache,
     key: jax.Array,
     max_out: int,
+    keep_hiddens: bool = False,
 ) -> SpecState:
     """spec_prefill for ``prefix + suffix`` that only computes the suffix:
     the snapshot's KV rows are written into the (donated) caches, the target
@@ -319,10 +336,13 @@ def spec_prefill_continue(
         key=key,
         rope_delta=jnp.zeros((), jnp.int32),
         fuse_b=b_eff,
+        hiddens=(jnp.zeros((max_out, hidden_s.shape[-1]), hidden_s.dtype)
+                 if keep_hiddens else None),
     )
 
 
-_CONTINUE_STATIC = ("tcfg", "dcfg", "spec", "sampling", "max_out")
+_CONTINUE_STATIC = ("tcfg", "dcfg", "spec", "sampling", "max_out",
+                    "keep_hiddens")
 _spec_prefill_continue_fn = spec_prefill_continue
 # non-donated: the serving engine reuses one spare cache pair per admission
 spec_prefill_continue = jax.jit(
@@ -333,7 +353,8 @@ spec_prefill_continue_donated = jax.jit(
 )
 
 
-_PREFILL_STATIC = ("tcfg", "dcfg", "spec", "sampling", "max_out", "max_span")
+_PREFILL_STATIC = ("tcfg", "dcfg", "spec", "sampling", "max_out", "max_span",
+                   "keep_hiddens")
 _spec_prefill_fn = spec_prefill
 spec_prefill = jax.jit(_spec_prefill_fn, static_argnames=_PREFILL_STATIC)
 # donated variant for the single-request path: without aliasing, prefill
@@ -391,7 +412,9 @@ def _verify_accept_commit(
         bonus = argmax_toks[best]
     else:
         probs = jax.nn.softmax(
-            process_logits(logits, sampling.temperature, sampling.top_p, sampling.top_k),
+            process_logits(logits, sampling.temperature, sampling.top_p,
+                           sampling.top_k, sampling.repetition_penalty,
+                           state.seen),
             axis=-1,
         )
         best, acc, resid = sampling_accept(tree, probs, k_accept, max_accept_depth)
@@ -413,7 +436,15 @@ def _verify_accept_commit(
     new_token = state.new_token + acc + 1
     done = state.done | eos_hit | (new_token > max_new_tokens)
 
-    return hidden, path, jcols, acc, bonus, target_cache, output, out_len, new_token, done, key
+    seen = state.seen
+    if seen is not None:
+        # committed tokens + the bonus (it is the next tree's always-accepted
+        # root, i.e. already part of the sequence) enter the penalty history
+        seen = update_seen(seen, committed, valid)
+        seen = seen.at[bonus].set(True)
+
+    return (hidden, path, jcols, acc, bonus, target_cache, output, out_len,
+            new_token, done, key, seen)
 
 
 @functools.partial(
@@ -436,13 +467,22 @@ def decode_round(
     tree = state.tree
     max_path = spec.depth + 2
     (hidden, path, jcols, acc, bonus, target_cache, output, out_len,
-     new_token, done, key) = _verify_accept_commit(
+     new_token, done, key, seen) = _verify_accept_commit(
         tparams, tcfg, sampling, state, eos_id, max_new_tokens,
         max_path, spec.depth + 1,
     )
 
     # ---- 4. next draft tree (utils.py:557-580 -> cnets_ours.py:1090-1108) ----
     accept_hidden = hidden[path]  # [max_path, hidden]
+    hiddens = state.hiddens
+    if hiddens is not None:
+        # record the committed tokens' verify hiddens at their output index
+        # (rows past acc are garbage, overwritten by the next live round —
+        # same discipline as ``output``); powers post-generation
+        # PrefixSnapshots (ConversationSnapshot)
+        hiddens = lax.dynamic_update_slice(
+            hiddens, accept_hidden.astype(hiddens.dtype), (state.out_len, 0)
+        )
     nxt = jnp.take(tree.tokens, path, axis=0)
     tok_next = jnp.where(
         jcols < acc, jnp.roll(nxt, -1), bonus
@@ -473,6 +513,8 @@ def decode_round(
         key=key,
         rope_delta=state.rope_delta,
         fuse_b=state.fuse_b,
+        seen=seen,
+        hiddens=hiddens,
     )
     # in-graph done latch: rounds dispatched after completion (the host
     # pipelines one read-batch ahead) are no-ops on every cursor — see
@@ -510,6 +552,7 @@ def latch_done(prev: SpecState, new: SpecState) -> SpecState:
         new_token=sel(prev.new_token, new.new_token),
         done=prev.done | new.done,
         key=sel(prev.key, new.key),
+        seen=(None if new.seen is None else sel(prev.seen, new.seen)),
     )
 
 
@@ -603,7 +646,7 @@ def medusa_decode_round(
 
     max_path = medusa_mod.NUM_HEADS + 1
     (hidden, path, jcols, acc, bonus, target_cache, output, out_len,
-     new_token, done, key) = _verify_accept_commit(
+     new_token, done, key, _seen) = _verify_accept_commit(
         tparams, tcfg, sampling, state, eos_id, max_new_tokens,
         max_path, medusa_mod.NUM_HEADS,
     )
@@ -642,7 +685,8 @@ def ar_step(
     cache: kv.KVCache,
     key: jax.Array,
     rope_delta: Optional[jax.Array] = None,
-) -> Tuple[jax.Array, kv.KVCache, jax.Array]:
+    seen: Optional[jax.Array] = None,  # [vocab+1] bool (repetition penalty)
+) -> Tuple[jax.Array, kv.KVCache, jax.Array, Optional[jax.Array]]:
     """One greedy/sampled AR decode step over the same KV runtime.
 
     Mirrors the baseline loop (gen_baseline_answer_sqa.py:146-165).  The cache
@@ -668,10 +712,13 @@ def ar_step(
         nxt = jnp.argmax(logits).astype(jnp.int32)
     else:
         p = jax.nn.softmax(
-            process_logits(logits, sampling.temperature, sampling.top_p, sampling.top_k)
+            process_logits(logits, sampling.temperature, sampling.top_p,
+                           sampling.top_k, sampling.repetition_penalty, seen)
         )
         nxt = sample_categorical(k_s, p).astype(jnp.int32)
-    return nxt, cache, key
+    if seen is not None:
+        seen = seen.at[nxt].set(True)
+    return nxt, cache, key, seen
 
 
 def ar_prefill(
@@ -683,7 +730,8 @@ def ar_prefill(
     cache: kv.KVCache,
     key: jax.Array,
     position_ids: Optional[jax.Array] = None,
-) -> Tuple[jax.Array, kv.KVCache, jax.Array]:
+    seen: Optional[jax.Array] = None,  # [vocab+1] bool (repetition penalty)
+) -> Tuple[jax.Array, kv.KVCache, jax.Array, Optional[jax.Array]]:
     pad_len = inputs_embeds.shape[0]
     pos = (jnp.arange(pad_len, dtype=jnp.int32)
            if position_ids is None else position_ids)
@@ -697,10 +745,13 @@ def ar_prefill(
         nxt = jnp.argmax(logits).astype(jnp.int32)
     else:
         p = jax.nn.softmax(
-            process_logits(logits, sampling.temperature, sampling.top_p, sampling.top_k)
+            process_logits(logits, sampling.temperature, sampling.top_p,
+                           sampling.top_k, sampling.repetition_penalty, seen)
         )
         nxt = sample_categorical(k_s, p).astype(jnp.int32)
-    return nxt, cache, key
+    if seen is not None:
+        seen = seen.at[nxt].set(True)
+    return nxt, cache, key, seen
 
 
 _ar_prefill_fn = ar_prefill

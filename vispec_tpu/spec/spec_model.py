@@ -62,6 +62,37 @@ class GenerationResult:
     decode_time: float
 
 
+class ConversationSnapshot:
+    """Post-generation KV snapshot of a finished (text-only) generation:
+    committed target/draft cache rows, the per-committed-token verify hiddens,
+    and the committed token ids.  A later ``specgenerate(...,
+    continue_from=snap)`` whose prompt extends any committed prefix reuses the
+    cached rows and only computes the suffix — turn k+1 of a multi-turn
+    conversation skips re-prefilling the whole history (the reference
+    re-prefills every turn, gen_spec_answer_vicuna.py:160-275)."""
+
+    def __init__(self, t_k, t_v, d_k, d_v, hiddens, seq, prompt_len):
+        self.t_k, self.t_v, self.d_k, self.d_v = t_k, t_v, d_k, d_v
+        self.hiddens = hiddens  # [max_out, hidden] device
+        self.seq = np.asarray(seq)  # committed ids (prompt + trimmed output)
+        self.prompt_len = int(prompt_len)
+
+    def cut_for(self, input_ids: np.ndarray) -> Optional[int]:
+        """Longest reusable committed prefix of ``input_ids``, or None.
+
+        Valid cuts start past the original prompt (boundary hiddens are only
+        recorded for generated positions) and must leave >= 1 suffix token."""
+        ids = np.asarray(input_ids)
+        m = min(len(self.seq), len(ids) - 1)
+        if m <= self.prompt_len:
+            return None
+        neq = np.nonzero(ids[:m] != self.seq[:m])[0]
+        plen = int(neq[0]) if neq.size else m
+        if plen <= self.prompt_len:
+            return None
+        return plen
+
+
 class SpecModel:
     """Target + draft pair with preallocated KV runtime."""
 
@@ -84,13 +115,19 @@ class SpecModel:
         mparams: Optional[dict] = None,  # Medusa heads => medusa decode path
         min_pixels: int = 256 * 28 * 28,  # Qwen image budget — every reference
         max_pixels: int = 1280 * 28 * 28,  # prompt module sets these (mme_prompt.py:5-9)
-        quantize_draft: bool = False,  # int8 draft weights + ranking head
+        video_max_pixels: int = 768 * 28 * 28,  # per-frame video budget —
+        # qwen_vl_utils VIDEO_MAX_PIXELS default; the reference's video prompts
+        # override it per benchmark (mvbench_prompt.py:25: 360*420) and it must
+        # match the tokenizer's video-token expansion like the image budgets do
+        quantize_draft=False,  # False | True/"int8" | "int4" | "int4_head"
+        # | "auto" (per-matrix fastest of bf16/int8/int4, measured on-chip)
     ):
         self.quantize_draft = False
         self.tcfg, self.dcfg, self.spec = tcfg, dcfg, spec
         self.tparams, self.dparams = tparams, dparams
         if quantize_draft:
-            self.quantize_draft_inplace()
+            self.quantize_draft_inplace(
+                "int8" if quantize_draft is True else quantize_draft)
         else:
             self._derive_fuse_mats()
         self.mparams = mparams
@@ -99,6 +136,7 @@ class SpecModel:
         self.vision_start_token_id = vision_start_token_id
         self.video_token_index = video_token_index
         self.min_pixels, self.max_pixels = min_pixels, max_pixels
+        self.video_max_pixels = video_max_pixels
         if max_len % 128 != 0:
             raise ValueError(
                 f"max_len must be a multiple of 128 (prompt buckets and the "
@@ -110,6 +148,8 @@ class SpecModel:
         self.image_token_index = image_token_index
         # device-side rounds per host sync (1 = sync every round)
         self.chunk_rounds = 8
+        self.last_snapshot: Optional[ConversationSnapshot] = None  # set by
+        # specgenerate(keep_hiddens=True)
         self.target_cache = kv.init_cache(
             tcfg.num_hidden_layers, tcfg.num_key_value_heads, max_len,
             tcfg.head_dim, dtype,
@@ -131,21 +171,26 @@ class SpecModel:
         self.dparams = dict(d)
         self.dparams["fuse_we"], self.dparams["fuse_wh"] = w_e, w_h
 
-    def quantize_draft_inplace(self) -> None:
-        """Switch the draft to weight-only int8 (ops/quant.py): halves the
-        ~2.7GB/round of draft-layer + ranking-head HBM traffic.  Greedy
-        losslessness vs the target is preserved (verification stays exact
-        bf16); only proposal quality (tau) can shift (~1% measured).  Not
-        composable with tp sharding of the draft (QTensor leaves have no
-        partition specs)."""
+    def quantize_draft_inplace(self, mode: str = "int8") -> None:
+        """Switch the draft to weight-only quantization (ops/quant.py):
+        ``int8`` halves the ~2.7GB/round of draft-layer + ranking-head HBM
+        traffic, ``int4`` halves it again (packed nibbles + Pallas in-VMEM
+        unpack), ``int4_head`` mixes int4 ranking head with int8 layer, and
+        ``auto`` picks the measured-fastest of bf16/int8/int4 per matrix
+        (no single representation wins everywhere — ops/quant._heuristic_repr).
+        Greedy losslessness vs the target is preserved (verification stays
+        exact bf16); only proposal quality (tau) can shift.  Not composable
+        with tp sharding of the draft (QTensor leaves have no partition
+        specs)."""
         from ..ops.quant import quantize_draft_params
 
         if not self.dparams.get("layer"):
             return
         base = {k: v for k, v in self.dparams.items()
                 if k not in ("fuse_we", "fuse_wh")}
-        self.dparams = quantize_draft_params(base, self.tparams["lm_head"])
-        self.quantize_draft = True
+        self.dparams = quantize_draft_params(base, self.tparams["lm_head"],
+                                             mode=mode)
+        self.quantize_draft = mode
         self._derive_fuse_mats()
 
     # ------------------------------------------------------------------
@@ -164,7 +209,8 @@ class SpecModel:
         method: str = "vispec",  # "vispec" | "eagle" | "medusa"
         min_pixels: int = 256 * 28 * 28,
         max_pixels: int = 1280 * 28 * 28,
-        quantize_draft: bool = False,  # int8 draft + ranking head (ops/quant.py)
+        video_max_pixels: int = 768 * 28 * 28,
+        quantize_draft=False,  # False | "int8"/True | "int4" | "int4_head"
     ) -> "SpecModel":
         """Architecture dispatch + weight conversion (spec_model_ours.py:109-177;
         EAGLE/Medusa orchestrators spec_model.py / spec_model_medusa.py).
@@ -244,6 +290,7 @@ class SpecModel:
             model = cls._from_pretrained_qwen_vl(
                 base_model_path, spec_model_path, hf_cfg, spec_cfg, num_q,
                 max_len, dtype, min_pixels=min_pixels, max_pixels=max_pixels,
+                video_max_pixels=video_max_pixels,
                 quantize_draft=quantize_draft,
             )
             if autotune:
@@ -307,7 +354,8 @@ class SpecModel:
     def _from_pretrained_qwen_vl(
         cls, base_model_path, spec_model_path, hf_cfg, spec_cfg, num_q,
         max_len, dtype, min_pixels: int = 256 * 28 * 28,
-        max_pixels: int = 1280 * 28 * 28, quantize_draft: bool = False,
+        max_pixels: int = 1280 * 28 * 28,
+        video_max_pixels: int = 768 * 28 * 28, quantize_draft=False,
     ) -> "SpecModel":
         from ..convert import hf as hf_convert
 
@@ -352,6 +400,7 @@ class SpecModel:
             video_token_index=hf_cfg.get("video_token_id", 151656),
             vision_start_token_id=hf_cfg.get("vision_start_token_id", 151652),
             min_pixels=min_pixels, max_pixels=max_pixels,
+            video_max_pixels=video_max_pixels,
             quantize_draft=quantize_draft,
         )
 
@@ -395,15 +444,32 @@ class SpecModel:
                 )
                 return h
 
-            jax.block_until_ready(fwd(embeds, cache))
+            # Force a SCALAR READBACK after each timed chain: through the axon
+            # tunnel block_until_ready alone can return before device work
+            # completes (CLAUDE.md measurement pitfalls — the 57 TB/s probe),
+            # so a readback-free timer would pick total_token from noise.  The
+            # device executes dispatches in order, so one trailing scalar read
+            # fences the whole chain.
+            float(fwd(embeds, cache)[0, 0])  # warmup + fence
             t0 = _time.perf_counter()
             for _ in range(iters):
                 out = fwd(embeds, cache)
-            jax.block_until_ready(out)
+            float(out[0, 0])  # fence: forces the chain's completion
             times.append((_time.perf_counter() - t0) / weights[cans.index(length)])
         best = cans[times.index(min(times))]
         self.spec = dataclass_replace(self.spec, total_tokens=best)
         return best
+
+    # ------------------------------------------------------------------
+    def _seen_mask(self, sampling, input_ids):
+        """[vocab+1] prompt-token mask when the repetition penalty is live
+        (T>0 and penalty != 1 — the reference's prepare_logits_processor gate,
+        utils.py:45-50); None otherwise so the hot path carries nothing."""
+        if sampling.greedy or sampling.repetition_penalty == 1.0:
+            return None
+        from ..ops.sampling import seen_mask
+
+        return jnp.asarray(seen_mask(self.tcfg.vocab_size, input_ids))
 
     # ------------------------------------------------------------------
     def count_image_tokens(self, image_size: Tuple[int, int]) -> int:
@@ -441,19 +507,30 @@ class SpecModel:
         image_mask = None
         position_ids = None
         rope_delta = 0
-        if pixel_values is not None and self.llava_cfg is not None:
+        images, sizes = _as_image_list(pixel_values, image_size)
+        if images and self.llava_cfg is not None:
             assert self.vparams is not None
-            oh, ow = image_size if image_size is not None else pixel_values.shape[:2]
-            if self.llava_cfg.anyres:
-                plan = llava.plan_anyres(oh, ow, self.llava_cfg)
-                tiles = llava.preprocess_anyres(pixel_values, plan, self.llava_cfg)
-            else:
-                plan = None
-                size = self.llava_cfg.vision.image_size
-                tiles = llava.normalize(
-                    llava.resize_image(pixel_values, size, size)
-                )[None]
-            feats = llava.encode_image(self.vparams, self.llava_cfg, tiles, plan)
+            # multi-image prompts: encode each image, concatenate features in
+            # prompt order (the reference iterates image features into the
+            # scatter, spec_model_ours.py:311-378; the draft plan already
+            # handles multiple spans via max_images)
+            feats_parts = []
+            for img, isz in zip(images, sizes):
+                oh, ow = isz if isz is not None else img.shape[:2]
+                if self.llava_cfg.anyres:
+                    plan = llava.plan_anyres(oh, ow, self.llava_cfg)
+                    tiles = llava.preprocess_anyres(img, plan, self.llava_cfg)
+                else:
+                    plan = None
+                    size = self.llava_cfg.vision.image_size
+                    tiles = llava.normalize(
+                        llava.resize_image(img, size, size)
+                    )[None]
+                feats_parts.append(
+                    llava.encode_image(self.vparams, self.llava_cfg, tiles, plan)
+                )
+            feats = (feats_parts[0] if len(feats_parts) == 1
+                     else jnp.concatenate(feats_parts, axis=0))
             positions = np.nonzero(np.asarray(input_ids) == self.image_token_index)[0]
             if positions.size != feats.shape[0]:
                 raise ValueError(
@@ -474,7 +551,7 @@ class SpecModel:
                 # the video mask (:453)
                 t, oh, ow = pixel_values_videos.shape[:3]
                 rh, rw = qwen_vl.smart_resize(
-                    oh, ow, max_pixels=int(768 * 28 * 28)
+                    oh, ow, max_pixels=int(self.video_max_pixels)
                 )
                 frames = jax.image.resize(
                     pixel_values_videos, (t, rh, rw, 3), method="bicubic"
@@ -502,18 +579,24 @@ class SpecModel:
                     embeds, feats, jnp.asarray(positions, jnp.int32)
                 )
                 image_mask = np.asarray(input_ids) == self.video_token_index
-            elif pixel_values is not None:
-                oh, ow = image_size if image_size is not None else pixel_values.shape[:2]
+            elif images:
                 # pixel budgets must match the HF processor's so the tokenizer's
                 # image-token expansion agrees with the device-side resize
-                # (reference sets them in every prompt module, mme_prompt.py:5-9)
-                rh, rw = qwen_vl.smart_resize(
-                    oh, ow, min_pixels=self.min_pixels, max_pixels=self.max_pixels
-                )
-                resized = jax.image.resize(pixel_values, (rh, rw, 3), method="bicubic")
-                patches = qwen_vl.patchify_image(resized, qcfg)
-                grid = (1, rh // qcfg.patch_size, rw // qcfg.patch_size)
-                grids = [grid]
+                # (reference sets them in every prompt module, mme_prompt.py:5-9);
+                # multiple images run as one ViT batch over a grid list
+                # (plan_vision natively handles several grids)
+                patches_parts = []
+                for img, isz in zip(images, sizes):
+                    oh, ow = isz if isz is not None else img.shape[:2]
+                    rh, rw = qwen_vl.smart_resize(
+                        oh, ow, min_pixels=self.min_pixels,
+                        max_pixels=self.max_pixels,
+                    )
+                    resized = jax.image.resize(img, (rh, rw, 3), method="bicubic")
+                    patches_parts.append(qwen_vl.patchify_image(resized, qcfg))
+                    grids.append((1, rh // qcfg.patch_size, rw // qcfg.patch_size))
+                patches = (patches_parts[0] if len(patches_parts) == 1
+                           else jnp.concatenate(patches_parts, axis=0))
                 n_pat = patches.shape[0]
                 pad_pat = _bucket(n_pat, 64)
                 patches = jnp.pad(patches, ((0, pad_pat - n_pat), (0, 0)))
@@ -584,6 +667,12 @@ class SpecModel:
         log: bool = False,
         stop_token_id: Optional[int] = None,  # extra stop id (the reference's
         # is_llama3 <|eot_id|> path, spec_model_ours.py:268-269, 540-542)
+        repetition_penalty: float = 1.0,  # utils.py:41-50 (active at T>0, as
+        # the reference's prepare_logits_processor gate :45-50)
+        keep_hiddens: bool = False,  # record a ConversationSnapshot into
+        # self.last_snapshot after generation (text-only prompts)
+        continue_from: Optional[ConversationSnapshot] = None,  # reuse a prior
+        # generation's committed KV when this prompt extends it (multi-turn)
     ) -> GenerationResult:
         input_ids = np.asarray(input_ids, np.int64)
         l = int(input_ids.shape[0])
@@ -596,41 +685,61 @@ class SpecModel:
                 f"max_len={self.max_len} (need {self._cache_slack()} rows of "
                 f"tree/scratch headroom)"
             )
-        sampling = spec_loop.SamplingParams(temperature, top_p, int(top_k))
+        sampling = spec_loop.SamplingParams(temperature, top_p, int(top_k),
+                                            float(repetition_penalty))
+        seen = self._seen_mask(sampling, input_ids)
+        if seen is not None and self.mparams is not None:
+            raise NotImplementedError(
+                "repetition_penalty is not supported with the medusa drafter")
 
-        embeds, _, shifted_mask, n_spans, position_ids, rope_delta = \
-            self._padded_prompt(input_ids, pad_len, pixel_values, image_size,
-                                pixel_values_videos, second_per_grid_ts)
-        # bucket the image-span count (the reference draft handles arbitrarily
-        # many spans, cnets_ours.py:896-956); 4-step buckets bound recompiles
-        max_images = max(4, -(-n_spans // 4) * 4)
-        plan, max_span = draft_mod.make_prefill_plan(
-            shifted_mask, l, self.dcfg.num_q, pad_len,
-            max_images=max_images, max_span=_bucket(1, 64),
-        )
-        max_span = _bucket(max_span, 64)
-
-        target_cache = kv.reset(self.target_cache)
-        draft_cache = kv.reset(self.draft_cache)
         from ..models.medusa import NUM_HEADS
 
         pad_block = max(self.spec.depth + 2, NUM_HEADS + 1)
         max_out = min(self.max_len, max_new_tokens + 2 * pad_block)
+        text_only = pixel_values is None and pixel_values_videos is None
+        snapshots_on = keep_hiddens and text_only and self.mparams is None
 
-        if self.mparams is not None:
-            state = spec_loop.medusa_prefill(
-                self.tparams, self.mparams, self.tcfg, self.spec, sampling,
-                embeds, jnp.asarray(l, jnp.int32), target_cache,
-                jax.random.PRNGKey(seed), max_out,
+        state = None
+        if (continue_from is not None and text_only and seen is None
+                and self.mparams is None):
+            plen = continue_from.cut_for(input_ids)
+            if plen is not None:
+                state = self._prefill_from_snapshot(
+                    continue_from, input_ids, plen, sampling, seed, max_out,
+                    keep_hiddens=snapshots_on,
+                )
+        if state is None:
+            embeds, _, shifted_mask, n_spans, position_ids, rope_delta = \
+                self._padded_prompt(input_ids, pad_len, pixel_values, image_size,
+                                    pixel_values_videos, second_per_grid_ts)
+            # bucket the image-span count (the reference draft handles arbitrarily
+            # many spans, cnets_ours.py:896-956); 4-step buckets bound recompiles
+            max_images = max(4, -(-n_spans // 4) * 4)
+            plan, max_span = draft_mod.make_prefill_plan(
+                shifted_mask, l, self.dcfg.num_q, pad_len,
+                max_images=max_images, max_span=_bucket(1, 64),
             )
-        else:
-            state = spec_loop.spec_prefill_donated(
-                self.tparams, self.dparams, self.tcfg, self.dcfg, self.spec, plan,
-                sampling, embeds, target_cache, draft_cache,
-                jax.random.PRNGKey(seed), max_out, max_span,
-                position_ids=position_ids,
-                rope_delta=jnp.asarray(rope_delta, jnp.int32),
-            )
+            max_span = _bucket(max_span, 64)
+
+            target_cache = kv.reset(self.target_cache)
+            draft_cache = kv.reset(self.draft_cache)
+
+            if self.mparams is not None:
+                state = spec_loop.medusa_prefill(
+                    self.tparams, self.mparams, self.tcfg, self.spec, sampling,
+                    embeds, jnp.asarray(l, jnp.int32), target_cache,
+                    jax.random.PRNGKey(seed), max_out,
+                )
+            else:
+                state = spec_loop.spec_prefill_donated(
+                    self.tparams, self.dparams, self.tcfg, self.dcfg, self.spec, plan,
+                    sampling, embeds, target_cache, draft_cache,
+                    jax.random.PRNGKey(seed), max_out, max_span,
+                    position_ids=position_ids,
+                    rope_delta=jnp.asarray(rope_delta, jnp.int32),
+                    seen=seen,
+                    keep_hiddens=snapshots_on,
+                )
         # cap rounds so the cache cannot overflow
         budget = min(max_new_tokens, self.max_len - l - self._cache_slack())
         t0 = time.perf_counter()
@@ -714,6 +823,16 @@ class SpecModel:
         if eos_pos.size:
             out = out[: eos_pos[0] + 1]
         seq = np.concatenate([input_ids, out])
+        if snapshots_on and state.hiddens is not None:
+            # slice out the committed rows NOW: the caches below are donated
+            # to the next call's prefill, but slices are fresh buffers
+            pad = _bucket(l + int(out.shape[0]))
+            tc, dc = state.target_cache, state.draft_cache
+            self.last_snapshot = ConversationSnapshot(
+                t_k=tc.k[:, :, :pad], t_v=tc.v[:, :, :pad],
+                d_k=dc.k[:, :, :pad], d_v=dc.v[:, :, :pad],
+                hiddens=state.hiddens, seq=seq, prompt_len=l,
+            )
         # persist caches for reuse (buffer reuse across calls)
         self.target_cache = kv.reset(state.target_cache)
         self.draft_cache = kv.reset(state.draft_cache)
@@ -723,6 +842,30 @@ class SpecModel:
             rounds=rounds,
             acceptance_lengths=accept_lengths,
             decode_time=decode_time,
+        )
+
+    # ------------------------------------------------------------------
+    def _prefill_from_snapshot(self, snap: ConversationSnapshot, input_ids,
+                               plen: int, sampling, seed: int, max_out: int,
+                               keep_hiddens: bool = False):
+        """Continuation prefill from a post-generation ConversationSnapshot:
+        seed the caches with the committed rows [0, plen) and run only the
+        suffix through the target (spec_loop.spec_prefill_continue)."""
+        ids = np.asarray(input_ids, np.int64)
+        suffix = ids[plen:]
+        pad_s = _bucket(len(suffix), 128)
+        s_embeds = llama.embed(self.tparams, jnp.asarray(suffix, jnp.int32))
+        s_embeds = jnp.pad(s_embeds, ((0, pad_s - len(suffix)), (0, 0)))
+        psnap = spec_loop.PrefixSnapshot(
+            t_k=snap.t_k, t_v=snap.t_v, d_k=snap.d_k, d_v=snap.d_v,
+            prefix_len=jnp.asarray(plen, jnp.int32),
+            boundary_hidden=snap.hiddens[plen - 1 - snap.prompt_len],
+        )
+        return spec_loop.spec_prefill_continue_donated(
+            self.tparams, self.dparams, self.tcfg, self.dcfg, self.spec,
+            sampling, psnap, s_embeds, jnp.asarray(len(suffix), jnp.int32),
+            kv.reset(self.target_cache), kv.reset(self.draft_cache),
+            jax.random.PRNGKey(seed), max_out, keep_hiddens=keep_hiddens,
         )
 
     # ------------------------------------------------------------------
@@ -849,6 +992,7 @@ class SpecModel:
         pixel_values_videos=None,
         second_per_grid_ts: float = 1.0,
         seed: int = 0,
+        repetition_penalty: float = 1.0,
     ) -> GenerationResult:
         """Plain AR baseline over the same runtime (gen_baseline_answer_*.py)."""
         input_ids = np.asarray(input_ids, np.int64)
@@ -861,7 +1005,9 @@ class SpecModel:
                 f"prompt length {l} (bucketed {pad_len}) too long for "
                 f"max_len={self.max_len}"
             )
-        sampling = spec_loop.SamplingParams(temperature, top_p, int(top_k))
+        sampling = spec_loop.SamplingParams(temperature, top_p, int(top_k),
+                                            float(repetition_penalty))
+        seen = self._seen_mask(sampling, input_ids)
         embeds, _, position_ids, rope_delta = self._prompt_embeds(
             input_ids, pixel_values, image_size, pixel_values_videos,
             second_per_grid_ts,
@@ -874,9 +1020,10 @@ class SpecModel:
             )
         cache = kv.reset(self.target_cache)
         key = jax.random.PRNGKey(seed)
-        tok, cache, key = spec_loop.ar_prefill_donated(
+        tok, cache, key, seen = spec_loop.ar_prefill_donated(
             self.tparams, self.tcfg, sampling, embeds,
             jnp.asarray(l, jnp.int32), cache, key, position_ids=position_ids,
+            seen=seen,
         )
         t0 = time.perf_counter()
         out = [int(tok)]
@@ -905,9 +1052,9 @@ class SpecModel:
         while len(out) < budget and not stop:
             toks = []
             for _ in range(chunk):
-                tok, cache, key = spec_loop.ar_step(
+                tok, cache, key, seen = spec_loop.ar_step(
                     self.tparams, self.tcfg, sampling, tok, cache, key,
-                    rope_delta=delta,
+                    rope_delta=delta, seen=seen,
                 )
                 toks.append(tok)
             batch_dev = jnp.stack(toks)
@@ -932,3 +1079,24 @@ def dataclass_replace(obj, **kwargs):
     import dataclasses
 
     return dataclasses.replace(obj, **kwargs)
+
+
+def _as_image_list(pixel_values, image_size):
+    """Normalize single-image / list-of-images inputs to parallel lists
+    (multi-image prompts, reference spec_model_ours.py:311-378)."""
+    if pixel_values is None:
+        return [], []
+    if isinstance(pixel_values, (list, tuple)):
+        if image_size is None:
+            sizes = [None] * len(pixel_values)
+        elif isinstance(image_size, (list, tuple)) and (
+            not image_size or isinstance(image_size[0], (list, tuple))
+        ):
+            sizes = list(image_size)
+        else:
+            raise ValueError("image_size must be a list of (h, w) when "
+                             "pixel_values is a list")
+        if len(sizes) != len(pixel_values):
+            raise ValueError("len(image_size) != len(pixel_values)")
+        return list(pixel_values), sizes
+    return [pixel_values], [image_size]
