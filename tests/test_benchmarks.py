@@ -145,6 +145,43 @@ def test_load_vicuna_multiturn(tmp_path):
     assert qs[0].prompt_inputs == {}
 
 
+def test_load_vicuna_vendored(tmp_path):
+    """Out-of-the-box MT-bench: no question.jsonl under data-root falls back
+    to the vendored copy (all 80 LMSYS questions, two turns each —
+    VERDICT r2 missing #5)."""
+    qs = list(B.iter_questions("vicuna", None, str(tmp_path)))
+    assert len(qs) == 80
+    assert all(len(q.turns) == 2 for q in qs)
+    assert qs[0].question_id == 81
+
+
+def test_conv_templates():
+    """Per-model chat templates (reference resolves via fastchat per model id,
+    gen_spec_answer_vicuna.py:16-17; VERDICT r2 missing #2)."""
+    from vispec_tpu.evaluation.harness import (
+        CONV_TEMPLATES, get_conv_template, llama3_prompt, qwen_prompt,
+        vicuna_prompt)
+
+    assert get_conv_template("/ckpts/Qwen2.5-VL-7B-Instruct") == "qwen"
+    assert get_conv_template("llava-v1.6-vicuna-7b") == "vicuna"
+    assert get_conv_template("Meta-Llama-3-8B-Instruct") == "llama3"
+
+    q = qwen_prompt(["hi", "again"], ["hello"])
+    assert q.startswith("<|im_start|>system\nYou are a helpful assistant.")
+    assert q.endswith("<|im_start|>user\nagain<|im_end|>\n<|im_start|>assistant\n")
+    assert "<|im_start|>user\nhi<|im_end|>\n<|im_start|>assistant\nhello<|im_end|>\n" in q
+
+    l3 = llama3_prompt(["hi"], [])
+    assert l3.startswith("<|begin_of_text|><|start_header_id|>system")
+    assert l3.endswith("<|start_header_id|>assistant<|end_header_id|>\n\n")
+
+    # every registered template renders and has a stop string
+    for name, (render, stop) in CONV_TEMPLATES.items():
+        out = render(["a", "b"], ["ans"])
+        assert "a" in out and "ans" in out and stop
+    assert vicuna_prompt(["q1"], []).endswith("USER: q1 ASSISTANT:")
+
+
 def test_load_msvd_qa(tmp_path):
     d = tmp_path / "msvd"
     (d / "frames" / "vid1").mkdir(parents=True)

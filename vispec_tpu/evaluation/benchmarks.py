@@ -250,8 +250,15 @@ def load_mmbench(root, begin, end):
 
 def load_vicuna(root, begin, end):
     """MT-bench text-only questions, all turns — the harness decodes every
-    turn carrying the conversation (gen_spec_answer_vicuna.py:160-275)."""
+    turn carrying the conversation (gen_spec_answer_vicuna.py:160-275).
+
+    The 80 LMSYS MT-bench questions are vendored (vispec_tpu/data/mt_bench/
+    question.jsonl, as the reference vendors vispec/data/mt_bench/) so the
+    bench runs out of the box; a copy under ``root`` takes precedence."""
     path = os.path.join(root, "mt_bench", "question.jsonl")
+    if not os.path.exists(path):
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "data", "mt_bench", "question.jsonl")
     for d in _load_jsonl(path)[begin:end]:
         yield dict(qid=d["question_id"], text=None, image=None,
                    turns=list(d["turns"]), category=d.get("category", ""))

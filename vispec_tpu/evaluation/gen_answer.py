@@ -61,17 +61,36 @@ def main():
     # smart_resize or token counts disagree with the tokenizer expansion
     p.add_argument("--min-pixels", type=int, default=256 * 28 * 28)
     p.add_argument("--max-pixels", type=int, default=1280 * 28 * 28)
-    p.add_argument("--quantize-draft", action="store_true",
-                   help="int8 draft mode (ops/quant.py): ~8%% faster rounds, "
-                        "greedy output unchanged, ~1%% tau cost")
+    # Per-frame video budget: the reference's video prompts pass an explicit
+    # max_pixels=360*420 into qwen_vl_utils (mvbench_prompt.py:25); other
+    # callers get the qwen_vl_utils VIDEO_MAX_PIXELS default (768*28*28)
+    p.add_argument("--video-max-pixels", type=int, default=None)
+    p.add_argument("--conv-template", default=None,
+                   choices=[None, "vicuna", "qwen", "llama3"],
+                   help="MT-bench chat template; default: resolved from the "
+                        "model path (harness.get_conv_template)")
+    p.add_argument("--quantize-draft", nargs="?", const="int8", default=None,
+                   choices=["int8", "int4", "int4_head", "auto"],
+                   help="weight-only draft quantization (ops/quant.py): "
+                        "faster rounds, greedy output unchanged, small tau "
+                        "cost; bare flag = int8; auto = per-matrix fastest "
+                        "of bf16/int8/int4 measured on the chip")
+    p.add_argument("--repetition-penalty", type=float, default=1.0)
+    p.add_argument("--prefix-cache", action="store_true",
+                   help="multi-turn benches: continue each turn from the "
+                        "previous turn's KV snapshot instead of re-prefilling "
+                        "the whole conversation")
     args = p.parse_args()
+    if args.video_max_pixels is None:
+        args.video_max_pixels = (360 * 420 if args.bench in
+                                 ("mvbench", "msvd_qa") else 768 * 28 * 28)
     _enable_compile_cache()
 
     from transformers import AutoProcessor, AutoTokenizer
 
     from ..spec.spec_model import SpecModel
     from .benchmarks import iter_questions
-    from .harness import run_eval
+    from .harness import get_conv_template, run_eval
 
     with open(os.path.join(args.model, "config.json")) as f:
         arch = json.load(f)["architectures"][0]
@@ -97,7 +116,8 @@ def main():
         method=args.method,
         min_pixels=args.min_pixels,
         max_pixels=args.max_pixels,
-        quantize_draft=args.quantize_draft,
+        video_max_pixels=args.video_max_pixels,
+        quantize_draft=args.quantize_draft or False,
     )
 
     questions = list(
@@ -117,6 +137,10 @@ def main():
         model_id=args.model_id or f"{os.path.basename(args.model)}-{args.method}",
         seed_base=args.seed,
         tokenizer=tokenizer,
+        conv_template=args.conv_template or get_conv_template(args.model),
+        gen_kwargs=({"repetition_penalty": args.repetition_penalty}
+                    if args.repetition_penalty != 1.0 else None),
+        prefix_cache=args.prefix_cache,
     )
     taus = [a + 1 for r in records for a in r.get("acceptance_length", [])]
     if taus:

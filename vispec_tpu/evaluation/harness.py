@@ -53,10 +53,58 @@ def vicuna_prompt(user_turns: List[str], answers: List[str]) -> str:
     return ret
 
 
-def _clean_output(text: str, special_tokens: List[str]) -> str:
+def qwen_prompt(user_turns: List[str], answers: List[str]) -> str:
+    """Qwen ChatML template (fastchat's qwen template; what the reference's
+    fastchat ``get_conversation_template(model_id)`` resolves for Qwen targets,
+    gen_spec_answer_vicuna.py:16-17)."""
+    ret = "<|im_start|>system\nYou are a helpful assistant.<|im_end|>\n"
+    for j, q in enumerate(user_turns):
+        ret += f"<|im_start|>user\n{q}<|im_end|>\n<|im_start|>assistant\n"
+        if j < len(answers):
+            ret += f"{answers[j]}<|im_end|>\n"
+    return ret
+
+
+def llama3_prompt(user_turns: List[str], answers: List[str]) -> str:
+    """Llama-3 chat template (the reference's is_llama3 targets stop on
+    <|eot_id|>, spec_model_ours.py:268-269)."""
+    ret = ("<|begin_of_text|><|start_header_id|>system<|end_header_id|>\n\n"
+           f"{VICUNA_SYSTEM}<|eot_id|>")
+    for j, q in enumerate(user_turns):
+        ret += (f"<|start_header_id|>user<|end_header_id|>\n\n{q}<|eot_id|>"
+                "<|start_header_id|>assistant<|end_header_id|>\n\n")
+        if j < len(answers):
+            ret += f"{answers[j]}<|eot_id|>"
+    return ret
+
+
+# name -> (render fn, stop string).  The reference resolves templates per
+# model id via fastchat (gen_spec_answer_vicuna.py:16-17, 160-275); running
+# MT-bench against a Qwen target with the vicuna template would make the tau
+# comparison vs BASELINE.md's Qwen rows invalid (round-2 VERDICT missing #2).
+CONV_TEMPLATES = {
+    "vicuna": (vicuna_prompt, "</s>"),
+    "qwen": (qwen_prompt, "<|im_end|>"),
+    "llama3": (llama3_prompt, "<|eot_id|>"),
+}
+
+
+def get_conv_template(model_path_or_id: str) -> str:
+    """Template name for a model path/id, by the same substring matching
+    fastchat's get_conversation_template applies."""
+    name = os.path.basename(str(model_path_or_id).rstrip("/")).lower()
+    if "qwen" in name:
+        return "qwen"
+    if "llama-3" in name or "llama3" in name:
+        return "llama3"
+    return "vicuna"  # vicuna / llava backbones
+
+
+def _clean_output(text: str, special_tokens: List[str],
+                  stop_str: str = "</s>") -> str:
     """Stop-string + special-token cleanup (gen_spec_answer_vicuna.py:183-202)."""
-    if "</s>" in text and text.find("</s>") > 0:
-        text = text[: text.find("</s>")]
+    if stop_str in text and text.find(stop_str) > 0:
+        text = text[: text.find(stop_str)]
     for tok in special_tokens:
         text = text.replace(tok, "")
     return text.strip()
@@ -64,10 +112,21 @@ def _clean_output(text: str, special_tokens: List[str]) -> str:
 
 def _run_multiturn(
     generate, q: Question, tokenizer, temperature: float,
-    max_new_tokens: int, seed: int,
+    max_new_tokens: int, seed: int, conv_template: str = "vicuna",
+    gen_kwargs: Optional[Dict[str, Any]] = None,
+    prefix_cache_model=None,
 ) -> dict:
     """One MT-bench question: decode every turn, carrying the conversation
-    (reference gen_spec_answer_vicuna.py:160-275)."""
+    (reference gen_spec_answer_vicuna.py:160-275).
+
+    With ``prefix_cache_model`` set (the SpecModel, spec path only), each turn
+    records a ConversationSnapshot and the next turn continues from it, so
+    turn k+1 prefills only the template glue + new question instead of the
+    whole conversation — a capability the reference lacks (it re-prefills
+    every turn).  Tokenization must compose (the re-tokenized conversation
+    must extend the committed ids) or the turn silently falls back to a full
+    prefill inside specgenerate."""
+    render, stop_str = CONV_TEMPLATES[conv_template]
     specials: List[str] = []
     for v in tokenizer.special_tokens_map.values():
         specials.extend(v if isinstance(v, list) else [v])
@@ -75,18 +134,25 @@ def _run_multiturn(
     turns, idxs, new_tokens, wall_time, acc = [], [], [], [], []
     decode_time = 0.0
     for j in range(len(q.turns)):
-        prompt = vicuna_prompt(q.turns[: j + 1], answers)
+        prompt = render(q.turns[: j + 1], answers)
         input_ids = tokenizer(prompt).input_ids
         t0 = time.perf_counter()
+        snap_kw = {}
+        if prefix_cache_model is not None:
+            snap_kw = dict(
+                keep_hiddens=True,
+                continue_from=prefix_cache_model.last_snapshot if j else None,
+            )
         res = generate(
             input_ids=input_ids, temperature=temperature,
-            max_new_tokens=max_new_tokens, seed=seed,
+            max_new_tokens=max_new_tokens, seed=seed, **(gen_kwargs or {}),
+            **snap_kw,
         )
         wall = time.perf_counter() - t0
         out_ids = np.asarray(res.sequences)[len(input_ids):]
         text = _clean_output(
             tokenizer.decode(out_ids, spaces_between_special_tokens=False),
-            specials,
+            specials, stop_str,
         )
         answers.append(text)
         turns.append(text)
@@ -115,6 +181,11 @@ def run_eval(
     model_id: str = "vispec-tpu",
     seed_base: int = 0,
     tokenizer=None,
+    conv_template: str = "vicuna",
+    gen_kwargs: Optional[Dict[str, Any]] = None,  # extra specgenerate/
+    # ar_generate kwargs (e.g. repetition_penalty)
+    prefix_cache: bool = False,  # multi-turn: continue each turn from the
+    # previous turn's ConversationSnapshot (spec path only)
 ) -> List[dict]:
     """Generate answers for all questions; returns the records written.
 
@@ -122,6 +193,8 @@ def run_eval(
     token ids into text (tokenizer.decode); identity repr if None.
     ``tokenizer`` is required for multi-turn questions (Question.turns set):
     the harness re-tokenizes the growing conversation per turn.
+    ``conv_template`` picks the chat format for multi-turn questions
+    (CONV_TEMPLATES; resolve from the model path with get_conv_template).
     """
     questions = list(questions)
     os.makedirs(os.path.dirname(os.path.abspath(answer_file)), exist_ok=True)
@@ -133,12 +206,15 @@ def run_eval(
             if tokenizer is None:
                 raise ValueError("multi-turn questions need a tokenizer")
             return _run_multiturn(
-                generate, q, tokenizer, temperature, max_new_tokens, seed
+                generate, q, tokenizer, temperature, max_new_tokens, seed,
+                conv_template, gen_kwargs,
+                prefix_cache_model=(model if prefix_cache and not baseline
+                                    else None),
             )
         t0 = time.perf_counter()
         res = generate(
             temperature=temperature, max_new_tokens=max_new_tokens,
-            seed=seed, **q.prompt_inputs,
+            seed=seed, **q.prompt_inputs, **(gen_kwargs or {}),
         )
         wall = time.perf_counter() - t0
         prompt_len = len(q.prompt_inputs["input_ids"])
