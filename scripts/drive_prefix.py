@@ -19,4 +19,19 @@ for p, o in zip(prompts, outs):
     ok += list(o[:n]) == ref_new[:n]
 print(f"prefix-cached serving: {ok}/4 match full-prompt specgenerate")
 assert ok >= 3
+
+# post-generation ConversationSnapshot: turn-2 continuation from turn-1's
+# committed KV must equal the full re-prefill path (multi-turn eval reuse)
+p1 = rng.integers(5, 500, 24).tolist()
+r1 = model.specgenerate(p1, max_new_tokens=12, keep_hiddens=True)
+snap = model.last_snapshot
+assert snap is not None
+p2 = list(r1.sequences) + rng.integers(5, 500, 10).tolist()
+full = model.specgenerate(p2, max_new_tokens=12)
+cont = model.specgenerate(p2, max_new_tokens=12, continue_from=snap)
+n = min(full.new_tokens, cont.new_tokens)
+match = sum(a == b for a, b in
+            zip(full.sequences[: len(p2) + n], cont.sequences[: len(p2) + n]))
+print(f"conversation snapshot: {match}/{len(p2) + n} tokens match full prefill")
+assert match >= len(p2) + n - 2  # argmax-tie caveat
 print("PREFIX DRIVE OK")
