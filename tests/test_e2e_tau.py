@@ -67,7 +67,54 @@ def test_trained_draft_gets_accepted(tmp_path):
         ar = model.ar_generate(prompt, max_new_tokens=40)
         n = min(r.new_tokens, ar.new_tokens, 40)
         assert r.sequences[: 16 + n].tolist() == ar.sequences[: 16 + n].tolist()
-    assert np.mean(taus) >= 1.2, f"trained draft tau too low: {np.mean(taus)}"
+    # 30-epoch toy training reliably clears ~1.5; 1.35 leaves training-noise
+    # margin.  The deterministic floor lives in test_tau_regression_fixture
+    # (stored 60-epoch checkpoint, tau 2.04).
+    assert np.mean(taus) >= 1.35, f"trained draft tau too low: {np.mean(taus)}"
+
+
+def _fixture_params(z, side):
+    out = {}
+    for key in z.files:
+        if not key.startswith(side + "/"):
+            continue
+        parts = key[2:].split("/")
+        d = out
+        for p in parts[:-1]:
+            d = d.setdefault(p, {})
+        d[parts[-1]] = jnp.asarray(z[key])
+    return out
+
+
+def test_tau_regression_fixture():
+    """Deterministic proposal-quality floor: a stored trained toy checkpoint
+    (scripts/make_tau_fixture.py) must reproduce its recorded greedy tau.
+    The statistical pipeline test above proves training works; this one
+    catches quality regressions in the draft/beam/acceptance path without
+    training noise (VERDICT r2 next #10)."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "data", "tau_fixture.npz")
+    z = np.load(path)
+    tparams = _fixture_params(z, "t")
+    dparams = _fixture_params(z, "d")
+    recorded = float(z["__tau__"])
+    assert recorded >= 1.5, f"fixture itself is weak: {recorded}"
+
+    model = SpecModel(T, D, SpecConfig(total_tokens=16, depth=3, top_k=4),
+                      tparams, dparams, max_len=512, dtype=jnp.float32,
+                      eos_token_id=999)
+    taus = []
+    for s in range(6):
+        prompt = np.random.default_rng(100 + s).integers(1, 90, 16).tolist()
+        r = model.specgenerate(prompt, max_new_tokens=40)
+        taus.extend(a + 1 for a in r.acceptance_lengths)
+        ar = model.ar_generate(prompt, max_new_tokens=40)
+        n = min(r.new_tokens, ar.new_tokens, 40)
+        assert r.sequences[: 16 + n].tolist() == ar.sequences[: 16 + n].tolist()
+    tau = float(np.mean(taus))
+    # deterministic up to argmax ties / platform float detail: small margin
+    assert tau >= recorded - 0.15, (tau, recorded)
 
 
 def test_quantized_draft_losslessness_and_tau(tmp_path):
@@ -122,4 +169,15 @@ def test_quantized_draft_losslessness_and_tau(tmp_path):
     # int8 proposals must stay useful: within 15% of the exact draft's tau
     assert tau_int8 >= 1.1, f"int8 draft tau collapsed: {tau_int8}"
     assert tau_int8 >= 0.85 * tau_bf16, (tau_bf16, tau_int8)
-    print(f"tau bf16={tau_bf16:.3f} int8={tau_int8:.3f}")
+    # int4 (packed, per-group-128): losslessness enforced inside run();
+    # tau may cost a few % more than int8 but must not collapse
+    tau_int4 = run("int4")
+    tau_mixed = run("int4_head")
+    tau_auto = run("auto")  # per-matrix mixed bf16/int8/int4
+    assert tau_int4 >= 1.1, f"int4 draft tau collapsed: {tau_int4}"
+    assert tau_int4 >= 0.80 * tau_bf16, (tau_bf16, tau_int4)
+    assert tau_mixed >= 0.85 * tau_bf16, (tau_bf16, tau_mixed)
+    assert tau_auto >= 0.85 * tau_bf16, (tau_bf16, tau_auto)
+    print(f"tau bf16={tau_bf16:.3f} int8={tau_int8:.3f} "
+          f"int4={tau_int4:.3f} int4_head={tau_mixed:.3f} "
+          f"auto={tau_auto:.3f}")
