@@ -37,6 +37,16 @@ def test_q4_roundtrip_error(wx):
     assert float(err.mean()) < float(np.abs(np.asarray(w)).mean()) * 0.2
 
 
+def test_q4_column_chunking_is_exact(wx):
+    """The OOM-avoiding column-chunked path (lm_head-sized N) must produce
+    bit-identical packed bytes and scales to the one-shot path."""
+    w, _ = wx
+    whole = quant.quantize_q4(w, group_size=128)
+    chunked = quant.quantize_q4(w, group_size=128, chunk_cols=192)
+    assert np.array_equal(np.asarray(whole.packed), np.asarray(chunked.packed))
+    assert np.array_equal(np.asarray(whole.s), np.asarray(chunked.s))
+
+
 def test_q4_fallback_matches_explicit_dequant(wx):
     w, x = wx
     q4 = quant.quantize_q4(w, group_size=128)

@@ -98,10 +98,14 @@ def quantize_q8(w: jax.Array, chunk_cols: int = 8192) -> QTensor:
     return QTensor(q=_q(w, s), s=s)
 
 
-def quantize_q4(w: jax.Array, group_size: int = 128) -> Q4Tensor:
+def quantize_q4(w: jax.Array, group_size: int = 128,
+                chunk_cols: int = 8192) -> Q4Tensor:
     """Per-group symmetric int4 (AWQ-style group_size=128 default):
     ``w[k, n] ~= q[k, n] * s[k // group_size, n]`` with q in [-8, 7], packed
-    two rows per uint8 byte (see Q4Tensor)."""
+    two rows per uint8 byte (see Q4Tensor).
+
+    Column-chunked like quantize_q8: quantizing the 0.5GB lm_head at near-full
+    HBM (7B @ max_len=2048 occupancy) OOMs if a whole f32 copy materializes."""
     k, n = w.shape
     if k % 2:
         raise ValueError(f"int4 packing needs an even input dim, got {k}")
@@ -109,14 +113,28 @@ def quantize_q4(w: jax.Array, group_size: int = 128) -> Q4Tensor:
     while (k // 2) % group_size:
         group_size //= 2
     g = k // group_size
-    wf = w.astype(jnp.float32).reshape(g, group_size, n)
-    s = jnp.max(jnp.abs(wf), axis=1) / 7.0
-    s = jnp.where(s == 0, jnp.ones_like(s), s)
-    q = jnp.clip(jnp.round(wf / s[:, None, :]), -8, 7).astype(jnp.int32)
-    q = q.reshape(k, n)
-    lo = (q[: k // 2] & 0xF).astype(jnp.uint8)
-    hi = (q[k // 2:] & 0xF).astype(jnp.uint8)
-    return Q4Tensor(packed=lo | (hi << 4), s=s)
+
+    def _block(wb):
+        nb = wb.shape[1]
+        wf = wb.astype(jnp.float32).reshape(g, group_size, nb)
+        s = jnp.max(jnp.abs(wf), axis=1) / 7.0
+        s = jnp.where(s == 0, jnp.ones_like(s), s)
+        q = jnp.clip(jnp.round(wf / s[:, None, :]), -8, 7).astype(jnp.int32)
+        q = q.reshape(k, nb)
+        lo = (q[: k // 2] & 0xF).astype(jnp.uint8)
+        hi = (q[k // 2:] & 0xF).astype(jnp.uint8)
+        return lo | (hi << 4), s
+
+    if n > chunk_cols:
+        p_parts, s_parts = [], []
+        for i in range(0, n, chunk_cols):
+            pb, sb = _block(w[:, i:i + chunk_cols])
+            p_parts.append(pb)
+            s_parts.append(sb)
+        return Q4Tensor(packed=jnp.concatenate(p_parts, axis=1),
+                        s=jnp.concatenate(s_parts, axis=1))
+    packed, s = _block(w)
+    return Q4Tensor(packed=packed, s=s)
 
 
 def _q4_unpack_halves(packed: jax.Array):
