@@ -139,6 +139,14 @@ def run_bench(cfg_d):
     model.quantize_draft_inplace("int4")
     t_round_q4 = _time_spec(model, prompt)
 
+    # ---- spec path, mixed mode: the static per-matrix winners from the
+    # on-chip 7B measurement table (rank_head int8, w_down int4, w_up bf16,
+    # attention int8 — ops/quant._heuristic_repr).  Deterministic: no chip
+    # time spent measuring. ----
+    model.dparams = orig_dparams
+    model.quantize_draft_inplace("mixed")
+    t_round_mixed = _time_spec(model, prompt)
+
     # ---- spec path, auto mode: per-matrix fastest of bf16/int8/int4,
     # measured in-graph on the chip (no single representation wins every
     # matrix — see ops/quant._heuristic_repr's table) ----
@@ -152,15 +160,19 @@ def run_bench(cfg_d):
     r = t_round / t_ar
     r_q8 = t_round_q8 / t_ar
     r_q4 = t_round_q4 / t_ar
+    r_mixed = t_round_mixed / t_ar
     r_auto = t_round_auto / t_ar
     return dict(
         t_ar_ms=t_ar * 1e3, t_round_ms=t_round * 1e3,
         t_round_int8_ms=t_round_q8 * 1e3, t_round_int4_ms=t_round_q4 * 1e3,
+        t_round_mixed_ms=t_round_mixed * 1e3,
         t_round_auto_ms=t_round_auto * 1e3,
-        ratio=r, ratio_int8=r_q8, ratio_int4=r_q4, ratio_auto=r_auto,
+        ratio=r, ratio_int8=r_q8, ratio_int4=r_q4, ratio_mixed=r_mixed,
+        ratio_auto=r_auto,
         speedup_at_ref_tau=REF_TAU / r,
         speedup_at_ref_tau_int8=REF_TAU / r_q8,
         speedup_at_ref_tau_int4=REF_TAU / r_q4,
+        speedup_at_ref_tau_mixed=REF_TAU / r_mixed,
         speedup_at_ref_tau_auto=REF_TAU / r_auto,
         auto_choices=choices,
         model=cfg_d["label"],
@@ -178,7 +190,7 @@ def _run_one(idx: int) -> None:
     # headline: fastest lossless-output mode; tau haircuts measured at toy
     # scale live in detail for the honest reading
     by_mode = {m: res[f"speedup_at_ref_tau_{m}"]
-               for m in ("int8", "int4", "auto")}
+               for m in ("int8", "int4", "mixed", "auto")}
     res["headline_mode"] = max(by_mode, key=by_mode.get)
     value = by_mode[res["headline_mode"]]
     res["tau_cost_int8_measured_smallscale"] = 0.012

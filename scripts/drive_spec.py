@@ -99,6 +99,18 @@ match = sum(a == b for a, b in zip(qa_toks[:n], list(res_a.sequences)[:n]))
 print(f"auto draft: {res_qa.new_tokens} toks, prefix match vs AR {match}/{n}")
 assert match >= n - 2
 
+# 5c. mixed mode: static per-matrix winners table (no on-chip measuring)
+modelM = SpecModel(tcfg, dcfg, SpecConfig(total_tokens=12, depth=3, top_k=4),
+                   tparams, dict(dparams), max_len=512, dtype=jnp.bfloat16,
+                   eos_token_id=10**6, quantize_draft="mixed")
+print(f"mixed quant choices: {dict(last_auto_choices)}")
+res_qm = modelM.specgenerate(prompt, max_new_tokens=32)
+qm_toks = list(res_qm.sequences)
+n = min(len(qm_toks), len(res_a.sequences), len(prompt) + 32)
+match = sum(a == b for a, b in zip(qm_toks[:n], list(res_a.sequences)[:n]))
+print(f"mixed draft: {res_qm.new_tokens} toks, prefix match vs AR {match}/{n}")
+assert match >= n - 2
+
 # 6. autotune with the scalar-readback fence (VERDICT r2 weak #2): must pick
 # a sane candidate on the real chip, not tunnel noise
 best = model.autotune_total_token(cans=(8, 12, 16), weights=(1.0, 1.05, 1.08),

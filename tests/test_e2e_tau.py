@@ -172,12 +172,14 @@ def test_quantized_draft_losslessness_and_tau(tmp_path):
     # int4 (packed, per-group-128): losslessness enforced inside run();
     # tau may cost a few % more than int8 but must not collapse
     tau_int4 = run("int4")
-    tau_mixed = run("int4_head")
+    tau_i4head = run("int4_head")
+    tau_mixed = run("mixed")  # static per-matrix winners table
     tau_auto = run("auto")  # per-matrix mixed bf16/int8/int4
     assert tau_int4 >= 1.1, f"int4 draft tau collapsed: {tau_int4}"
     assert tau_int4 >= 0.80 * tau_bf16, (tau_bf16, tau_int4)
+    assert tau_i4head >= 0.85 * tau_bf16, (tau_bf16, tau_i4head)
     assert tau_mixed >= 0.85 * tau_bf16, (tau_bf16, tau_mixed)
     assert tau_auto >= 0.85 * tau_bf16, (tau_bf16, tau_auto)
     print(f"tau bf16={tau_bf16:.3f} int8={tau_int8:.3f} "
-          f"int4={tau_int4:.3f} int4_head={tau_mixed:.3f} "
-          f"auto={tau_auto:.3f}")
+          f"int4={tau_int4:.3f} int4_head={tau_i4head:.3f} "
+          f"mixed={tau_mixed:.3f} auto={tau_auto:.3f}")

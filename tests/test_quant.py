@@ -152,3 +152,27 @@ def test_quantize_draft_params_auto_heuristic():
     out2 = quant.quantize_draft_params(dparams, wide_head, mode="auto")
     assert quant.last_auto_choices["rank_head"] == "bf16"
     assert "rank_head" not in out2
+
+
+def test_quantize_draft_params_mixed_is_static_heuristic(monkeypatch):
+    """mode="mixed" applies _heuristic_repr per matrix and NEVER measures —
+    it must be deterministic and chip-free even on a live TPU."""
+    rng = np.random.default_rng(4)
+    layer = {
+        "wq": jnp.asarray(rng.standard_normal((64, 64)), jnp.float32),
+        "w_up": jnp.asarray(rng.standard_normal((64, 128)), jnp.float32),
+        "w_down": jnp.asarray(rng.standard_normal((128, 64)), jnp.float32),
+    }
+    dparams = {"layer": layer, "embed": jnp.zeros((10, 64))}
+    head = jnp.asarray(rng.standard_normal((64, 256)), jnp.float32)
+
+    def boom(*a, **k):
+        raise AssertionError("mixed mode must not measure on-chip")
+
+    monkeypatch.setattr(quant, "_measure_repr", boom)
+    monkeypatch.setattr(quant, "_auto_repr", boom)
+    out = quant.quantize_draft_params(dparams, head, mode="mixed")
+    assert quant.last_auto_choices == {
+        "wq": "int8", "w_up": "bf16", "w_down": "int4", "rank_head": "int8"}
+    assert isinstance(out["layer"]["w_down"], quant.Q4Tensor)
+    assert isinstance(out["rank_head"], quant.QTensor)

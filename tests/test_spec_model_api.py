@@ -152,6 +152,33 @@ def test_int4_draft_losslessness():
         ar.sequences[: len(prompt) + n].tolist()
 
 
+def test_mixed_draft_losslessness():
+    """quantize_draft="mixed" (static per-matrix winners): at these toy shapes
+    the heuristic picks int8 layers + a bf16 head, so rank_head is dropped and
+    the draft ranks with the target's own lm_head — greedy output must still
+    equal AR."""
+    k1, k2 = jax.random.split(jax.random.PRNGKey(12))
+    tparams = llama.init_params(TCFG, k1, jnp.float32)
+    dparams = draft_mod.init_params(DCFG, k2, jnp.float32)
+    dparams["embed"] = tparams["embed"]
+    model = SpecModel(
+        TCFG, DCFG, SpecConfig(total_tokens=12, depth=3, top_k=4),
+        tparams, dparams, max_len=512, dtype=jnp.float32, eos_token_id=0,
+        quantize_draft="mixed",
+    )
+    from vispec_tpu.ops.quant import QTensor
+
+    assert isinstance(model.dparams["layer"]["wq"], QTensor)
+    assert "rank_head" not in model.dparams  # 64x128 head: bf16 -> no copy
+    prompt = list(range(25, 55))
+    spec = model.specgenerate(prompt, max_new_tokens=20)
+    ar = model.ar_generate(prompt, max_new_tokens=20)
+    n = min(spec.new_tokens, ar.new_tokens, 20)
+    assert n >= 8
+    assert spec.sequences[: len(prompt) + n].tolist() == \
+        ar.sequences[: len(prompt) + n].tolist()
+
+
 def test_repetition_penalty_e2e():
     """repetition_penalty (reference utils.py:41-50, plumbed but broken there
     — its processor list is called with input_ids=None): at T>0 a penalized

@@ -107,3 +107,36 @@ def test_mixtral_ep2_matches_single_device():
     n = min(len(ref), len(out))
     assert n >= 6
     np.testing.assert_array_equal(out[:n], ref[:n])
+
+
+@pytest.mark.parametrize("mode", ["int8", "int4"])
+def test_tp2_quantized_draft_matches_single_device(mode):
+    """Quantized draft modes compose with tp sharding: quantized_draft_specs
+    gives QTensor/Q4Tensor leaves field-wise specs (scales follow the output
+    axis; row-parallel int4 replicates — see _quant_leaf_spec), and the tp=2
+    decode must be token-identical to the same quantized draft on one
+    device."""
+    from vispec_tpu.ops.quant import quantize_draft_params
+    from vispec_tpu.parallel.sharding import quantized_draft_specs
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    tparams = llama.init_params(TCFG, k1, jnp.float32)
+    dparams = draft_mod.init_params(DCFG, k2, jnp.float32)
+    dparams["embed"] = tparams["embed"]
+    qparams = quantize_draft_params(dparams, tparams["lm_head"], mode=mode)
+
+    tc = kv.init_cache(2, 2, 256, 16, jnp.float32)
+    dc = kv.init_cache(1, 2, 256, 16, jnp.float32)
+    ref = run_rounds(tparams, qparams, tc, dc)
+
+    mesh = make_mesh(dp=1, tp=2, devices=jax.devices()[:2])
+    with mesh:
+        tp_t = apply_specs(mesh, tparams, llama_param_specs(TCFG))
+        tp_d = apply_specs(mesh, qparams, quantized_draft_specs(DCFG, qparams))
+        tc2 = shard_cache(mesh, kv.init_cache(2, 2, 256, 16, jnp.float32))
+        dc2 = shard_cache(mesh, kv.init_cache(1, 2, 256, 16, jnp.float32))
+        out = run_rounds(tp_t, tp_d, tc2, dc2)
+
+    n = min(len(ref), len(out))
+    assert n >= 8
+    np.testing.assert_array_equal(out[:n], ref[:n])

@@ -70,7 +70,7 @@ def main():
                    help="MT-bench chat template; default: resolved from the "
                         "model path (harness.get_conv_template)")
     p.add_argument("--quantize-draft", nargs="?", const="int8", default=None,
-                   choices=["int8", "int4", "int4_head", "auto"],
+                   choices=["int8", "int4", "int4_head", "mixed", "auto"],
                    help="weight-only draft quantization (ops/quant.py): "
                         "faster rounds, greedy output unchanged, small tau "
                         "cost; bare flag = int8; auto = per-matrix fastest "

@@ -287,12 +287,16 @@ def _heuristic_repr(k: int, n: int) -> str:
     return "int8"
 
 
-def _measure_repr(w: jax.Array, m: int = 8, reps: int = 8,
-                  iters: int = 5) -> str:
+def _measure_repr(w: jax.Array, m: int = 8, reps: int = 16,
+                  iters: int = 2, trials: int = 3) -> str:
     """Time bf16/int8/int4 for this matrix IN-GRAPH on the live device (a
     scan of ``reps`` back-to-back uses — per-call timing is dispatch/tunnel
     noise) and return the fastest mode.  Scalar-readback fenced per
-    CLAUDE.md's measurement rule."""
+    CLAUDE.md's measurement rule.  Candidates are timed in interleaved
+    round-robin trials and scored by their MIN trial: a single long chain per
+    candidate let slow drift (queue depth, HBM pressure during the bench's
+    mode sweeps) flip close calls — an early bench run picked bf16 for the
+    rank head this way, costing the whole "auto" round ~1ms vs int8."""
     import time as _time
 
     k, n = w.shape
@@ -302,23 +306,26 @@ def _measure_repr(w: jax.Array, m: int = 8, reps: int = 8,
         cands["int4"] = q4
     key = jax.random.PRNGKey(0)
     xs = jax.random.normal(key, (reps, m, k), jnp.bfloat16)
-    best, best_t = "int8", None
+    fns = {}
     for name, wr in cands.items():
         def f_(xs, wr=wr):
             def step(c, x):
                 return c + jnp.sum(qdot(x, wr)), None
             return jax.lax.scan(step, jnp.float32(0), xs)[0]
 
-        f = jax.jit(f_)
-        float(f(xs))  # warm + fence
-        t0 = _time.perf_counter()
-        for _ in range(iters):
-            out = f(xs)
-        float(out)  # fence the chain
-        dt = _time.perf_counter() - t0
-        if best_t is None or dt < best_t:
-            best, best_t = name, dt
-    return best
+        fns[name] = jax.jit(f_)
+        float(fns[name](xs))  # warm + fence
+    best_t: dict = {}
+    for _ in range(trials):
+        for name, f in fns.items():
+            t0 = _time.perf_counter()
+            for _ in range(iters):
+                out = f(xs)
+            float(out)  # fence the chain
+            dt = _time.perf_counter() - t0
+            if name not in best_t or dt < best_t[name]:
+                best_t[name] = dt
+    return min(best_t, key=best_t.get)
 
 
 def _auto_repr(w: jax.Array) -> str:
@@ -347,12 +354,14 @@ def quantize_draft_params(dparams: dict, lm_head: jax.Array,
     bench mode swaps.  Returns a NEW dict (originals not mutated).
 
     Modes: ``int8`` (per-channel int8 everywhere), ``int4`` (per-group int4
-    everywhere — halves the beam loop's weight bytes again), ``int4_head``
-    (int4 ranking head + int8 layer), ``auto`` (per-matrix fastest of
-    bf16/int8/int4, measured in-graph on the live chip — see
-    _heuristic_repr's table for why no single representation wins
-    everywhere)."""
-    if mode not in ("int8", "int4", "int4_head", "auto"):
+    everywhere — halves the beam loop's weight bytes again, but the VPU
+    nibble unpack loses at the vocab head: measured ratio 1.287 vs int8's
+    1.130 at 7B), ``int4_head`` (int4 ranking head + int8 layer), ``mixed``
+    (per-matrix static choice from the on-chip 7B measurement table in
+    _heuristic_repr — deterministic, no chip time), ``auto`` (per-matrix
+    fastest of bf16/int8/int4, measured in-graph on the live chip; falls
+    back to the same heuristic off-TPU)."""
+    if mode not in ("int8", "int4", "int4_head", "auto", "mixed"):
         raise ValueError(f"unknown quantize mode {mode!r}")
     last_auto_choices.clear()
     dparams = dict(dparams)
@@ -362,6 +371,8 @@ def quantize_draft_params(dparams: dict, lm_head: jax.Array,
             continue
         if mode == "auto":
             choice = _auto_repr(layer[k])
+        elif mode == "mixed":
+            choice = _heuristic_repr(*layer[k].shape)
         else:
             choice = "int4" if mode == "int4" else "int8"
         last_auto_choices[k] = choice
@@ -369,6 +380,8 @@ def quantize_draft_params(dparams: dict, lm_head: jax.Array,
     dparams["layer"] = layer
     if mode == "auto":
         head_choice = _auto_repr(lm_head)
+    elif mode == "mixed":
+        head_choice = _heuristic_repr(*lm_head.shape)
     else:
         head_choice = "int4" if mode in ("int4", "int4_head") else "int8"
     last_auto_choices["rank_head"] = head_choice

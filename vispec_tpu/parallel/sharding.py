@@ -12,6 +12,7 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..configs import DraftConfig, LlamaConfig
+from ..ops.quant import Q4Tensor, QTensor
 
 
 def llama_param_specs(cfg: LlamaConfig) -> dict:
@@ -73,6 +74,60 @@ def draft_param_specs(cfg: DraftConfig) -> dict:
     return specs
 
 
+def _quant_leaf_spec(leaf, sp):
+    """Spec node for one possibly-quantized weight, derived from the spec the
+    bf16 weight would have carried.
+
+    - ``QTensor`` (int8): ``q`` keeps the weight's layout; the per-output-
+      channel scale shards with the output axis.
+    - ``Q4Tensor`` column-parallel: ``packed`` [K//2, N] and ``s`` [G, N]
+      both shard on N.  Row-parallel Q4 is REPLICATED instead: packed row
+      ``r`` holds original rows ``r`` and ``r + K//2`` (ops/quant.Q4Tensor),
+      so a contiguous shard of packed rows covers two non-contiguous stripes
+      of the contraction axis and cannot line up with the activations'
+      contiguous K-sharding.  Replication is correct (GSPMD contracts a
+      sharded lhs against a replicated rhs); the draft layer is ~10MB in
+      int4, so the memory cost is noise next to the target.
+    """
+    if isinstance(leaf, QTensor):
+        return QTensor(q=sp, s=P(sp[-1] if len(sp) else None))
+    if isinstance(leaf, Q4Tensor):
+        if len(sp) == 2 and sp[0] is None:
+            return Q4Tensor(packed=sp, s=P(None, sp[1]))
+        return Q4Tensor(packed=P(None, None), s=P(None, None))
+    return sp
+
+
+def quantized_draft_specs(cfg: DraftConfig, dparams: dict) -> dict:
+    """PartitionSpecs for a ``quantize_draft_params()`` pytree (any mode —
+    int8/int4/int4_head/auto), making the quantized draft composable with tp
+    sharding.  Walks the actual params so QTensor/Q4Tensor leaves get
+    field-wise specs; keys quantization adds beyond ``init_params`` get:
+
+    - ``rank_head`` (quantized lm_head copy): vocab-sharded like the target's
+      ``lm_head`` (logit columns split over tp).
+    - ``fuse_we`` / ``fuse_wh`` (decode fuse folds, [D, D]): replicated —
+      33MB bf16 at 7B, and their output feeds straight into the layer's
+      column-parallel qkv contraction either way.
+    """
+    base = draft_param_specs(cfg)
+    extra = {"rank_head": P(None, "tp"),
+             "fuse_we": P(None, None), "fuse_wh": P(None, None)}
+    specs = {}
+    for key, val in dparams.items():
+        if key == "layer":
+            specs["layer"] = {
+                k: _quant_leaf_spec(v, base["layer"][k])
+                for k, v in val.items()
+            }
+        else:
+            sp = base.get(key, extra.get(key))
+            if sp is None:
+                sp = P(*(None,) * getattr(val, "ndim", 0))
+            specs[key] = _quant_leaf_spec(val, sp)
+    return specs
+
+
 def mixtral_param_specs(cfg) -> dict:
     """Expert-parallel specs for models/mixtral.py: the expert dimension of the
     MoE weights shards over the same ``tp`` axis as the attention heads (the
@@ -125,10 +180,19 @@ def shard_cache(mesh: Mesh, cache):
 
 
 def apply_specs(mesh: Mesh, params: dict, specs: dict) -> dict:
-    """Device-put a parameter pytree with the given PartitionSpecs."""
+    """Device-put a parameter pytree with the given PartitionSpecs.
+
+    Quantized leaves (QTensor/Q4Tensor) pair with a same-type spec node from
+    ``quantized_draft_specs`` and are placed field-wise (int payload and
+    scales carry different ranks, so one sharding can't cover both)."""
+
+    def _put(x, s):
+        if isinstance(x, (QTensor, Q4Tensor)):
+            return type(x)(*(jax.device_put(f, NamedSharding(mesh, fs))
+                             for f, fs in zip(x, s)))
+        return jax.device_put(x, NamedSharding(mesh, s))
+
     return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
-        params,
-        specs,
+        _put, params, specs,
         is_leaf=lambda x: not isinstance(x, dict),
     )

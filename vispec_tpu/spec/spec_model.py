@@ -119,7 +119,7 @@ class SpecModel:
         # qwen_vl_utils VIDEO_MAX_PIXELS default; the reference's video prompts
         # override it per benchmark (mvbench_prompt.py:25: 360*420) and it must
         # match the tokenizer's video-token expansion like the image budgets do
-        quantize_draft=False,  # False | True/"int8" | "int4" | "int4_head"
+        quantize_draft=False,  # False | True/"int8" | "int4"/"int4_head" | "mixed" | "auto"
         # | "auto" (per-matrix fastest of bf16/int8/int4, measured on-chip)
     ):
         self.quantize_draft = False
@@ -175,13 +175,15 @@ class SpecModel:
         """Switch the draft to weight-only quantization (ops/quant.py):
         ``int8`` halves the ~2.7GB/round of draft-layer + ranking-head HBM
         traffic, ``int4`` halves it again (packed nibbles + Pallas in-VMEM
-        unpack), ``int4_head`` mixes int4 ranking head with int8 layer, and
+        unpack), ``int4_head`` mixes int4 ranking head with int8 layer, ``mixed`` applies
+        the static per-matrix winners from the on-chip measurement table, and
         ``auto`` picks the measured-fastest of bf16/int8/int4 per matrix
         (no single representation wins everywhere — ops/quant._heuristic_repr).
         Greedy losslessness vs the target is preserved (verification stays
-        exact bf16); only proposal quality (tau) can shift.  Not composable
-        with tp sharding of the draft (QTensor leaves have no partition
-        specs)."""
+        exact bf16); only proposal quality (tau) can shift.  Composable with
+        tp sharding via ``parallel.sharding.quantized_draft_specs`` (QTensor/
+        Q4Tensor leaves get field-wise specs; tested token-identical at
+        tp=2)."""
         from ..ops.quant import quantize_draft_params
 
         if not self.dparams.get("layer"):
@@ -210,7 +212,7 @@ class SpecModel:
         min_pixels: int = 256 * 28 * 28,
         max_pixels: int = 1280 * 28 * 28,
         video_max_pixels: int = 768 * 28 * 28,
-        quantize_draft=False,  # False | "int8"/True | "int4" | "int4_head"
+        quantize_draft=False,  # False | "int8"/True | "int4"/"int4_head" | "mixed" | "auto"
     ) -> "SpecModel":
         """Architecture dispatch + weight conversion (spec_model_ours.py:109-177;
         EAGLE/Medusa orchestrators spec_model.py / spec_model_medusa.py).
