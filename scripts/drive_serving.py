@@ -24,4 +24,19 @@ for p, o in zip(prompts, outs):
     ok += list(o[:n]) == ref_new[:n]
 print(f"outputs matching single-request specgenerate: {ok}/6")
 assert ok >= 5  # bf16 argmax-tie caveat
+
+# B=1 engine: the unit batch takes the squeezed no-vmap path in
+# batch.batched_decode_rounds_chunk (vmap's degenerate [1, s, D] dots force
+# 3 GB of stacked-weight relayout copies at 7B — a compile OOM) and must
+# still match single-request decoding on-chip.
+eng1 = model.serving_engine(batch_size=1, max_new_tokens=20, chunk_rounds=4)
+outs1 = eng1.run_all(prompts[:3])
+ok1 = 0
+for p, o in zip(prompts[:3], outs1):
+    ref = model.specgenerate(p, max_new_tokens=20)
+    ref_new = list(ref.sequences[len(p):])
+    n = min(len(o), len(ref_new))
+    ok1 += list(o[:n]) == ref_new[:n]
+print(f"B=1 engine outputs matching specgenerate: {ok1}/3")
+assert ok1 >= 2
 print("SERVING DRIVE OK")

@@ -43,6 +43,28 @@ def test_batched_matches_single():
         assert got[:n].tolist() == ref.sequences[len(prompt):len(prompt) + n].tolist()
 
 
+def test_batch_of_one_matches_single():
+    """B=1 takes the squeezed no-vmap path (batch.py: vmap's degenerate unit
+    batch makes XLA:TPU relayout the stacked qkv weights — 3 GB of HLO-temp
+    copies at 7B, a compile OOM) and must still match specgenerate exactly."""
+    k1, k2 = jax.random.split(jax.random.PRNGKey(2))
+    tparams = llama.init_params(TCFG, k1, jnp.float32)
+    dparams = draft_mod.init_params(DCFG, k2, jnp.float32)
+    dparams["embed"] = tparams["embed"]
+    prompt = list(range(20, 50))
+    outs = batch_mod.generate_batch(
+        tparams, dparams, TCFG, DCFG, SPEC, [prompt],
+        max_new_tokens=15, max_len=256, eos_id=99999, dtype=jnp.float32,
+    )
+    model = SpecModel(TCFG, DCFG, SPEC, tparams, dparams, max_len=256,
+                      dtype=jnp.float32, eos_token_id=99999)
+    ref = model.specgenerate(prompt, max_new_tokens=15)
+    n = min(len(outs[0]), ref.new_tokens, 15)
+    assert n >= 10
+    assert outs[0][:n].tolist() == \
+        ref.sequences[len(prompt):len(prompt) + n].tolist()
+
+
 def test_specgenerate_batch_api():
     """SpecModel.specgenerate_batch: chunked batched rounds + cache-pool reuse
     must match single-request specgenerate per request."""

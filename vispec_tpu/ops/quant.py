@@ -277,7 +277,14 @@ def _heuristic_repr(k: int, n: int) -> str:
     Deep matrices (K >> N) are where XLA's int8 convert-into-dot collapses
     (81 GB/s on w_down) and the Pallas int4 kernel wins outright; the vocab
     head is where XLA int8 shines (428 GB/s) and the kernel's VPU nibble
-    unpack can't keep up; the wide mlp-up is fastest left in plain bf16."""
+    unpack can't keep up; the wide mlp-up is fastest left in plain bf16.
+
+    CAVEAT (BENCH_r03): these isolated winners do NOT compose — in the real
+    beam loop "mixed" (25.1 ms round at 7B) loses to int8-everywhere
+    (24.3 ms): the loop is HBM-byte-streaming-bound as a whole, so bf16 mlp
+    mats cost real bytes that the per-op probes don't charge.  int8 stays
+    the recommended mode; this table exists for the deterministic "mixed"
+    option and the off-TPU "auto" fallback."""
     if k >= 2 * n:
         return "int4"
     if n >= 4 * k:

@@ -63,6 +63,14 @@ def batched_decode_round(
             eos_id, max_new_tokens,
         )
 
+    if states.done.shape[0] == 1:
+        # Unit batch: vmap's degenerate [1, s, D] dots make XLA:TPU relayout
+        # the scan-stacked qkv weights (three 1 GB HLO-temp copies at 7B —
+        # a compile-time OOM).  Squeeze to the single-request graph instead;
+        # this also keeps the Pallas attention kernel eligible.
+        out = one(jax.tree.map(lambda x: x[0], states))
+        return jax.tree.map(lambda x: x[None], out)
+
     from ..ops.attention import no_kernel_scope
 
     with no_kernel_scope():  # the vmapped Mosaic kernel is slower than XLA
@@ -95,6 +103,18 @@ def batched_decode_rounds_chunk(
             tparams, dparams, tcfg, dcfg, spec, sampling, state,
             eos_id, max_new_tokens,
         )
+
+    if states.done.shape[0] == 1:
+        # unit batch: bypass vmap (see batched_decode_round — the degenerate
+        # [1, s, D] dots force 3 GB of stacked-weight relayout copies on TPU)
+        def body1(state, _):
+            state = one(state)
+            return state, state.new_token[None]
+
+        state, counts = lax.scan(
+            body1, jax.tree.map(lambda x: x[0], states), None,
+            length=n_rounds)
+        return jax.tree.map(lambda x: x[None], state), counts
 
     def body(states, _):
         states = jax.vmap(one)(states)
