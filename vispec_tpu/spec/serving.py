@@ -87,6 +87,19 @@ class ServingEngine:
         self.max_out = self.max_new + 2 * (spec.depth + 2)
         self._n_prefills = 0
 
+        # Admission prefills run in SMALL caches (pad-bucket rows, not
+        # max_len): a prefill only ever writes the prompt rows + the first
+        # tree's beam rows, and `admit`'s dynamic_update_slice accepts a
+        # smaller update, so the slot's full-length buffers receive just
+        # those rows.  At 7B/1024 this cuts the per-admission HBM transient
+        # from ~0.55 GB to ~70 MB — the difference between B=2 serving
+        # fitting next to 13.5 GB of weights and an OOM.  Rows beyond the
+        # prefill in a reused slot keep the previous request's KV; they are
+        # masked (cols >= length) until overwritten by decode appends.
+        r128 = lambda n: -(-n // 128) * 128
+        self._t_rows = self.pad
+        self._d_rows = r128(self.pad + self.slack)
+
         # ---- optional prefix cache: prefill the shared text prefix ONCE ----
         # (e.g. a long system prompt); admissions whose ids start with it run
         # spec_prefill_continue over just the suffix.
@@ -106,6 +119,10 @@ class ServingEngine:
             pembeds = llama.embed(model.tparams,
                                   jnp.asarray(self._prefix, jnp.int32))
             pembeds = jnp.pad(pembeds, ((0, ppad - plen), (0, 0)))
+            r128 = lambda n: -(-n // 128) * 128
+            self._t_rows = max(self._t_rows, r128(ppad + suffix_bucket))
+            self._d_rows = max(self._d_rows,
+                               r128(ppad + suffix_bucket + self.slack))
             tc, dc = self._fresh_caches()
             self._snap = spec_loop.make_prefix_snapshot(
                 model.tparams, model.dparams, model.tcfg, model.dcfg,
@@ -117,16 +134,43 @@ class ServingEngine:
 
     # ------------------------------------------------------------------
     def _fresh_caches(self):
-        """New zero cache pair per admission: admission prefills DONATE their
-        caches (a non-donated prefill copies both multi-hundred-MB buffers —
-        the loop.py spec_prefill_donated rationale); fresh zeros cost one
-        write and keep no spare resident."""
+        """New zero SMALL cache pair per admission (pad-bucket rows, not
+        max_len — see __init__): admission prefills DONATE their caches (a
+        non-donated prefill copies both buffers — the loop.py
+        spec_prefill_donated rationale); fresh zeros cost one write and keep
+        no spare resident."""
         m = self.m
         return (
             kv.init_cache(m.tcfg.num_hidden_layers, m.tcfg.num_key_value_heads,
-                          m.max_len, m.tcfg.head_dim, m.dtype),
-            kv.init_cache(1, m.dcfg.num_key_value_heads, m.max_len,
+                          self._t_rows, m.tcfg.head_dim, m.dtype),
+            kv.init_cache(1, m.dcfg.num_key_value_heads, self._d_rows,
                           m.dcfg.head_dim, m.dtype),
+        )
+
+    # ------------------------------------------------------------------
+    def _empty_stacked(self, template: spec_loop.SpecState):
+        """Full-length stacked state with every slot drained.  Non-cache
+        leaves replicate the template prefill (overwritten on admission or
+        latched by ``done``); the KV buffers are allocated directly at the
+        model's max_len — admission prefills only carry pad-bucket caches,
+        so stacking them would produce undersized decode buffers."""
+        m, b = self.m, self.b
+        st = jax.tree.map(lambda x: jnp.stack([x] * b), template)
+
+        def big(layers, heads, head_dim):
+            shape = (b, layers, heads, m.max_len, head_dim)
+            zero = jnp.zeros((b,), jnp.int32)
+            # distinct buffers throughout: these leaves are donated every
+            # chunk and a pytree must not alias one buffer twice (CLAUDE.md)
+            return kv.KVCache(k=jnp.zeros(shape, m.dtype),
+                              v=jnp.zeros(shape, m.dtype) + 0,
+                              length=zero, real_length=zero + 0)
+
+        return st._replace(
+            target_cache=big(m.tcfg.num_hidden_layers,
+                             m.tcfg.num_key_value_heads, m.tcfg.head_dim),
+            draft_cache=big(1, m.dcfg.num_key_value_heads, m.dcfg.head_dim),
+            done=jnp.ones((b,), bool),
         )
 
     # ------------------------------------------------------------------
@@ -213,16 +257,18 @@ class ServingEngine:
         self.stats = {"admissions": 0, "admit_dispatch_s": 0.0, "wall_s": 0.0}
         t_run0 = _time.perf_counter()
 
-        # ---- initial fill ----
-        first: List[spec_loop.SpecState] = []
+        # ---- initial fill: admit into an empty full-length stacked state
+        # (prefill states carry small pad-bucket caches — _fresh_caches) ----
+        states = None
         active: Dict[int, int] = {}  # slot -> request idx
-        while queue and len(first) < self.b:
+        while queue and len(active) < self.b:
             ridx, prompt = queue.popleft()
-            first.append(self._prefill_one(prompt))
-            active[len(first) - 1] = ridx
-        while len(first) < self.b:  # pad empty slots with a drained dummy
-            first.append(first[0]._replace(done=jnp.ones((), bool)))
-        states = jax.tree.map(lambda *xs: jnp.stack(xs), *first)
+            s1 = self._prefill_one(prompt)
+            if states is None:
+                states = self._empty_stacked(s1)
+            slot = len(active)
+            states = admit(states, s1, jnp.asarray(slot, jnp.int32))
+            active[slot] = ridx
 
         results: List[Optional[np.ndarray]] = [None] * len(prompts)
         self.acceptance: Dict[int, List[int]] = {i: [] for i in range(len(prompts))}

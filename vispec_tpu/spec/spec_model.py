@@ -150,14 +150,38 @@ class SpecModel:
         self.chunk_rounds = 8
         self.last_snapshot: Optional[ConversationSnapshot] = None  # set by
         # specgenerate(keep_hiddens=True)
-        self.target_cache = kv.init_cache(
-            tcfg.num_hidden_layers, tcfg.num_key_value_heads, max_len,
-            tcfg.head_dim, dtype,
-        )
-        self.draft_cache = kv.init_cache(
-            dcfg.num_hidden_layers, dcfg.num_key_value_heads, max_len,
-            dcfg.head_dim, dtype,
-        )
+        # single-request scratch caches are allocated LAZILY (properties
+        # below): an engine/batched-only model never materializes them —
+        # at 7B/1024 the idle target cache alone is ~0.55 GB, the margin
+        # between fitting and OOM for serving at full weights
+        self._target_cache: Optional[kv.KVCache] = None
+        self._draft_cache: Optional[kv.KVCache] = None
+
+    @property
+    def target_cache(self) -> kv.KVCache:
+        if self._target_cache is None:
+            self._target_cache = kv.init_cache(
+                self.tcfg.num_hidden_layers, self.tcfg.num_key_value_heads,
+                self.max_len, self.tcfg.head_dim, self.dtype,
+            )
+        return self._target_cache
+
+    @target_cache.setter
+    def target_cache(self, cache) -> None:
+        self._target_cache = cache
+
+    @property
+    def draft_cache(self) -> kv.KVCache:
+        if self._draft_cache is None:
+            self._draft_cache = kv.init_cache(
+                self.dcfg.num_hidden_layers, self.dcfg.num_key_value_heads,
+                self.max_len, self.dcfg.head_dim, self.dtype,
+            )
+        return self._draft_cache
+
+    @draft_cache.setter
+    def draft_cache(self, cache) -> None:
+        self._draft_cache = cache
 
     # ------------------------------------------------------------------
     def _derive_fuse_mats(self) -> None:
