@@ -3,6 +3,11 @@ produce the same tokens as single-device execution (the reference's answer to
 model sharding was device_map layer placement — SURVEY.md §2.6; ours is
 pjit-partitioned matmuls over a mesh axis)."""
 
+import functools
+import os
+import subprocess
+import sys
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -109,7 +114,34 @@ def test_mixtral_ep2_matches_single_device():
     np.testing.assert_array_equal(out[:n], ref[:n])
 
 
+def subprocess_isolated_param(fn):
+    """Fresh-interpreter isolation (test_vlm_ingestion.subprocess_isolated
+    rationale: XLA CPU's compiler deterministically SEGFAULTS when fresh
+    sharded/vmapped graphs compile late in a long suite process; solo runs
+    always pass).  This variant builds the pytest node id from the single
+    parametrize value so each param runs exactly once."""
+
+    @functools.wraps(fn)
+    def wrapper(**kwargs):
+        if os.environ.get("VISPEC_SUBTEST") == "1":
+            return fn(**kwargs)
+        node = fn.__name__
+        if kwargs:
+            node += "[" + "-".join(str(v) for v in kwargs.values()) + "]"
+        env = {**os.environ, "VISPEC_SUBTEST": "1"}
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest", "-q", "-x",
+             f"{os.path.abspath(__file__)}::{node}"],
+            env=env, capture_output=True, text=True, timeout=1200,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        assert r.returncode == 0, (r.stdout[-3000:], r.stderr[-1000:])
+
+    return wrapper
+
+
 @pytest.mark.parametrize("mode", ["int8", "int4"])
+@subprocess_isolated_param
 def test_tp2_quantized_draft_matches_single_device(mode):
     """Quantized draft modes compose with tp sharding: quantized_draft_specs
     gives QTensor/Q4Tensor leaves field-wise specs (scales follow the output
