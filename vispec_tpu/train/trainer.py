@@ -254,12 +254,14 @@ def getkacc(
     return [float(correct[i] / total[i]) if total[i] else 0.0 for i in range(max_length)]
 
 
-@functools.partial(jax.jit, static_argnames=("dcfg", "k", "max_span"),
-                   donate_argnames=("cache",))
+@functools.partial(jax.jit, static_argnames=("dcfg", "k", "max_span"))
 def _kacc_rollout(dparams, dcfg, head_w, h_pad, e_pad, plan, cache,
                   k: int, max_span: int):
     """Draft prefill + k greedy feed-back steps as one dispatched graph;
-    returns the k predicted token ids."""
+    returns the k predicted token ids.  The cache is NOT donated: it never
+    appears in the output (only the token ids do), so a donation would be
+    unusable (the xla warning the suite used to print) — the scan carry
+    updates in place regardless."""
     last_hidden, last_img, cache = draft_mod.prefill(
         dparams, dcfg, h_pad, e_pad, plan, cache, max_span
     )
