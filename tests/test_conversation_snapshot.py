@@ -80,6 +80,44 @@ def test_snapshot_cut_rejects_non_extension():
     assert res.sequences.tolist() == ref.sequences.tolist()
 
 
+def test_snapshot_continuation_with_repetition_penalty():
+    """Prefix caching composes with the repetition penalty: the seen mask is
+    built from the FULL conversation ids host-side and rides into
+    spec_prefill_continue, so continue_from must NOT silently fall back (and
+    must sample identically to the full-prefill path at the same seed)."""
+    model = _model()
+    prompt1 = list(range(20, 50))
+    r1 = model.specgenerate(prompt1, max_new_tokens=12, keep_hiddens=True,
+                            temperature=0.8, seed=5, repetition_penalty=1.4)
+    snap = model.last_snapshot
+    assert snap is not None
+    prompt2 = list(r1.sequences) + list(range(60, 72))
+    full = model.specgenerate(prompt2, max_new_tokens=12, temperature=0.8,
+                              seed=7, repetition_penalty=1.4)
+    cont = model.specgenerate(prompt2, max_new_tokens=12, temperature=0.8,
+                              seed=7, repetition_penalty=1.4,
+                              continue_from=snap)
+    assert cont.new_tokens >= 4
+    assert cont.sequences.tolist() == full.sequences.tolist()
+
+
+def test_snapshot_continuation_overflow_falls_back():
+    """A continuation whose suffix block would not fit (plen + bucketed
+    suffix + slack > max_len) must fall back to the full prefill path instead
+    of letting XLA's clamped dynamic_update_slice overwrite committed prefix
+    KV rows near a full cache — output must equal the full-prefill result."""
+    model = _model()
+    prompt1 = list(range(20, 20 + 300))
+    r1 = model.specgenerate(prompt1, max_new_tokens=8, keep_hiddens=True)
+    snap = model.last_snapshot
+    # suffix bucketed to 256 rows at plen~308 overflows max_len=512; the
+    # whole prompt (~480) still fits a full prefill
+    prompt2 = list(r1.sequences) + [5] * 170
+    full = model.specgenerate(prompt2, max_new_tokens=4)
+    cont = model.specgenerate(prompt2, max_new_tokens=4, continue_from=snap)
+    assert cont.sequences.tolist() == full.sequences.tolist()
+
+
 def test_snapshot_chains_across_turns():
     """Turn 3 continues from turn 2's snapshot (which itself continued from
     turn 1): keep_hiddens composes with continue_from."""

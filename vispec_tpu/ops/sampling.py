@@ -13,6 +13,15 @@ committed-token history is carried as a [vocab+1] boolean ``seen`` mask
 (updated by scatter as tokens commit; the +1 row is a trash slot for masked
 scatters), so the penalty actually works and stays O(vocab) per round
 regardless of history length.
+
+Granularity caveat: the spec path applies the mask at ROUND granularity —
+all tree positions of one verify round are penalized against the mask as of
+the round's start, so a token accepted at depth 1 is not yet penalized for a
+repeat at depth 2 of the SAME round (it is from the next round on).  The AR
+path updates per token, so penalized sampling can differ distributionally
+between spec and AR within a round's window (2-4 tokens).  Exact per-token
+masking inside the round would serialize the tree accept; HF itself has no
+speculative-penalty semantics to match (the reference's crashes if enabled).
 """
 
 from __future__ import annotations

@@ -250,6 +250,7 @@ def spec_prefill_continue(
     draft_cache: kv.KVCache,
     key: jax.Array,
     max_out: int,
+    seen: Optional[jax.Array] = None,  # [vocab+1] bool prompt-token mask
     keep_hiddens: bool = False,
 ) -> SpecState:
     """spec_prefill for ``prefix + suffix`` that only computes the suffix:
@@ -291,8 +292,11 @@ def spec_prefill_continue(
         first_token = jnp.argmax(last_logits).astype(jnp.int32)
     else:
         p = jax.nn.softmax(process_logits(
-            last_logits, sampling.temperature, sampling.top_p, sampling.top_k))
+            last_logits, sampling.temperature, sampling.top_p, sampling.top_k,
+            sampling.repetition_penalty, seen))
         first_token = sample_categorical(k_sample, p).astype(jnp.int32)
+    if seen is not None:
+        seen = seen.at[first_token].set(True)
 
     # ---- draft continuation over positions [plen-1, plen+suffix_len) ----
     # row j (block-relative) is position plen-1+j: hidden + NEXT token's embed
@@ -336,6 +340,7 @@ def spec_prefill_continue(
         key=key,
         rope_delta=jnp.zeros((), jnp.int32),
         fuse_b=b_eff,
+        seen=seen,
         hiddens=(jnp.zeros((max_out, hidden_s.shape[-1]), hidden_s.dtype)
                  if keep_hiddens else None),
     )

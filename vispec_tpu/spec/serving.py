@@ -30,6 +30,12 @@ from . import batch as batch_mod
 from . import loop as spec_loop
 
 
+def _r128(n: int) -> int:
+    """Round up to the 128-row bucket granularity (spec_model._bucket
+    semantics; every cache/prompt bucket in the engine is 128-aligned)."""
+    return max(128, -(-n // 128) * 128)
+
+
 @functools.partial(jax.jit, donate_argnames=("states",))
 def admit(states: spec_loop.SpecState, state1: spec_loop.SpecState, slot):
     """Write a freshly prefilled single-request state into batch row ``slot``.
@@ -96,9 +102,8 @@ class ServingEngine:
         # fitting next to 13.5 GB of weights and an OOM.  Rows beyond the
         # prefill in a reused slot keep the previous request's KV; they are
         # masked (cols >= length) until overwritten by decode appends.
-        r128 = lambda n: -(-n // 128) * 128
         self._t_rows = self.pad
-        self._d_rows = r128(self.pad + self.slack)
+        self._d_rows = _r128(self.pad + self.slack)
 
         # ---- optional prefix cache: prefill the shared text prefix ONCE ----
         # (e.g. a long system prompt); admissions whose ids start with it run
@@ -110,7 +115,7 @@ class ServingEngine:
 
             self._prefix = np.asarray(prefix_ids, np.int64)
             plen = len(self._prefix)
-            ppad = max(128, -(-plen // 128) * 128)
+            ppad = _r128(plen)
             self.suffix_bucket = suffix_bucket
             if plen < 2 or plen + suffix_bucket + self.slack > model.max_len:
                 raise ValueError(
@@ -119,10 +124,9 @@ class ServingEngine:
             pembeds = llama.embed(model.tparams,
                                   jnp.asarray(self._prefix, jnp.int32))
             pembeds = jnp.pad(pembeds, ((0, ppad - plen), (0, 0)))
-            r128 = lambda n: -(-n // 128) * 128
-            self._t_rows = max(self._t_rows, r128(ppad + suffix_bucket))
+            self._t_rows = max(self._t_rows, _r128(ppad + suffix_bucket))
             self._d_rows = max(self._d_rows,
-                               r128(ppad + suffix_bucket + self.slack))
+                               _r128(ppad + suffix_bucket + self.slack))
             tc, dc = self._fresh_caches()
             self._snap = spec_loop.make_prefix_snapshot(
                 model.tparams, model.dparams, model.tcfg, model.dcfg,
@@ -155,7 +159,13 @@ class ServingEngine:
         model's max_len — admission prefills only carry pad-bucket caches,
         so stacking them would produce undersized decode buffers."""
         m, b = self.m, self.b
-        st = jax.tree.map(lambda x: jnp.stack([x] * b), template)
+        # strip the caches before stacking: the big buffers below replace
+        # them anyway, and stacking B copies of the template's pad-bucket
+        # caches would be a pointless HBM transient in the exact code path
+        # whose margin the small-cache admission scheme exists to protect
+        st = jax.tree.map(lambda x: jnp.stack([x] * b),
+                          template._replace(target_cache=None,
+                                            draft_cache=None))
 
         def big(layers, heads, head_dim):
             shape = (b, layers, heads, m.max_len, head_dim)

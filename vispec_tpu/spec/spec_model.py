@@ -726,13 +726,19 @@ class SpecModel:
         snapshots_on = keep_hiddens and text_only and self.mparams is None
 
         state = None
-        if (continue_from is not None and text_only and seen is None
-                and self.mparams is None):
+        if (continue_from is not None and text_only and self.mparams is None):
             plen = continue_from.cut_for(input_ids)
-            if plen is not None:
+            # the suffix block is written at row plen — guard the same
+            # prefix+suffix+slack budget ServingEngine enforces, else XLA's
+            # clamped dynamic_update_slice would silently overwrite committed
+            # prefix KV near a full cache; an oversized suffix falls back to
+            # the full prefill (whose own length check raises cleanly)
+            if plen is not None and (
+                    plen + _bucket(l - plen, 128) + self._cache_slack()
+                    <= self.max_len):
                 state = self._prefill_from_snapshot(
                     continue_from, input_ids, plen, sampling, seed, max_out,
-                    keep_hiddens=snapshots_on,
+                    seen=seen, keep_hiddens=snapshots_on,
                 )
         if state is None:
             embeds, _, shifted_mask, n_spans, position_ids, rope_delta = \
@@ -873,10 +879,12 @@ class SpecModel:
     # ------------------------------------------------------------------
     def _prefill_from_snapshot(self, snap: ConversationSnapshot, input_ids,
                                plen: int, sampling, seed: int, max_out: int,
-                               keep_hiddens: bool = False):
+                               seen=None, keep_hiddens: bool = False):
         """Continuation prefill from a post-generation ConversationSnapshot:
         seed the caches with the committed rows [0, plen) and run only the
-        suffix through the target (spec_loop.spec_prefill_continue)."""
+        suffix through the target (spec_loop.spec_prefill_continue).  ``seen``
+        (repetition-penalty mask, built from the FULL conversation ids) rides
+        along so prefix caching composes with the penalty."""
         ids = np.asarray(input_ids, np.int64)
         suffix = ids[plen:]
         pad_s = _bucket(len(suffix), 128)
@@ -891,7 +899,8 @@ class SpecModel:
             self.tparams, self.dparams, self.tcfg, self.dcfg, self.spec,
             sampling, psnap, s_embeds, jnp.asarray(len(suffix), jnp.int32),
             kv.reset(self.target_cache), kv.reset(self.draft_cache),
-            jax.random.PRNGKey(seed), max_out, keep_hiddens=keep_hiddens,
+            jax.random.PRNGKey(seed), max_out, seen=seen,
+            keep_hiddens=keep_hiddens,
         )
 
     # ------------------------------------------------------------------
