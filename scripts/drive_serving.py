@@ -39,4 +39,31 @@ for p, o in zip(prompts[:3], outs1):
     ok1 += list(o[:n]) == ref_new[:n]
 print(f"B=1 engine outputs matching specgenerate: {ok1}/3")
 assert ok1 >= 2
+
+# Medusa engine: no draft transformer — the engine dispatches
+# batched_medusa_rounds_chunk and admissions run medusa_prefill.
+import jax.numpy as jnp
+from vispec_tpu.configs import SpecConfig
+from vispec_tpu.models import medusa as medusa_mod
+from vispec_tpu.spec.spec_model import SpecModel
+
+_, tcfg, dcfg, tparams, dparams = tiny_model()
+k = jax.random.PRNGKey(9)
+mparams = medusa_mod.init_params(tcfg.hidden_size, k, jnp.bfloat16)
+mparams = jax.tree.map(
+    lambda x: x + 0.01 * jax.random.normal(k, x.shape, x.dtype), mparams)
+mmodel = SpecModel(tcfg, dcfg, SpecConfig(total_tokens=12, depth=3, top_k=4),
+                   tparams, dict(dparams), max_len=512, dtype=jnp.bfloat16,
+                   eos_token_id=10**6, mparams=mparams)
+m_prompts = prompts[:3]
+m_refs = [mmodel.specgenerate(p, max_new_tokens=12) for p in m_prompts]
+eng_m = mmodel.serving_engine(batch_size=2, max_new_tokens=12, chunk_rounds=4)
+outs_m = eng_m.run_all(m_prompts)
+okm = 0
+for p, ref, o in zip(m_prompts, m_refs, outs_m):
+    ref_new = list(ref.sequences[len(p):])
+    n = min(len(o), len(ref_new))
+    okm += list(o[:n]) == ref_new[:n]
+print(f"medusa engine outputs matching medusa specgenerate: {okm}/3")
+assert okm >= 2
 print("SERVING DRIVE OK")

@@ -92,6 +92,44 @@ def test_specgenerate_batch_api():
     assert results2[0].new_tokens >= 5
 
 
+def test_medusa_batched_and_serving_match_single():
+    """Medusa in the batched AND continuous-batching paths (previously
+    NotImplementedError surfaces): per-request outputs must equal
+    single-request medusa specgenerate."""
+    from vispec_tpu.models import medusa as medusa_mod
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(6))
+    tparams = llama.init_params(TCFG, k1, jnp.float32)
+    dparams = draft_mod.init_params(DCFG, k2, jnp.float32)
+    dparams["embed"] = tparams["embed"]
+    mparams = medusa_mod.init_params(TCFG.hidden_size, k2, jnp.float32)
+    mparams = jax.tree.map(
+        lambda x: x + 0.01 * jax.random.normal(k2, x.shape, x.dtype), mparams
+    )
+    model = SpecModel(TCFG, DCFG, SpecConfig(total_tokens=12, depth=3, top_k=4),
+                      tparams, dparams, max_len=256, dtype=jnp.float32,
+                      eos_token_id=99999, mparams=mparams)
+    prompts = [list(range(20, 50)), list(range(60, 85)), list(range(5, 40))]
+    refs = [model.specgenerate(p, max_new_tokens=12) for p in prompts]
+
+    results = model.specgenerate_batch(
+        [{"input_ids": p} for p in prompts], max_new_tokens=12)
+    for ref, res, p in zip(refs, results, prompts):
+        n = min(res.new_tokens, ref.new_tokens, 12)
+        assert n >= 6
+        assert res.sequences[: len(p) + n].tolist() == \
+            ref.sequences[: len(p) + n].tolist()
+
+    eng = model.serving_engine(batch_size=2, max_new_tokens=12, chunk_rounds=4)
+    outs = eng.run_all(prompts)
+    ok = 0
+    for ref, p, o in zip(refs, prompts, outs):
+        ref_new = list(ref.sequences[len(p):])
+        n = min(len(o), len(ref_new))
+        ok += list(o[:n]) == ref_new[:n]
+    assert ok == 3
+
+
 def test_specgenerate_batch_vision(tmp_path):
     """Batched VISION requests match single-request output (VERDICT item 9)."""
     import pytest

@@ -127,6 +127,55 @@ def batched_decode_rounds_chunk(
     return states, counts
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("tcfg", "spec", "sampling", "n_rounds"),
+    donate_argnames=("states",),
+)
+def batched_medusa_rounds_chunk(
+    tparams: dict,
+    mparams: dict,
+    tcfg: LlamaConfig,
+    spec: SpecConfig,
+    sampling: spec_loop.SamplingParams,
+    states: spec_loop.SpecState,
+    eos_id,
+    max_new_tokens,
+    n_rounds: int = 8,
+):
+    """``n_rounds`` batched MEDUSA rounds in one dispatch (the medusa analog
+    of batched_decode_rounds_chunk; no draft transformer — heads on the
+    target's hidden, spec_loop.medusa_decode_round)."""
+
+    def one(state):
+        return spec_loop.medusa_decode_round.__wrapped__(
+            tparams, mparams, tcfg, spec, sampling, state,
+            eos_id, max_new_tokens,
+        )
+
+    if states.done.shape[0] == 1:
+        # unit batch: bypass vmap (see batched_decode_round — the degenerate
+        # [1, s, D] dots force 3 GB of stacked-weight relayout copies on TPU)
+        def body1(state, _):
+            state = one(state)
+            return state, state.new_token[None]
+
+        state, counts = lax.scan(
+            body1, jax.tree.map(lambda x: x[0], states), None,
+            length=n_rounds)
+        return jax.tree.map(lambda x: x[None], state), counts
+
+    def body(states, _):
+        states = jax.vmap(one)(states)
+        return states, states.new_token
+
+    from ..ops.attention import no_kernel_scope
+
+    with no_kernel_scope():  # the vmapped Mosaic kernel is slower than XLA
+        states, counts = lax.scan(body, states, None, length=n_rounds)
+    return states, counts
+
+
 def batched_prefill(
     tparams, dparams, tcfg, dcfg, spec, sampling,
     requests: Sequence[dict],
@@ -135,6 +184,7 @@ def batched_prefill(
     dtype=jnp.bfloat16,
     seed: int = 0,
     cache_pool: Optional[List] = None,
+    mparams: Optional[dict] = None,
 ) -> spec_loop.SpecState:
     """Prefill each request and stack into a batched SpecState.
 
@@ -142,7 +192,9 @@ def batched_prefill(
     SHARED bucket), ``real_len``, ``plan``, ``max_span``, and optionally
     ``position_ids`` / ``rope_delta`` (Qwen M-RoPE).  ``cache_pool`` is a list
     of (target_cache, draft_cache) pairs reused across calls (grown on
-    demand); pass None to allocate fresh buffers.
+    demand); pass None to allocate fresh buffers.  With ``mparams`` the
+    medusa prefill runs instead (no draft cache; ``plan``/``max_span``
+    ignored).
     """
     states: List[spec_loop.SpecState] = []
     for i, req in enumerate(requests):
@@ -152,17 +204,26 @@ def batched_prefill(
         else:
             tc = kv.init_cache(tcfg.num_hidden_layers, tcfg.num_key_value_heads,
                                max_len, tcfg.head_dim, dtype)
-            dc = kv.init_cache(1, dcfg.num_key_value_heads, max_len,
+            # medusa has no draft transformer; keep the pool entry tiny
+            dc = kv.init_cache(1, dcfg.num_key_value_heads,
+                               128 if mparams is not None else max_len,
                                dcfg.head_dim, dtype)
             if cache_pool is not None:
                 cache_pool.append((tc, dc))
-        st = spec_loop.spec_prefill(
-            tparams, dparams, tcfg, dcfg, spec, req["plan"], sampling,
-            req["embeds"], tc, dc, jax.random.PRNGKey(seed + i), max_out,
-            req["max_span"],
-            position_ids=req.get("position_ids"),
-            rope_delta=req.get("rope_delta"),
-        )
+        if mparams is not None:
+            st = spec_loop.medusa_prefill_pooled(
+                tparams, mparams, tcfg, spec, sampling, req["embeds"],
+                jnp.asarray(req["real_len"], jnp.int32), tc,
+                jax.random.PRNGKey(seed + i), max_out,
+            )
+        else:
+            st = spec_loop.spec_prefill(
+                tparams, dparams, tcfg, dcfg, spec, req["plan"], sampling,
+                req["embeds"], tc, dc, jax.random.PRNGKey(seed + i), max_out,
+                req["max_span"],
+                position_ids=req.get("position_ids"),
+                rope_delta=req.get("rope_delta"),
+            )
         states.append(st)
     return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
 
@@ -204,6 +265,7 @@ def apply_count_diffs(counts_np, prev, accepts, slot_keys) -> None:
 def drain_batch(
     tparams, dparams, tcfg, dcfg, spec, sampling, states,
     budget: int, eos_id: int, chunk_rounds: int = 8,
+    mparams: Optional[dict] = None,
 ):
     """Run batched rounds until every request is done or the budget is hit.
     Returns (states, per-request acceptance-length lists)."""
@@ -215,10 +277,16 @@ def drain_batch(
     slot_keys = [(j, j) for j in range(b)]
     rounds = 0
     while rounds < budget:
-        states, counts = batched_decode_rounds_chunk(
-            tparams, dparams, tcfg, dcfg, spec, sampling, states, eos, cap,
-            n_rounds=chunk_rounds,
-        )
+        if mparams is not None:
+            states, counts = batched_medusa_rounds_chunk(
+                tparams, mparams, tcfg, spec, sampling, states, eos, cap,
+                n_rounds=chunk_rounds,
+            )
+        else:
+            states, counts = batched_decode_rounds_chunk(
+                tparams, dparams, tcfg, dcfg, spec, sampling, states, eos, cap,
+                n_rounds=chunk_rounds,
+            )
         apply_count_diffs(np.asarray(counts), prev, accepts, slot_keys)
         rounds += chunk_rounds
         if bool(jnp.all(states.done)):

@@ -572,11 +572,6 @@ def latch_done(prev: SpecState, new: SpecState) -> SpecState:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("tcfg", "spec", "sampling", "max_out"),
-    donate_argnames=("target_cache",),
-)
 def medusa_prefill(
     tparams: dict,
     mparams: dict,
@@ -627,6 +622,18 @@ def medusa_prefill(
         rope_delta=jnp.zeros((), jnp.int32),
         fuse_b=jnp.zeros((1,), jnp.float32),
     )
+
+
+_MEDUSA_PREFILL_STATIC = ("tcfg", "spec", "sampling", "max_out")
+_medusa_prefill_fn = medusa_prefill
+# donated variant for the single-request path (the caller re-binds its scratch
+# cache from the returned state); the batched pool path must NOT donate — its
+# cache pool outlives the call (same split as spec_prefill/spec_prefill_donated)
+medusa_prefill = jax.jit(_medusa_prefill_fn,
+                         static_argnames=_MEDUSA_PREFILL_STATIC,
+                         donate_argnames=("target_cache",))
+medusa_prefill_pooled = jax.jit(_medusa_prefill_fn,
+                                static_argnames=_MEDUSA_PREFILL_STATIC)
 
 
 @functools.partial(

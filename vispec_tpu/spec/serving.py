@@ -71,9 +71,10 @@ class ServingEngine:
         prefix_ids: Optional[Sequence[int]] = None,  # shared TEXT prefix
         suffix_bucket: int = 128,  # pad bucket for prefix-cached suffixes
     ):
-        if model.mparams is not None:
-            raise NotImplementedError("serving engine supports the "
-                                      "vispec/eagle drafts, not medusa")
+        if model.mparams is not None and prefix_ids is not None:
+            raise NotImplementedError(
+                "prefix caching needs the draft-side snapshot; medusa has no "
+                "draft transformer — construct the engine without prefix_ids")
         self.m = model
         self.b = batch_size
         self.sampling = spec_loop.SamplingParams(temperature, top_p, int(top_k))
@@ -90,7 +91,9 @@ class ServingEngine:
             raise ValueError(
                 f"no headroom: max_len={model.max_len}, pad bucket "
                 f"{self.pad}, slack {self.slack}")
-        self.max_out = self.max_new + 2 * (spec.depth + 2)
+        from ..models.medusa import NUM_HEADS
+
+        self.max_out = self.max_new + 2 * max(spec.depth + 2, NUM_HEADS + 1)
         self._n_prefills = 0
 
         # Admission prefills run in SMALL caches (pad-bucket rows, not
@@ -176,10 +179,17 @@ class ServingEngine:
                               v=jnp.zeros(shape, m.dtype) + 0,
                               length=zero, real_length=zero + 0)
 
+        if m.mparams is not None:
+            # medusa carries only the tiny dummy draft cache — stack it
+            # as-is rather than allocating full-length buffers nothing reads
+            d_cache = jax.tree.map(lambda x: jnp.stack([x] * b),
+                                   template.draft_cache)
+        else:
+            d_cache = big(1, m.dcfg.num_key_value_heads, m.dcfg.head_dim)
         return st._replace(
             target_cache=big(m.tcfg.num_hidden_layers,
                              m.tcfg.num_key_value_heads, m.tcfg.head_dim),
-            draft_cache=big(1, m.dcfg.num_key_value_heads, m.dcfg.head_dim),
+            draft_cache=d_cache,
             done=jnp.ones((b,), bool),
         )
 
@@ -226,6 +236,17 @@ class ServingEngine:
             ids, self.pad, req.get("pixel_values"), req.get("image_size"),
             req.get("pixel_values_videos"), req.get("second_per_grid_ts", 1.0),
         )
+        if m.mparams is not None:
+            # medusa: heads on the target hidden; no plan, no draft cache
+            tc = kv.init_cache(m.tcfg.num_hidden_layers,
+                               m.tcfg.num_key_value_heads, self._t_rows,
+                               m.tcfg.head_dim, m.dtype)
+            self._n_prefills += 1
+            return spec_loop.medusa_prefill(
+                m.tparams, m.mparams, m.tcfg, m.spec, self.sampling, embeds,
+                jnp.asarray(l, jnp.int32), tc,
+                jax.random.PRNGKey(self.seed + self._n_prefills), self.max_out,
+            )
         plan, ms = draft_mod.make_prefill_plan(
             shifted, l, m.dcfg.num_q, self.pad,
             max_images=self.max_images, max_span=self.max_span,
@@ -289,10 +310,17 @@ class ServingEngine:
 
         guard = 0
         while active:
-            states, counts = batch_mod.batched_decode_rounds_chunk(
-                m.tparams, m.dparams, m.tcfg, m.dcfg, m.spec, self.sampling,
-                states, eos, cap, n_rounds=self.chunk_rounds,
-            )
+            if m.mparams is not None:
+                states, counts = batch_mod.batched_medusa_rounds_chunk(
+                    m.tparams, m.mparams, m.tcfg, m.spec, self.sampling,
+                    states, eos, cap, n_rounds=self.chunk_rounds,
+                )
+            else:
+                states, counts = batch_mod.batched_decode_rounds_chunk(
+                    m.tparams, m.dparams, m.tcfg, m.dcfg, m.spec,
+                    self.sampling, states, eos, cap,
+                    n_rounds=self.chunk_rounds,
+                )
             # ONE host readback per chunk (each separate np.asarray pays the
             # full tunnel RTT — CLAUDE.md); outputs are fetched before any
             # admission donates the buffers

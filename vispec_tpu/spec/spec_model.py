@@ -921,9 +921,6 @@ class SpecModel:
         Finished requests are frozen in place until the batch drains."""
         from . import batch as batch_mod
 
-        if self.mparams is not None:
-            raise NotImplementedError("batched decoding supports the "
-                                      "vispec/eagle drafts, not medusa")
         sampling = spec_loop.SamplingParams(temperature, top_p, int(top_k))
         slack = self._cache_slack()
         lens = [len(np.asarray(r["input_ids"])) for r in requests]
@@ -947,37 +944,45 @@ class SpecModel:
                                  position_ids=position_ids,
                                  rope_delta=jnp.asarray(rope_delta, jnp.int32)))
 
-        # shared plan buckets across the batch -> one compiled graph
-        max_images = max(4, -(-max(spans) // 4) * 4)
-        reqs = []
-        max_span_req = 64
-        plans = []
-        for p in prepared:
-            plan, ms = draft_mod.make_prefill_plan(
-                p["shifted"], len(p["ids"]), self.dcfg.num_q, pad,
-                max_images=max_images, max_span=_bucket(1, 64),
-            )
-            plans.append(plan)
-            max_span_req = max(max_span_req, _bucket(ms, 64))
-        for p, plan in zip(prepared, plans):
-            if max_span_req > 64:  # re-plan at the shared span bucket
-                plan, _ = draft_mod.make_prefill_plan(
+        if self.mparams is not None:
+            # medusa: no draft transformer, no prefill plan — heads run on
+            # the target's hidden (spec_loop.medusa_prefill)
+            reqs = [dict(embeds=p["embeds"], real_len=len(p["ids"]))
+                    for p in prepared]
+        else:
+            # shared plan buckets across the batch -> one compiled graph
+            max_images = max(4, -(-max(spans) // 4) * 4)
+            reqs = []
+            max_span_req = 64
+            plans = []
+            for p in prepared:
+                plan, ms = draft_mod.make_prefill_plan(
                     p["shifted"], len(p["ids"]), self.dcfg.num_q, pad,
-                    max_images=max_images, max_span=max_span_req,
+                    max_images=max_images, max_span=_bucket(1, 64),
                 )
-            reqs.append(dict(embeds=p["embeds"], real_len=len(p["ids"]),
-                             plan=plan, max_span=max_span_req,
-                             position_ids=p["position_ids"],
-                             rope_delta=p["rope_delta"]))
+                plans.append(plan)
+                max_span_req = max(max_span_req, _bucket(ms, 64))
+            for p, plan in zip(prepared, plans):
+                if max_span_req > 64:  # re-plan at the shared span bucket
+                    plan, _ = draft_mod.make_prefill_plan(
+                        p["shifted"], len(p["ids"]), self.dcfg.num_q, pad,
+                        max_images=max_images, max_span=max_span_req,
+                    )
+                reqs.append(dict(embeds=p["embeds"], real_len=len(p["ids"]),
+                                 plan=plan, max_span=max_span_req,
+                                 position_ids=p["position_ids"],
+                                 rope_delta=p["rope_delta"]))
 
-        pad_block = self.spec.depth + 2
+        from ..models.medusa import NUM_HEADS
+
+        pad_block = max(self.spec.depth + 2, NUM_HEADS + 1)
         max_out = min(self.max_len, max_new_tokens + 2 * pad_block)
         if not hasattr(self, "_batch_pool"):
             self._batch_pool = []
         states = batch_mod.batched_prefill(
             self.tparams, self.dparams, self.tcfg, self.dcfg, self.spec,
             sampling, reqs, self.max_len, max_out, self.dtype, seed,
-            cache_pool=self._batch_pool,
+            cache_pool=self._batch_pool, mparams=self.mparams,
         )
         # decode_time excludes prefill — same semantics as specgenerate
         t0 = time.perf_counter()
@@ -985,6 +990,7 @@ class SpecModel:
         states, accepts = batch_mod.drain_batch(
             self.tparams, self.dparams, self.tcfg, self.dcfg, self.spec,
             sampling, states, budget, self.eos_token_id, self.chunk_rounds,
+            mparams=self.mparams,
         )
         decode_time = time.perf_counter() - t0
 
