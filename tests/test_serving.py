@@ -128,6 +128,51 @@ def test_engine_vision_requests(tmp_path):
         assert list(o[:m]) == ref_new[:m]
 
 
+def test_engine_medusa_vision_requests(tmp_path):
+    """Medusa + vision through the engine: medusa needs no draft plan, but
+    the vision-merged embeds must still flow through medusa_prefill in the
+    admission path and match single-request medusa specgenerate."""
+    import pytest
+
+    pytest.importorskip("safetensors.numpy")
+    from tests.vlm_fixtures import (IMAGE_TOKEN, write_llava_ckpt,
+                                    write_vision_draft_ckpt)
+    from vispec_tpu.models import medusa as medusa_mod
+
+    tdir, ddir = str(tmp_path / "t"), str(tmp_path / "d")
+    write_llava_ckpt(tdir, anyres=True)
+    write_vision_draft_ckpt(ddir)
+    model = SpecModel.from_pretrained(
+        tdir, ddir, total_token=12, depth=3, top_k=4, max_len=512,
+        dtype=jnp.float32,
+    )
+    k = jax.random.PRNGKey(4)
+    mparams = medusa_mod.init_params(model.tcfg.hidden_size, k, jnp.float32)
+    model.mparams = jax.tree.map(
+        lambda x: x + 0.01 * jax.random.normal(k, x.shape, x.dtype), mparams)
+
+    rng = np.random.default_rng(1)
+    n = model.count_image_tokens((40, 40))
+    img = jnp.asarray(rng.uniform(0, 1, (40, 40, 3)).astype(np.float32))
+    reqs = [
+        {"input_ids": list(range(10, 20)) + [IMAGE_TOKEN] * n
+         + list(range(30, 40)), "pixel_values": img, "image_size": (40, 40)},
+        {"input_ids": list(range(40, 70))},
+        {"input_ids": list(range(15, 50))},
+    ]
+    eng = ServingEngine(model, batch_size=2, max_new_tokens=8,
+                        pad_bucket=256, chunk_rounds=4, max_span=128)
+    outs = eng.run_all(reqs)
+    for req, o in zip(reqs, outs):
+        ref = model.specgenerate(req["input_ids"], max_new_tokens=8,
+                                 pixel_values=req.get("pixel_values"),
+                                 image_size=req.get("image_size"))
+        ref_new = list(ref.sequences[len(req["input_ids"]):])
+        m = min(len(o), len(ref_new), 8)
+        assert m >= 4
+        assert list(o[:m]) == ref_new[:m]
+
+
 def test_engine_prefix_caching():
     """Shared system-prompt prefix prefilled once; admissions continue from
     the snapshot. Outputs must match full-prompt specgenerate."""
