@@ -215,24 +215,31 @@ def main():
 
     last_err = ""
     for i, cfg_d in enumerate(CONFIGS):
-        try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--config", str(i)],
-                capture_output=True, text=True, timeout=3000,
-            )
-        except subprocess.TimeoutExpired:
-            last_err = f"{cfg_d['label']} timed out (cold compile?)"
-            sys.stderr.write(f"[bench] {last_err}\n")
-            continue  # fall back to the next (smaller) config
-        line = ""
-        for l in proc.stdout.splitlines():
-            if l.startswith("{"):
-                line = l
-        if proc.returncode == 0 and line:
-            print(line)
-            return
-        last_err = (proc.stderr.strip().splitlines() or ["unknown"])[-1][:200]
-        sys.stderr.write(f"[bench] {cfg_d['label']} failed: {last_err}\n")
+        # One retry per config for transient failures (the axon tunnel can
+        # abort mid-run — scripts/drive notes); OOM is deterministic, so
+        # RESOURCE_EXHAUSTED falls straight through to the smaller config.
+        for attempt in range(2):
+            try:
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--config", str(i)],
+                    capture_output=True, text=True, timeout=3000,
+                )
+            except subprocess.TimeoutExpired:
+                last_err = f"{cfg_d['label']} timed out (cold compile?)"
+                sys.stderr.write(f"[bench] {last_err}\n")
+                continue  # retry once, then fall back to a smaller config
+            line = ""
+            for l in proc.stdout.splitlines():
+                if l.startswith("{"):
+                    line = l
+            if proc.returncode == 0 and line:
+                print(line)
+                return
+            last_err = (proc.stderr.strip().splitlines() or ["unknown"])[-1][:200]
+            sys.stderr.write(f"[bench] {cfg_d['label']} failed: {last_err}\n")
+            if "RESOURCE_EXHAUSTED" in proc.stderr:
+                break  # OOM won't heal on retry; try the smaller config
     print(json.dumps({
         "metric": "spec_speedup_at_ref_tau_T0", "value": 0.0, "unit": "x",
         "vs_baseline": 0.0, "error": last_err,

@@ -35,11 +35,16 @@ DCFG = DraftConfig(
 SPEC = SpecConfig(total_tokens=12, depth=3, top_k=4)
 
 
-def run_rounds(tparams, dparams, target_cache, draft_cache, n=10, tcfg=TCFG):
+def run_rounds(tparams, dparams, target_cache, draft_cache, n=10, tcfg=TCFG,
+               sp_mesh=None):
     sampling = spec_loop.SamplingParams()
     prompt = list(range(40, 70))
     embeds = llama.embed(tparams, jnp.asarray(prompt, jnp.int32))
     embeds = jnp.pad(embeds, ((0, 128 - len(prompt)), (0, 0)))
+    if sp_mesh is not None:
+        from vispec_tpu.parallel.sharding import sp_shard_prefill
+
+        embeds = sp_shard_prefill(sp_mesh, embeds)
     plan, ms = draft_mod.make_prefill_plan(None, len(prompt), DCFG.num_q, 128)
     state = spec_loop.spec_prefill(
         tparams, dparams, tcfg, DCFG, SPEC, plan, sampling, embeds,
@@ -112,6 +117,66 @@ def test_mixtral_ep2_matches_single_device():
     n = min(len(ref), len(out))
     assert n >= 6
     np.testing.assert_array_equal(out[:n], ref[:n])
+
+
+def test_sp2_prefill_matches_single_device():
+    """Sequence-parallel prefill: committing the prompt embeds to
+    P("sp", None) (sharding.sp_shard_prefill) shards the prefill's token axis
+    over two devices; GSPMD propagates the sequence sharding and the decode
+    must stay token-identical.  The reference has no sequence/context
+    parallelism at all (SURVEY.md §2.6, §5)."""
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    tparams = llama.init_params(TCFG, k1, jnp.float32)
+    dparams = draft_mod.init_params(DCFG, k2, jnp.float32)
+    dparams["embed"] = tparams["embed"]
+
+    tc = kv.init_cache(2, 2, 256, 16, jnp.float32)
+    dc = kv.init_cache(1, 2, 256, 16, jnp.float32)
+    ref = run_rounds(tparams, dparams, tc, dc)
+
+    mesh = make_mesh(dp=1, sp=2, devices=jax.devices()[:2])
+    with mesh:
+        sp_t = apply_specs(mesh, tparams, llama_param_specs(TCFG))
+        sp_d = apply_specs(mesh, dparams, draft_param_specs(DCFG))
+        tc2 = shard_cache(mesh, kv.init_cache(2, 2, 256, 16, jnp.float32))
+        dc2 = shard_cache(mesh, kv.init_cache(1, 2, 256, 16, jnp.float32))
+        out = run_rounds(sp_t, sp_d, tc2, dc2, sp_mesh=mesh)
+
+    n = min(len(ref), len(out))
+    assert n >= 8
+    np.testing.assert_array_equal(out[:n], ref[:n])
+
+
+def test_pp2_layer_placement_matches_single_device():
+    """Layer-stage placement (llama_param_specs_pp): the scan-stacked layer
+    weights and the target KV cache shard by depth over pp=2 — the TPU
+    equivalent of the reference's device_map="auto" layer spread with
+    per-device KV buffer groups (kv_cache.py:91-127).  The 1-layer draft
+    stays replicated over pp.  Also composes pp=2 x tp=2 on 4 devices."""
+    from vispec_tpu.parallel.sharding import llama_param_specs_pp
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    tparams = llama.init_params(TCFG, k1, jnp.float32)
+    dparams = draft_mod.init_params(DCFG, k2, jnp.float32)
+    dparams["embed"] = tparams["embed"]
+
+    tc = kv.init_cache(2, 2, 256, 16, jnp.float32)
+    dc = kv.init_cache(1, 2, 256, 16, jnp.float32)
+    ref = run_rounds(tparams, dparams, tc, dc)
+
+    for pp, tp in ((2, 1), (2, 2)):
+        mesh = make_mesh(dp=1, pp=pp, tp=tp, devices=jax.devices()[: pp * tp])
+        with mesh:
+            pp_t = apply_specs(mesh, tparams, llama_param_specs_pp(TCFG))
+            pp_d = apply_specs(mesh, dparams, draft_param_specs(DCFG))
+            tc2 = shard_cache(mesh, kv.init_cache(2, 2, 256, 16, jnp.float32),
+                              pp=True)
+            dc2 = shard_cache(mesh, kv.init_cache(1, 2, 256, 16, jnp.float32))
+            out = run_rounds(pp_t, pp_d, tc2, dc2)
+
+        n = min(len(ref), len(out))
+        assert n >= 8, f"pp={pp} tp={tp}"
+        np.testing.assert_array_equal(out[:n], ref[:n])
 
 
 def subprocess_isolated_param(fn):

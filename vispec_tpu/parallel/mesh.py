@@ -5,7 +5,14 @@ HF accelerate/DDP-over-NCCL for training and device_map layer placement at
 inference both become a single ``jax.sharding.Mesh`` with named axes:
 
   dp — data parallel (gradient psum rides ICI)
+  pp — layer-stage placement (scan-stacked layer weights split by depth; the
+       TPU equivalent of the reference's device_map="auto" layer spread +
+       per-device KV buffer groups, kv_cache.py:91-127)
+  sp — sequence parallel (long-prompt prefill activations split by position)
   tp — tensor parallel (weight-sharded matmuls; all-gather/reduce-scatter)
+
+All four axes always exist (size-1 axes are free); PartitionSpecs that name
+only a subset replicate over the rest, so dp×tp callers are unaffected.
 
 Evaluation scale-out (the reference's ray sharding, gen_spec_answer_sqa.py:89-122)
 needs no mesh at all — independent per-host processes.
@@ -23,15 +30,17 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(
     dp: Optional[int] = None,
     tp: int = 1,
+    sp: int = 1,
+    pp: int = 1,
     devices: Optional[Sequence] = None,
 ) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if dp is None:
-        dp = n // tp
-    assert dp * tp == n, f"mesh {dp}x{tp} != {n} devices"
-    arr = np.asarray(devices).reshape(dp, tp)
-    return Mesh(arr, ("dp", "tp"))
+        dp = n // (tp * sp * pp)
+    assert dp * pp * sp * tp == n, f"mesh {dp}x{pp}x{sp}x{tp} != {n} devices"
+    arr = np.asarray(devices).reshape(dp, pp, sp, tp)
+    return Mesh(arr, ("dp", "pp", "sp", "tp"))
 
 
 def shard(mesh: Mesh, spec: P) -> NamedSharding:

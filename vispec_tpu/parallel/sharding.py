@@ -156,27 +156,86 @@ def mixtral_param_specs(cfg) -> dict:
     }
 
 
-def kv_cache_specs():
+def llama_param_specs_pp(cfg: LlamaConfig) -> dict:
+    """Layer-stage placement: shard the scan-stacked ``[L, ...]`` layer
+    weights over the ``pp`` mesh axis, composing with tp on the inner axes.
+
+    This is the TPU-native equivalent of the reference's inference model
+    sharding — HF ``device_map="auto"`` spreading decoder layers across GPUs
+    with per-device KV buffer groups (gen_spec_answer_sqa.py:155,
+    kv_cache.py:91-127; SURVEY.md §2.6 "naive layer placement").  Each scan
+    iteration's weights live on one stage; XLA moves only the ``[T, hidden]``
+    activations between stages, which is noise next to the per-layer weight
+    bytes.  Use when one chip cannot hold the target (e.g. 13B on 16GB):
+    pp=2 halves per-chip weight HBM with zero weight traffic, unlike tp's
+    per-matmul all-gathers."""
+    specs = llama_param_specs(cfg)
+    specs["layers"] = {
+        k: P("pp", *tuple(s)[1:]) for k, s in specs["layers"].items()
+    }
+    return specs
+
+
+def mixtral_param_specs_pp(cfg) -> dict:
+    """Layer-stage placement for the MoE target (see llama_param_specs_pp);
+    experts stay split over ``tp`` within each stage."""
+    specs = mixtral_param_specs(cfg)
+    specs["layers"] = {
+        k: P("pp", *tuple(s)[1:]) for k, s in specs["layers"].items()
+    }
+    return specs
+
+
+def kv_cache_specs(pp: bool = False):
     """PartitionSpecs for ops/kv_cache.KVCache: KV heads split over ``tp`` —
     attention activations are already head-sharded under llama_param_specs
     (wq/wk/wv column-parallel), so the cache rows land on the same shard with
-    no resharding; lengths replicate."""
+    no resharding; lengths replicate.  With ``pp=True`` the leading layer axis
+    additionally splits over the ``pp`` stages, mirroring the reference's
+    per-device KV buffer groups (kv_cache.py:91-127): each stage holds exactly
+    its own layers' cache."""
     from ..ops.kv_cache import KVCache
 
+    l_ax = "pp" if pp else None
     return KVCache(
-        k=P(None, "tp", None, None),
-        v=P(None, "tp", None, None),
+        k=P(l_ax, "tp", None, None),
+        v=P(l_ax, "tp", None, None),
         length=P(),
         real_length=P(),
     )
 
 
-def shard_cache(mesh: Mesh, cache):
-    """Device-put a KVCache with its heads sharded over the ``tp`` axis."""
+def shard_cache(mesh: Mesh, cache, pp: bool = False):
+    """Device-put a KVCache with its heads sharded over the ``tp`` axis (and
+    layers over ``pp`` when requested)."""
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
-        cache, kv_cache_specs(),
+        cache, kv_cache_specs(pp=pp),
     )
+
+
+def sp_shard_prefill(mesh: Mesh, inputs_embeds, position_ids=None):
+    """Sequence-parallel prefill inputs: split the prompt's token axis over
+    the ``sp`` mesh axis.
+
+    The reference has no sequence/context parallelism (SURVEY.md §2.6, §5 —
+    sequence length is bounded by the preallocated cache).  Here long-prompt
+    prefill — the one phase whose cost scales with sequence length — shards
+    its activations by position: committing the embeds (and the matching
+    position_ids) to ``P("sp", None)`` makes GSPMD propagate the sequence
+    sharding through the norms and row-wise matmuls and insert all-gathers
+    only where causal attention contracts over the key axis (the
+    all-gather-KV SP recipe; ICI-resident).  Decode rounds see a ~31-token
+    tree and stay on tp — SP pays only where the sequence is long.
+
+    Returns the resharded ``inputs_embeds`` (and ``position_ids`` if given,
+    sharded on its trailing sequence axis — handles Qwen's [3, pad_len]
+    M-RoPE ids)."""
+    emb = jax.device_put(inputs_embeds, NamedSharding(mesh, P("sp", None)))
+    if position_ids is None:
+        return emb
+    pspec = P(*(None,) * (position_ids.ndim - 1), "sp")
+    return emb, jax.device_put(position_ids, NamedSharding(mesh, pspec))
 
 
 def apply_specs(mesh: Mesh, params: dict, specs: dict) -> dict:
