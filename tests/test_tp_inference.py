@@ -179,6 +179,61 @@ def test_pp2_layer_placement_matches_single_device():
         np.testing.assert_array_equal(out[:n], ref[:n])
 
 
+def test_shard_over_api():
+    """SpecModel.shard_over — the public-API multi-chip entry: tp, pp(+sp),
+    and quantized-draft tp shardings must all generate token-identically to
+    the unsharded model through specgenerate/ar_generate (including the
+    fuse_we/fuse_wh keys _derive_fuse_mats adds, which raw draft_param_specs
+    doesn't know about)."""
+    from vispec_tpu.spec.spec_model import SpecModel
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(2))
+    tparams = llama.init_params(TCFG, k1, jnp.float32)
+    dparams = draft_mod.init_params(DCFG, k2, jnp.float32)
+    dparams["embed"] = tparams["embed"]
+
+    def build():
+        return SpecModel(TCFG, DCFG, SPEC, tparams, dparams, max_len=512,
+                         dtype=jnp.float32, eos_token_id=0)
+
+    prompt = list(range(30, 60))
+    ref = build().specgenerate(prompt, max_new_tokens=16)
+    assert ref.new_tokens >= 8
+
+    # (a) tensor parallel
+    model = build()
+    model.shard_over(make_mesh(dp=1, tp=2, devices=jax.devices()[:2]))
+    out = model.specgenerate(prompt, max_new_tokens=16)
+    n = min(ref.new_tokens, out.new_tokens)
+    np.testing.assert_array_equal(out.sequences[: len(prompt) + n],
+                                  ref.sequences[: len(prompt) + n])
+
+    # (b) layer-stage placement composed with sequence-parallel prefill
+    model = build()
+    model.shard_over(make_mesh(dp=1, pp=2, sp=2, devices=jax.devices()[:4]),
+                     pp=True, sp=True)
+    out = model.specgenerate(prompt, max_new_tokens=16)
+    n = min(ref.new_tokens, out.new_tokens)
+    np.testing.assert_array_equal(out.sequences[: len(prompt) + n],
+                                  ref.sequences[: len(prompt) + n])
+    ar = model.ar_generate(prompt, max_new_tokens=16)
+    n = min(ref.new_tokens, ar.new_tokens)
+    np.testing.assert_array_equal(ar.sequences[: len(prompt) + n],
+                                  ref.sequences[: len(prompt) + n])
+
+    # (c) int8 draft + tp through the API (exercises quantized_draft_specs
+    # with the fuse folds present)
+    model = build()
+    model.quantize_draft_inplace("int8")
+    qref = model.specgenerate(prompt, max_new_tokens=16)
+    model.shard_over(make_mesh(dp=1, tp=2, devices=jax.devices()[:2]))
+    qout = model.specgenerate(prompt, max_new_tokens=16)
+    n = min(qref.new_tokens, qout.new_tokens)
+    assert n >= 8
+    np.testing.assert_array_equal(qout.sequences[: len(prompt) + n],
+                                  qref.sequences[: len(prompt) + n])
+
+
 def subprocess_isolated_param(fn):
     """Fresh-interpreter isolation (test_vlm_ingestion.subprocess_isolated
     rationale: XLA CPU's compiler deterministically SEGFAULTS when fresh

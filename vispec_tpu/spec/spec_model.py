@@ -156,6 +156,9 @@ class SpecModel:
         # between fitting and OOM for serving at full weights
         self._target_cache: Optional[kv.KVCache] = None
         self._draft_cache: Optional[kv.KVCache] = None
+        self._mesh = None  # set by shard_over()
+        self._sp = False
+        self._pp = False
 
     @property
     def target_cache(self) -> kv.KVCache:
@@ -218,6 +221,47 @@ class SpecModel:
                                              mode=mode)
         self.quantize_draft = mode
         self._derive_fuse_mats()
+
+    # ------------------------------------------------------------------
+    def shard_over(self, mesh, pp: bool = False, sp: bool = False) -> None:
+        """Shard this model's weights and single-request KV caches over a
+        ``parallel.mesh.make_mesh`` device mesh — the public-API entry to
+        multi-chip inference (the reference's counterpart is HF
+        ``device_map="auto"`` layer placement, gen_spec_answer_sqa.py:155).
+
+        Default: tensor parallelism (attention heads / MLP columns over
+        ``tp``, KV cache over heads).  ``pp=True`` adds layer-stage placement
+        of the target — scan-stacked layer weights and the target cache shard
+        by depth over ``pp``; use when one chip cannot hold the target.
+        ``sp=True`` additionally shards each prompt prefill's token axis over
+        the ``sp`` axis (long-prompt prefill; decode rounds stay on tp).
+
+        The draft (quantized or not — quantized_draft_specs walks the actual
+        pytree) shards over tp; the 1-layer draft never pp-shards.  Vision
+        tower and medusa heads stay replicated.  Applies to the
+        specgenerate/ar_generate path; batched/serving paths allocate their
+        own caches and are out of scope here.  Token identity under tp/pp/sp
+        meshes: tests/test_tp_inference.py."""
+        from ..parallel.sharding import (
+            apply_specs, llama_param_specs, llama_param_specs_pp,
+            mixtral_param_specs, mixtral_param_specs_pp,
+            quantized_draft_specs, shard_cache,
+        )
+
+        if "router" in self.tparams.get("layers", {}):
+            tspecs = (mixtral_param_specs_pp(self.tcfg) if pp
+                      else mixtral_param_specs(self.tcfg))
+        else:
+            tspecs = (llama_param_specs_pp(self.tcfg) if pp
+                      else llama_param_specs(self.tcfg))
+        self.tparams = apply_specs(mesh, self.tparams, tspecs)
+        if self.dparams.get("layer"):
+            self.dparams = apply_specs(
+                mesh, self.dparams,
+                quantized_draft_specs(self.dcfg, self.dparams))
+        self.target_cache = shard_cache(mesh, self.target_cache, pp=pp)
+        self.draft_cache = shard_cache(mesh, self.draft_cache)
+        self._mesh, self._sp, self._pp = mesh, sp, pp
 
     # ------------------------------------------------------------------
     @classmethod
@@ -744,6 +788,14 @@ class SpecModel:
             embeds, _, shifted_mask, n_spans, position_ids, rope_delta = \
                 self._padded_prompt(input_ids, pad_len, pixel_values, image_size,
                                     pixel_values_videos, second_per_grid_ts)
+            if self._sp:
+                from ..parallel.sharding import sp_shard_prefill
+
+                if position_ids is None:
+                    embeds = sp_shard_prefill(self._mesh, embeds)
+                else:
+                    embeds, position_ids = sp_shard_prefill(
+                        self._mesh, embeds, position_ids)
             # bucket the image-span count (the reference draft handles arbitrarily
             # many spans, cnets_ours.py:896-956); 4-step buckets bound recompiles
             max_images = max(4, -(-n_spans // 4) * 4)
@@ -1059,6 +1111,14 @@ class SpecModel:
             position_ids = jnp.asarray(
                 np.concatenate([position_ids, cont], axis=1), jnp.int32
             )
+        if self._sp:
+            from ..parallel.sharding import sp_shard_prefill
+
+            if position_ids is None:
+                embeds = sp_shard_prefill(self._mesh, embeds)
+            else:
+                embeds, position_ids = sp_shard_prefill(
+                    self._mesh, embeds, position_ids)
         cache = kv.reset(self.target_cache)
         key = jax.random.PRNGKey(seed)
         tok, cache, key, seen = spec_loop.ar_prefill_donated(
