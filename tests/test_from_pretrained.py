@@ -120,6 +120,21 @@ def test_from_pretrained_roundtrip(tmp_path):
     res_e = eagle.specgenerate(prompt, max_new_tokens=10)
     assert res_e.new_tokens >= 5
 
+    # one-line sharded loading: mesh kwarg => shard_over() before returning;
+    # generation must match the unsharded load token for token
+    from vispec_tpu.parallel.mesh import make_mesh
+
+    sharded = SpecModel.from_pretrained(
+        base_model_path=tdir, spec_model_path=ddir,
+        total_token=12, depth=3, top_k=4, max_len=512, dtype=jnp.float32,
+        mesh=make_mesh(dp=1, tp=2, devices=jax.devices()[:2]),
+    )
+    res_s = sharded.specgenerate(prompt, max_new_tokens=15)
+    n = min(res.new_tokens, res_s.new_tokens, 15)
+    assert n >= 5
+    assert res_s.sequences[: len(prompt) + n].tolist() == \
+        res.sequences[: len(prompt) + n].tolist()
+
 
 def test_draft_without_embed_falls_back_to_target(tmp_path):
     """Reference-format draft checkpoints may omit the frozen embedding — the

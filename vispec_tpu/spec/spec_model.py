@@ -281,9 +281,15 @@ class SpecModel:
         max_pixels: int = 1280 * 28 * 28,
         video_max_pixels: int = 768 * 28 * 28,
         quantize_draft=False,  # False | "int8"/True | "int4"/"int4_head" | "mixed" | "auto"
+        mesh=None,  # parallel.mesh.make_mesh: shard_over() the loaded model
+        pp: bool = False,  # with mesh: layer-stage placement of the target
+        sp: bool = False,  # with mesh: sequence-parallel prompt prefill
     ) -> "SpecModel":
         """Architecture dispatch + weight conversion (spec_model_ours.py:109-177;
         EAGLE/Medusa orchestrators spec_model.py / spec_model_medusa.py).
+
+        ``mesh`` (+ ``pp``/``sp``) shards the loaded model via shard_over()
+        before any autotuning — one-line multi-chip loading.
 
         Supported targets: LlamaForCausalLM, Qwen2ForCausalLM, MixtralForCausalLM,
         Llava(Next)ForConditionalGeneration, Qwen2_5_VLForConditionalGeneration.
@@ -363,6 +369,8 @@ class SpecModel:
                 video_max_pixels=video_max_pixels,
                 quantize_draft=quantize_draft,
             )
+            if mesh is not None:
+                model.shard_over(mesh, pp=pp, sp=sp)
             if autotune:
                 model.autotune_total_token()
             return model
@@ -379,6 +387,8 @@ class SpecModel:
                 vparams=vparams, image_token_index=image_token_index,
                 eos_token_id=_first(hf_cfg.get("eos_token_id", 2)),
             )
+            if mesh is not None:
+                model.shard_over(mesh, pp=pp, sp=sp)
             if autotune:
                 model.autotune_total_token()
             return model
@@ -415,6 +425,8 @@ class SpecModel:
             image_token_index=image_token_index,
             mparams=mparams, quantize_draft=quantize_draft,
         )
+        if mesh is not None:
+            model.shard_over(mesh, pp=pp, sp=sp)
         if autotune:
             model.autotune_total_token()
         return model
