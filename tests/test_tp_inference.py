@@ -265,6 +265,67 @@ def test_batched_tp_matches_unsharded():
         np.testing.assert_array_equal(o[:n], r[:n])
 
 
+def test_train_step_dp_sp_matches_unsharded():
+    """Sequence-parallel TRAINING: a dp=2 x sp=2 mesh with the batch's
+    sequence axis sharded (sharding.shard_train_batch) must produce the same
+    loss and updated params as the unsharded step (float tolerance — the
+    gradient psum reorders reductions)."""
+    import numpy as onp
+
+    from vispec_tpu.parallel.sharding import shard_train_batch
+    from vispec_tpu.train.step import TrainBatch, make_optimizer, train_step
+
+    dcfg = DraftConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=64, num_q=2,
+    )
+    b, s, d = 2, 16, dcfg.hidden_size
+    key = jax.random.PRNGKey(0)
+    image_mask = onp.zeros(s, bool)
+    image_mask[4:10] = True
+    plan, max_span = draft_mod.make_prefill_plan(
+        image_mask, s, dcfg.num_q, s, max_images=1, max_span=8)
+    plans = jax.tree.map(lambda a: jnp.broadcast_to(a, (b,) + a.shape), plan)
+    batch = TrainBatch(
+        hidden_states=jax.random.normal(key, (b, s, d), jnp.float32),
+        embeds=jax.random.normal(jax.random.PRNGKey(1), (b, s, d), jnp.float32),
+        target=jax.random.normal(jax.random.PRNGKey(2), (b, s, d), jnp.float32),
+        loss_mask=jnp.ones((b, s), jnp.float32),
+        plans=plans,
+    )
+    optimizer = make_optimizer()
+
+    def step(sharded_mesh=None):
+        dparams = draft_mod.init_params(dcfg, jax.random.PRNGKey(3), jnp.float32)
+        head_w = jax.random.normal(jax.random.PRNGKey(4),
+                                   (d, dcfg.vocab_size), jnp.float32) * 0.02
+        opt_state = optimizer.init(dparams)
+        bat = batch
+        if sharded_mesh is not None:
+            from vispec_tpu.parallel.sharding import draft_param_specs
+
+            with sharded_mesh:
+                dparams = apply_specs(sharded_mesh, dparams,
+                                      draft_param_specs(dcfg))
+                bat = shard_train_batch(sharded_mesh, batch)
+                return train_step(dparams, opt_state, dcfg, head_w, bat,
+                                  optimizer, mtp_steps=1, max_span=max_span)
+        return train_step(dparams, opt_state, dcfg, head_w, bat, optimizer,
+                          mtp_steps=1, max_span=max_span)
+
+    ref_params, _, ref_metrics = step()
+    mesh = make_mesh(dp=2, sp=2, devices=jax.devices()[:4])
+    sp_params, _, sp_metrics = step(mesh)
+
+    np.testing.assert_allclose(float(sp_metrics["loss"]),
+                               float(ref_metrics["loss"]), rtol=1e-5)
+    for k in ("fc_w", "img_fc_w"):
+        np.testing.assert_allclose(np.asarray(sp_params[k]),
+                                   np.asarray(ref_params[k]),
+                                   rtol=1e-4, atol=1e-6)
+
+
 def subprocess_isolated_param(fn):
     """Fresh-interpreter isolation (test_vlm_ingestion.subprocess_isolated
     rationale: XLA CPU's compiler deterministically SEGFAULTS when fresh

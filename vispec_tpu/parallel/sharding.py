@@ -238,6 +238,29 @@ def sp_shard_prefill(mesh: Mesh, inputs_embeds, position_ids=None):
     return emb, jax.device_put(position_ids, NamedSharding(mesh, pspec))
 
 
+def shard_train_batch(mesh: Mesh, batch):
+    """Shard a train.step.TrainBatch over dp x sp: the batch axis over ``dp``
+    (the reference's DDP data split) and the SEQUENCE axis of the dense
+    [B, S, ...] leaves over ``sp`` — long-sequence draft training splits its
+    activation memory per chip the same way sp_shard_prefill splits prefill.
+    The integer PrefillPlan gather maps replicate over sp (tiny; the adaptor
+    compression gathers across the whole sequence anyway, so GSPMD inserts
+    the one all-gather those gathers need)."""
+    seq = NamedSharding(mesh, P("dp", "sp", None))
+    return batch._replace(
+        hidden_states=jax.device_put(batch.hidden_states, seq),
+        embeds=jax.device_put(batch.embeds, seq),
+        target=jax.device_put(batch.target, seq),
+        loss_mask=jax.device_put(
+            batch.loss_mask, NamedSharding(mesh, P("dp", "sp"))),
+        plans=jax.tree.map(
+            lambda a: jax.device_put(
+                a, NamedSharding(mesh, P("dp", *(None,) * (a.ndim - 1)))),
+            batch.plans,
+        ),
+    )
+
+
 def apply_specs(mesh: Mesh, params: dict, specs: dict) -> dict:
     """Device-put a parameter pytree with the given PartitionSpecs.
 
