@@ -252,3 +252,23 @@ def test_engine_streaming_callback():
         assert s[:n] == list(o[:n])
         # incremental: chunk_rounds=2 with tau~1 => several callbacks, not one
         assert len(s) >= len(o)
+
+
+def test_engine_with_tp_sharded_model():
+    """The engine composes with tensor parallelism: a shard_over()'ed model
+    serves token-identically to the unsharded engine (slot caches stay
+    replicated; GSPMD reshards around the tp weights)."""
+    from vispec_tpu.parallel.mesh import make_mesh
+
+    prompts = [list(range(10, 34)), list(range(40, 61)), list(range(5, 29))]
+    ref = ServingEngine(_model(), batch_size=2, max_new_tokens=16,
+                        chunk_rounds=4).run_all(prompts)
+
+    model = _model()
+    model.shard_over(make_mesh(dp=1, tp=2, devices=jax.devices()[:2]))
+    outs = ServingEngine(model, batch_size=2, max_new_tokens=16,
+                         chunk_rounds=4).run_all(prompts)
+    for r, o in zip(ref, outs):
+        n = min(len(r), len(o))
+        assert n >= 12
+        assert list(o[:n]) == list(r[:n])
