@@ -179,6 +179,42 @@ def test_pp2_layer_placement_matches_single_device():
         np.testing.assert_array_equal(out[:n], ref[:n])
 
 
+def test_mixtral_pp2_matches_single_device():
+    """Layer-stage placement of the MoE target (mixtral_param_specs_pp):
+    experts stay tp-split within each pp stage; pp=2 x tp=2 must decode
+    token-identically."""
+    from vispec_tpu.models import mixtral
+    from vispec_tpu.parallel.sharding import mixtral_param_specs_pp
+
+    mcfg = mixtral.MixtralConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512, num_local_experts=4,
+        num_experts_per_tok=2,
+    )
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    tparams = mixtral.init_params(mcfg, k1, jnp.float32)
+    dparams = draft_mod.init_params(DCFG, k2, jnp.float32)
+    dparams["embed"] = tparams["embed"]
+
+    tc = kv.init_cache(2, 2, 256, 16, jnp.float32)
+    dc = kv.init_cache(1, 2, 256, 16, jnp.float32)
+    ref = run_rounds(tparams, dparams, tc, dc, n=6, tcfg=mcfg)
+
+    mesh = make_mesh(dp=1, pp=2, tp=2, devices=jax.devices()[:4])
+    with mesh:
+        pp_t = apply_specs(mesh, tparams, mixtral_param_specs_pp(mcfg))
+        pp_d = apply_specs(mesh, dparams, draft_param_specs(DCFG))
+        tc2 = shard_cache(mesh, kv.init_cache(2, 2, 256, 16, jnp.float32),
+                          pp=True)
+        dc2 = shard_cache(mesh, kv.init_cache(1, 2, 256, 16, jnp.float32))
+        out = run_rounds(pp_t, pp_d, tc2, dc2, n=6, tcfg=mcfg)
+
+    n = min(len(ref), len(out))
+    assert n >= 6
+    np.testing.assert_array_equal(out[:n], ref[:n])
+
+
 def test_shard_over_api():
     """SpecModel.shard_over — the public-API multi-chip entry: tp, pp(+sp),
     and quantized-draft tp shardings must all generate token-identically to
