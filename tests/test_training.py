@@ -1,6 +1,7 @@
 """Training stack tests: data gen -> MTP training -> loss decreases -> getkacc,
 plus checkpoint round-trip export."""
 
+import json
 import os
 
 import jax
@@ -101,6 +102,32 @@ def test_data_gen_and_train_loss_decreases(tmp_path):
                            max_prefixes=4, max_len=64, max_span=8)
     assert len(accs) == 3
     assert all(0.0 <= a <= 1.0 for a in accs)
+
+
+def test_train_loop_under_mesh(tmp_path):
+    """The full train() loop under a dp=2 x tp=2 mesh (the CLI's --dp/--tp
+    path): params shard, batches shard via shard_train_batch, losses stay
+    finite, and the checkpoint round-trips."""
+    from vispec_tpu.parallel.mesh import make_mesh
+
+    tparams = gen_dataset(tmp_path)
+    head_w = tparams["lm_head"].astype(jnp.float32)
+    cfg = trainer.TrainConfig(
+        lr=2e-3, bs=2, num_epochs=1, max_len=64, mtp_steps=1,
+        warmup_steps=2, total_steps=1000, max_images=1, max_span_bucket=8,
+    )
+    cpdir = str(tmp_path / "ckpt_mesh")
+    mesh = make_mesh(dp=2, tp=2, devices=jax.devices()[:4])
+    dparams = trainer.train(str(tmp_path), cpdir, DCFG, head_w, cfg,
+                            mesh=mesh)
+    assert trainer.latest_state(cpdir) is not None
+    with open(os.path.join(cpdir, "metrics.jsonl")) as f:
+        recs = [json.loads(l) for l in f if l.strip()]
+    losses = [r["loss"] for r in recs if "loss" in r]
+    assert losses and np.isfinite(losses).all()
+    # params come back as a plain pytree usable on one device
+    flat = jax.tree.leaves(dparams)
+    assert all(np.isfinite(np.asarray(x)).all() for x in flat)
 
 
 def test_stage1_step_runs(tmp_path):

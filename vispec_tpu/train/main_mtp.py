@@ -65,6 +65,11 @@ def main():
     p.add_argument("--mtp-steps", type=int, default=2)
     p.add_argument("--num-epochs", type=int, default=20)
     p.add_argument("--begin-epoch", type=int, default=0)
+    # mesh axes (multi-chip GSPMD step — the accelerate/DDP replacement);
+    # --bs must be a multiple of dp*sp
+    p.add_argument("--dp", type=int, default=1)
+    p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--sp", type=int, default=1)
     args = p.parse_args()
     _enable_compile_cache()
 
@@ -90,7 +95,18 @@ def main():
         lr=args.lr, bs=args.bs, num_epochs=args.num_epochs,
         max_len=args.max_len, mtp_steps=args.mtp_steps,
     )
-    train(args.tmpdir, args.cpdir, dcfg, head_w, cfg, dparams=dparams)
+    mesh = None
+    if args.dp * args.tp * args.sp > 1:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(dp=args.dp, tp=args.tp, sp=args.sp)
+        if args.bs % args.dp:
+            p.error(f"--bs {args.bs} must be a multiple of --dp {args.dp}")
+        if args.max_len % args.sp:
+            p.error(f"--max-len {args.max_len} must be a multiple of "
+                    f"--sp {args.sp}")
+    train(args.tmpdir, args.cpdir, dcfg, head_w, cfg, dparams=dparams,
+          mesh=mesh)
 
 
 if __name__ == "__main__":

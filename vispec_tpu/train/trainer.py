@@ -323,8 +323,16 @@ def train(
     dparams: Optional[dict] = None,
     log_every: int = 20,
     stage1: bool = False,
+    mesh=None,
 ) -> dict:
-    """Full training loop with auto-resume.  Returns the final draft params."""
+    """Full training loop with auto-resume.  Returns the final draft params.
+
+    ``mesh`` (parallel.mesh.make_mesh) turns every step into the distributed
+    dp x sp x tp pjit step: draft params shard over tp, the frozen head over
+    its vocab axis, the optimizer state replicates, and each batch shards via
+    sharding.shard_train_batch (cfg.bs must be a multiple of dp; cfg.max_len
+    of sp).  This is the DDP-over-NCCL replacement (main_mtp.py accelerate
+    launch, README.md:85-87)."""
     from .step import train_step_stage1
 
     optimizer = make_optimizer(cfg.lr, cfg.warmup_steps, cfg.total_steps, cfg.grad_clip)
@@ -343,6 +351,23 @@ def train(
             dparams = draft_mod.init_params(dcfg, jax.random.PRNGKey(0), jnp.float32)
         opt_state = optimizer.init(dparams)
 
+    shard_batch = lambda b: b  # noqa: E731 — identity when unsharded
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.sharding import (
+            apply_specs, draft_param_specs, shard_train_batch,
+        )
+
+        dparams = apply_specs(mesh, dparams, draft_param_specs(dcfg))
+        head_w = jax.device_put(head_w, NamedSharding(mesh, P(None, "tp")))
+        opt_state = jax.tree.map(
+            lambda x: (jax.device_put(x, NamedSharding(mesh, P()))
+                       if hasattr(x, "shape") else x),
+            opt_state,
+        )
+        shard_batch = functools.partial(shard_train_batch, mesh)
+
     # metrics stream: JSONL scalars (the reference's TensorBoard writer,
     # main_mtp.py:90-93, 707-715, without the TB dependency)
     os.makedirs(cpdir, exist_ok=True)
@@ -352,6 +377,7 @@ def train(
     for epoch in range(begin_epoch, cfg.num_epochs):
         with open(metrics_path, "a") as mf:
             for batch, max_span in data_iterator(datadir, cfg, dcfg, seed=epoch):
+                batch = shard_batch(batch)
                 if stage1:
                     dparams, opt_state, metrics = train_step_stage1(
                         dparams, opt_state, dcfg, head_w, batch, optimizer,
