@@ -79,3 +79,11 @@ def test_gen_answer_cli_vicuna(tmp_path, monkeypatch):
     report = speed.speedup_report(spec_file, base_file)
     assert np.isfinite(report["speedup"]) and report["speedup"] > 0
     assert report["n_spec"] == report["n_baseline"] == 1
+
+    # --tp 2: the CLI's mesh knob loads the model sharded; answers must
+    # match the unsharded spec run text for text
+    tp_file = str(tmp_path / "out" / "spec_tp2.jsonl")
+    run(["--answer-file", tp_file, "--tp", "2"])
+    ref = [json.loads(l) for l in open(spec_file) if l.strip()][0]
+    got = [json.loads(l) for l in open(tp_file) if l.strip()][0]
+    assert got["turns"] == ref["turns"]

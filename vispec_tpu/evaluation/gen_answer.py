@@ -80,6 +80,12 @@ def main():
                    help="multi-turn benches: continue each turn from the "
                         "previous turn's KV snapshot instead of re-prefilling "
                         "the whole conversation")
+    # multi-chip mesh (SCALING.md recipes): tp splits every matmul, --pp
+    # layer-stage-places targets too big for one chip, --sp shards long
+    # prompt prefills by position
+    p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--pp", type=int, default=1)
+    p.add_argument("--sp", type=int, default=1)
     args = p.parse_args()
     if args.video_max_pixels is None:
         args.video_max_pixels = (360 * 420 if args.bench in
@@ -105,6 +111,16 @@ def main():
         tokenizer = AutoTokenizer.from_pretrained(args.model)
         processor = tokenizer
 
+    mesh = None
+    if args.tp * args.pp * args.sp > 1:
+        import jax
+
+        from ..parallel.mesh import make_mesh
+
+        n = args.tp * args.pp * args.sp
+        mesh = make_mesh(dp=1, tp=args.tp, pp=args.pp, sp=args.sp,
+                         devices=jax.devices()[:n])
+
     model = SpecModel.from_pretrained(
         base_model_path=args.model,
         spec_model_path=args.spec_model or args.model,
@@ -118,6 +134,7 @@ def main():
         max_pixels=args.max_pixels,
         video_max_pixels=args.video_max_pixels,
         quantize_draft=args.quantize_draft or False,
+        mesh=mesh, pp=args.pp > 1, sp=args.sp > 1,
     )
 
     questions = list(

@@ -99,7 +99,9 @@ def main():
     if args.dp * args.tp * args.sp > 1:
         from ..parallel.mesh import make_mesh
 
-        mesh = make_mesh(dp=args.dp, tp=args.tp, sp=args.sp)
+        n = args.dp * args.tp * args.sp
+        mesh = make_mesh(dp=args.dp, tp=args.tp, sp=args.sp,
+                         devices=jax.devices()[:n])
         if args.bs % args.dp:
             p.error(f"--bs {args.bs} must be a multiple of --dp {args.dp}")
         if args.max_len % args.sp:
