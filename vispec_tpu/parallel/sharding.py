@@ -207,10 +207,18 @@ def kv_cache_specs(pp: bool = False):
 
 def shard_cache(mesh: Mesh, cache, pp: bool = False):
     """Device-put a KVCache with its heads sharded over the ``tp`` axis (and
-    layers over ``pp`` when requested)."""
+    layers over ``pp`` when requested).  An axis that doesn't divide the mesh
+    extent replicates instead (e.g. a 1-KV-head draft cache under tp=2, or a
+    1-layer draft under pp) — GSPMD reshards around it."""
+    l_ax = "pp" if pp and cache.k.shape[0] % mesh.shape.get("pp", 1) == 0 else None
+    h_ax = "tp" if cache.k.shape[1] % mesh.shape.get("tp", 1) == 0 else None
+    spec = P(l_ax, h_ax, None, None)
+    from ..ops.kv_cache import KVCache
+
+    specs = KVCache(k=spec, v=spec, length=P(), real_length=P())
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
-        cache, kv_cache_specs(pp=pp),
+        cache, specs,
     )
 
 

@@ -120,6 +120,9 @@ def main():
     p.add_argument("--num-shards", type=int, default=1)
     p.add_argument("--max-len", type=int, default=2048)
     p.add_argument("--max-new-tokens", type=int, default=1024)
+    # tp-shard the generating target over N chips (13B+ generators; the
+    # reference's answer was device_map="auto", allocation_*.py GPU groups)
+    p.add_argument("--tp", type=int, default=1)
     args = p.parse_args()
     _enable_compile_cache()
 
@@ -131,10 +134,18 @@ def main():
     from ..spec.spec_model import SpecModel, _bucket
     from .data_gen import generate_sample, generate_vlm_sample, save_sample
 
+    mesh = None
+    if args.tp > 1:
+        import jax
+
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(dp=1, tp=args.tp, devices=jax.devices()[: args.tp])
+
     max_len = _bucket(args.max_len + args.max_new_tokens + 128)
     # target-only load: full arch dispatch incl. the vision tower, no draft
     model = SpecModel.from_pretrained(
-        args.basepath, None, max_len=max_len, dtype=jnp.bfloat16
+        args.basepath, None, max_len=max_len, dtype=jnp.bfloat16, mesh=mesh
     )
     tokenizer = AutoTokenizer.from_pretrained(args.basepath, use_fast=True)
 
