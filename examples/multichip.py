@@ -26,11 +26,13 @@ sys.path.insert(0, __file__.rsplit("/examples", 1)[0])
 
 import jax
 
-if os.environ.get("JAX_PLATFORMS", "") != "cpu":
-    try:  # demo default: virtual CPU devices (the axon site hook pins TPU)
-        jax.config.update("jax_platforms", "cpu")
-    except Exception:
-        pass
+try:  # demo default: virtual CPU devices.  Unconditional: site hooks that
+    # import jax at interpreter startup (axon) ignore env vars set later,
+    # so JAX_PLATFORMS=cpu in the environment is NOT enough — only the
+    # live config update moves the backend.
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
 
 import jax.numpy as jnp
 import numpy as np

@@ -420,3 +420,66 @@ def test_tp2_quantized_draft_matches_single_device(mode):
     n = min(len(ref), len(out))
     assert n >= 8
     np.testing.assert_array_equal(out[:n], ref[:n])
+
+
+def test_shard_over_lazy_caches_and_embed_alias():
+    """shard_over must NOT materialize the lazy single-request scratch caches
+    (an engine/serving-only 7B model depends on them never existing — the
+    idle pair is the fit/OOM margin), and must keep the draft's embed alias
+    pointing at the SHARDED target embed rather than pinning the pre-shard
+    replicated copy."""
+    from vispec_tpu.spec.spec_model import SpecModel
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+    tparams = llama.init_params(TCFG, k1, jnp.float32)
+    dparams = draft_mod.init_params(DCFG, k2, jnp.float32)
+    dparams["embed"] = tparams["embed"]
+    model = SpecModel(TCFG, DCFG, SPEC, tparams, dparams, max_len=512,
+                      dtype=jnp.float32, eos_token_id=0)
+    assert model._target_cache is None and model._draft_cache is None
+
+    mesh = make_mesh(dp=1, tp=2, devices=jax.devices()[:2])
+    model.shard_over(mesh)
+    # still lazy after sharding
+    assert model._target_cache is None and model._draft_cache is None
+    # one shared (sharded) embed buffer, not two copies / a stale full one
+    assert model.dparams["embed"] is model.tparams["embed"]
+    # first touch materializes WITH the mesh sharding applied
+    cache = model.target_cache
+    assert len(cache.k.sharding.device_set) == 2
+    out = model.specgenerate(list(range(30, 60)), max_new_tokens=8)
+    assert out.new_tokens >= 4
+
+
+def test_mesh_specs_cover_text_only_draft():
+    """The trainer's mesh path shards via quantized_draft_specs, which walks
+    the ACTUAL params pytree — a vision=False (EAGLE/text-only) draft with no
+    adaptor/img_fc keys must pair cleanly (the static draft_param_specs dict
+    would raise a tree-structure mismatch)."""
+    import dataclasses
+
+    from vispec_tpu.parallel.sharding import quantized_draft_specs
+
+    cfg = dataclasses.replace(DCFG, vision=False)
+    dparams = draft_mod.init_params(cfg, jax.random.PRNGKey(3), jnp.float32)
+    assert "adaptor" not in dparams and "img_fc_w" not in dparams
+    mesh = make_mesh(dp=1, tp=2, devices=jax.devices()[:2])
+    sharded = apply_specs(mesh, dparams, quantized_draft_specs(cfg, dparams))
+    assert jax.tree.structure(sharded) == jax.tree.structure(dparams)
+
+
+def test_shard_cache_warns_on_multihead_nondividing():
+    """A multi-head cache whose head count doesn't divide tp replicates (so
+    execution stays correct) but must WARN — silent full replication of a
+    target cache is a misconfiguration; the 1-head draft cache stays quiet."""
+    import warnings
+
+    mesh = make_mesh(dp=1, tp=2, devices=jax.devices()[:2])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        shard_cache(mesh, kv.init_cache(2, 3, 256, 16, jnp.float32))
+    assert any("does not divide tp" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        shard_cache(mesh, kv.init_cache(1, 1, 256, 16, jnp.float32))
+    assert not w

@@ -186,20 +186,21 @@ def mixtral_param_specs_pp(cfg) -> dict:
     return specs
 
 
-def kv_cache_specs(pp: bool = False):
+def kv_cache_specs(pp: bool = False, h_ax="tp"):
     """PartitionSpecs for ops/kv_cache.KVCache: KV heads split over ``tp`` —
     attention activations are already head-sharded under llama_param_specs
     (wq/wk/wv column-parallel), so the cache rows land on the same shard with
     no resharding; lengths replicate.  With ``pp=True`` the leading layer axis
     additionally splits over the ``pp`` stages, mirroring the reference's
     per-device KV buffer groups (kv_cache.py:91-127): each stage holds exactly
-    its own layers' cache."""
+    its own layers' cache.  ``h_ax=None`` replicates the head axis (used by
+    shard_cache when the head count doesn't divide tp)."""
     from ..ops.kv_cache import KVCache
 
     l_ax = "pp" if pp else None
     return KVCache(
-        k=P(l_ax, "tp", None, None),
-        v=P(l_ax, "tp", None, None),
+        k=P(l_ax, h_ax, None, None),
+        v=P(l_ax, h_ax, None, None),
         length=P(),
         real_length=P(),
     )
@@ -209,13 +210,20 @@ def shard_cache(mesh: Mesh, cache, pp: bool = False):
     """Device-put a KVCache with its heads sharded over the ``tp`` axis (and
     layers over ``pp`` when requested).  An axis that doesn't divide the mesh
     extent replicates instead (e.g. a 1-KV-head draft cache under tp=2, or a
-    1-layer draft under pp) — GSPMD reshards around it."""
-    l_ax = "pp" if pp and cache.k.shape[0] % mesh.shape.get("pp", 1) == 0 else None
-    h_ax = "tp" if cache.k.shape[1] % mesh.shape.get("tp", 1) == 0 else None
-    spec = P(l_ax, h_ax, None, None)
-    from ..ops.kv_cache import KVCache
+    1-layer draft under pp) — GSPMD reshards around it.  Replicating a
+    MULTI-head cache is almost always a misconfiguration (every chip holds
+    the full multi-GB buffer), so that case warns."""
+    tp = mesh.shape.get("tp", 1)
+    pp_ok = pp and cache.k.shape[0] % mesh.shape.get("pp", 1) == 0
+    tp_ok = cache.k.shape[1] % tp == 0
+    if not tp_ok and cache.k.shape[1] > 1:
+        import warnings
 
-    specs = KVCache(k=spec, v=spec, length=P(), real_length=P())
+        warnings.warn(
+            f"KV cache with {cache.k.shape[1]} heads does not divide tp={tp}; "
+            f"replicating the full cache on every chip (pick tp dividing the "
+            f"KV head count to shard it)", stacklevel=2)
+    specs = kv_cache_specs(pp=pp_ok, h_ax="tp" if tp_ok else None)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
         cache, specs,

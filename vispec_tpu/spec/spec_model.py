@@ -167,6 +167,11 @@ class SpecModel:
                 self.tcfg.num_hidden_layers, self.tcfg.num_key_value_heads,
                 self.max_len, self.tcfg.head_dim, self.dtype,
             )
+            if self._mesh is not None:  # shard_over() ran before first touch
+                from ..parallel.sharding import shard_cache
+
+                self._target_cache = shard_cache(
+                    self._mesh, self._target_cache, pp=self._pp)
         return self._target_cache
 
     @target_cache.setter
@@ -180,6 +185,10 @@ class SpecModel:
                 self.dcfg.num_hidden_layers, self.dcfg.num_key_value_heads,
                 self.max_len, self.dcfg.head_dim, self.dtype,
             )
+            if self._mesh is not None:
+                from ..parallel.sharding import shard_cache
+
+                self._draft_cache = shard_cache(self._mesh, self._draft_cache)
         return self._draft_cache
 
     @draft_cache.setter
@@ -254,13 +263,27 @@ class SpecModel:
         else:
             tspecs = (llama_param_specs_pp(self.tcfg) if pp
                       else llama_param_specs(self.tcfg))
+        # a draft that omits its own embed aliases the target's (one buffer);
+        # re-point at the SHARDED target embed so shard_over keeps the alias
+        # instead of pinning the pre-shard replicated copy (or device_putting
+        # the same source twice — device_put with an identical sharding is a
+        # no-op, so the second apply_specs below reuses the buffer)
+        embed_aliased = self.dparams.get("embed") is self.tparams.get("embed")
         self.tparams = apply_specs(mesh, self.tparams, tspecs)
+        if embed_aliased:
+            self.dparams = dict(self.dparams)
+            self.dparams["embed"] = self.tparams["embed"]
         if self.dparams.get("layer"):
             self.dparams = apply_specs(
                 mesh, self.dparams,
                 quantized_draft_specs(self.dcfg, self.dparams))
-        self.target_cache = shard_cache(mesh, self.target_cache, pp=pp)
-        self.draft_cache = shard_cache(mesh, self.draft_cache)
+        # shard only MATERIALIZED scratch caches: an engine/serving-only model
+        # must never allocate them (the lazy getters apply self._mesh on
+        # first touch) — at 7B the idle pair is the fit/OOM margin
+        if self._target_cache is not None:
+            self._target_cache = shard_cache(mesh, self._target_cache, pp=pp)
+        if self._draft_cache is not None:
+            self._draft_cache = shard_cache(mesh, self._draft_cache)
         self._mesh, self._sp, self._pp = mesh, sp, pp
 
     # ------------------------------------------------------------------

@@ -66,7 +66,7 @@ def main():
     p.add_argument("--num-epochs", type=int, default=20)
     p.add_argument("--begin-epoch", type=int, default=0)
     # mesh axes (multi-chip GSPMD step — the accelerate/DDP replacement);
-    # --bs must be a multiple of dp*sp
+    # --bs must be a multiple of dp, --max-len a multiple of sp
     p.add_argument("--dp", type=int, default=1)
     p.add_argument("--tp", type=int, default=1)
     p.add_argument("--sp", type=int, default=1)

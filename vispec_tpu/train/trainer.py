@@ -356,10 +356,14 @@ def train(
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from ..parallel.sharding import (
-            apply_specs, draft_param_specs, shard_train_batch,
+            apply_specs, quantized_draft_specs, shard_train_batch,
         )
 
-        dparams = apply_specs(mesh, dparams, draft_param_specs(dcfg))
+        # quantized_draft_specs walks the ACTUAL params pytree, so a
+        # vision=False (EAGLE/text-only) draft — which has no adaptor/img_fc
+        # keys — pairs cleanly; draft_param_specs' static dict would mismatch
+        dparams = apply_specs(mesh, dparams,
+                              quantized_draft_specs(dcfg, dparams))
         head_w = jax.device_put(head_w, NamedSharding(mesh, P(None, "tp")))
         opt_state = jax.tree.map(
             lambda x: (jax.device_put(x, NamedSharding(mesh, P()))
