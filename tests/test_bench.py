@@ -1,0 +1,36 @@
+"""Smoke-test the bench harness (the driver's scoring path) on a tiny model.
+
+bench.run_bench is otherwise only exercised on the real chip; a refactor that
+breaks a quant mode, the T=1 legs, or the result-field contract would
+otherwise surface as a silent 0.0 headline at round end.
+"""
+
+import json
+import subprocess
+import sys
+
+import bench
+
+
+def test_run_bench_tiny_contract(monkeypatch):
+    monkeypatch.setattr(bench, "N_TOKENS", 8)
+    monkeypatch.setattr(bench, "REPEATS", 1)
+    cfg = dict(num_hidden_layers=2, hidden_size=64, intermediate_size=128,
+               num_attention_heads=4, num_key_value_heads=4, vocab_size=256,
+               max_len=512, label="tiny")
+    res = bench.run_bench(cfg)
+    for key in ("t_ar_ms", "t_round_ms", "ratio", "speedup_at_ref_tau",
+                "ratio_int8", "ratio_int4", "ratio_mixed", "ratio_auto",
+                "speedup_at_ref_tau_int8", "auto_choices"):
+        assert key in res, key
+        if key.startswith(("t_", "ratio", "speedup")):
+            assert res[key] > 0, (key, res[key])
+    # the T=1 legs are non-fatal but must have RUN here (no chip flakiness
+    # on CPU): both ratios present and positive, no error recorded
+    assert "T1_error" not in res, res.get("T1_error")
+    assert res["ratio_T1"] > 0 and res["ratio_T1_int8"] > 0
+    assert res["speedup_at_ref_tau_T1"] > 0
+    assert set(res["auto_choices"]) == {
+        "wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down", "rank_head"}
+    assert all(v in ("bf16", "int8", "int4")
+               for v in res["auto_choices"].values())
