@@ -177,3 +177,70 @@ def test_export_roundtrip():
         np.asarray(back["adaptor"]["q"]), np.asarray(dparams["adaptor"]["q"]),
         rtol=1e-6,
     )
+
+
+def _fabricate_head_ckpt(tmp_path, tparams):
+    """Minimal target checkpoint dir: just lm_head.weight (HF [V, d] layout),
+    enough for main_mtp.load_head_only."""
+    from safetensors.numpy import save_file
+
+    base = str(tmp_path / "target_ckpt")
+    os.makedirs(base, exist_ok=True)
+    save_file({"lm_head.weight": np.ascontiguousarray(
+        np.asarray(tparams["lm_head"]).T)},
+        os.path.join(base, "model.safetensors"))
+    return base
+
+
+def test_stage1_cli_under_mesh(tmp_path, monkeypatch):
+    """The stage-1 CLI's --dp/--sp mesh wiring end-to-end in-process (the
+    reference trains stage 1 with the same accelerate/DDP launch as stage 2,
+    README.md:85-87)."""
+    import sys
+
+    from vispec_tpu.train import main as main_mod
+
+    tparams = gen_dataset(tmp_path)
+    base = _fabricate_head_ckpt(tmp_path, tparams)
+    dcfg_json = str(tmp_path / "dcfg.json")
+    with open(dcfg_json, "w") as f:
+        json.dump(dict(
+            vocab_size=96, hidden_size=32, intermediate_size=64,
+            num_attention_heads=4, num_key_value_heads=2,
+            num_hidden_layers=1, max_position_embeddings=256), f)
+    cpdir = str(tmp_path / "cp_stage1")
+    monkeypatch.setattr(sys, "argv", [
+        "main", "--basepath", base, "--configpath", dcfg_json,
+        "--tmpdir", str(tmp_path), "--cpdir", cpdir,
+        "--bs", "2", "--max-len", "64", "--num-epochs", "1",
+        "--dp", "2", "--sp", "2",
+    ])
+    main_mod.main()
+    assert trainer.latest_state(cpdir) is not None
+    with open(os.path.join(cpdir, "metrics.jsonl")) as f:
+        recs = [json.loads(l) for l in f if l.strip()]
+    losses = [r["loss"] for r in recs if "loss" in r]
+    assert losses and np.isfinite(losses).all()
+
+
+def test_medusa_cli_under_mesh(tmp_path, monkeypatch):
+    """The medusa CLI's --dp batch-sharded step: heads replicate, the batch
+    shards, the checkpoint lands and is finite."""
+    import sys
+
+    from vispec_tpu.train import main_medusa as medusa_cli
+
+    tparams = gen_dataset(tmp_path)
+    base = _fabricate_head_ckpt(tmp_path, tparams)
+    cpdir = str(tmp_path / "cp_medusa")
+    monkeypatch.setattr(sys, "argv", [
+        "main_medusa", "--basepath", base,
+        "--tmpdir", str(tmp_path), "--cpdir", cpdir,
+        "--bs", "2", "--max-len", "64", "--num-epochs", "1", "--dp", "2",
+    ])
+    medusa_cli.main()
+    latest = trainer.latest_state(cpdir)
+    assert latest is not None
+    _, params, _ = trainer.load_state(latest)
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree.leaves(params))

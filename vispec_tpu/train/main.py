@@ -25,8 +25,18 @@ def main():
     p.add_argument("--max-len", type=int, default=2048)
     p.add_argument("--num-q", type=int, default=2)
     p.add_argument("--num-epochs", type=int, default=20)
+    # mesh axes — same GSPMD step as main_mtp (the reference trains stage 1
+    # with the identical accelerate/DDP launch, README.md:85-87)
+    p.add_argument("--dp", type=int, default=1)
+    p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--sp", type=int, default=1)
     args = p.parse_args()
 
+    from .main_mtp import _enable_compile_cache
+
+    _enable_compile_cache()
+
+    import jax
     import jax.numpy as jnp
 
     from ..configs import DraftConfig
@@ -39,7 +49,19 @@ def main():
         lr=args.lr, bs=args.bs, num_epochs=args.num_epochs,
         max_len=args.max_len, mtp_steps=0,
     )
-    train(args.tmpdir, args.cpdir, dcfg, head_w, cfg, stage1=True)
+    mesh = None
+    if args.dp * args.tp * args.sp > 1:
+        from ..parallel.mesh import make_mesh
+
+        n = args.dp * args.tp * args.sp
+        mesh = make_mesh(dp=args.dp, tp=args.tp, sp=args.sp,
+                         devices=jax.devices()[:n])
+        if args.bs % args.dp:
+            p.error(f"--bs {args.bs} must be a multiple of --dp {args.dp}")
+        if args.max_len % args.sp:
+            p.error(f"--max-len {args.max_len} must be a multiple of "
+                    f"--sp {args.sp}")
+    train(args.tmpdir, args.cpdir, dcfg, head_w, cfg, stage1=True, mesh=mesh)
 
 
 if __name__ == "__main__":

@@ -19,6 +19,10 @@ def main():
     p.add_argument("--cpdir", type=str, default="0")
     p.add_argument("--max-len", type=int, default=2048)
     p.add_argument("--num-epochs", type=int, default=20)
+    # data/sequence parallel GSPMD axes (medusa heads are tiny — they
+    # replicate; only the batch shards, like the reference's DDP launch)
+    p.add_argument("--dp", type=int, default=1)
+    p.add_argument("--sp", type=int, default=1)
     args = p.parse_args()
 
     import jax
@@ -50,9 +54,34 @@ def main():
         mparams = medusa_mod.init_params(d, jax.random.PRNGKey(0), jnp.float32)
         opt_state = optimizer.init(mparams)
 
+    shard_batch = lambda b: b  # noqa: E731 — identity when unsharded
+    if args.dp * args.sp > 1:
+        import functools
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import make_mesh
+        from ..parallel.sharding import shard_train_batch
+
+        if args.bs % args.dp:
+            p.error(f"--bs {args.bs} must be a multiple of --dp {args.dp}")
+        if args.max_len % args.sp:
+            p.error(f"--max-len {args.max_len} must be a multiple of "
+                    f"--sp {args.sp}")
+        mesh = make_mesh(dp=args.dp, sp=args.sp,
+                         devices=jax.devices()[:args.dp * args.sp])
+        rep = NamedSharding(mesh, P())
+        put_rep = lambda x: (jax.device_put(x, rep)  # noqa: E731
+                             if hasattr(x, "shape") else x)
+        mparams = jax.tree.map(put_rep, mparams)
+        opt_state = jax.tree.map(put_rep, opt_state)
+        head_w = jax.device_put(head_w, rep)
+        shard_batch = functools.partial(shard_train_batch, mesh)
+
     step = 0
     for epoch in range(begin, cfg.num_epochs):
         for batch, _ in data_iterator(args.tmpdir, cfg, dcfg, seed=epoch):
+            batch = shard_batch(batch)
             mparams, opt_state, metrics = train_step_medusa(
                 mparams, opt_state, head_w, batch, optimizer,
             )
