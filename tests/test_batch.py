@@ -163,3 +163,30 @@ def test_specgenerate_batch_vision(tmp_path):
         assert m >= 5
         assert res.sequences[: len(req["input_ids"]) + m].tolist() == \
             ref.sequences[: len(req["input_ids"]) + m].tolist()
+
+
+def test_batched_topk1_sampling_equals_greedy():
+    """T>0 with top_k=1 is mathematically greedy (the warper one-hots the
+    target distribution, so rejection acceptance reduces to argmax matching):
+    the batched SAMPLING graph must produce the greedy outputs exactly.
+    Covers the batched T>0 path end-to-end (reference T=1 benchmark rows run
+    through the single-request equivalent of this graph)."""
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    tparams = llama.init_params(TCFG, k1, jnp.float32)
+    dparams = draft_mod.init_params(DCFG, k2, jnp.float32)
+    dparams["embed"] = tparams["embed"]
+
+    prompts = [list(range(20, 50)), list(range(60, 85))]
+    greedy = batch_mod.generate_batch(
+        tparams, dparams, TCFG, DCFG, SPEC, prompts,
+        max_new_tokens=12, max_len=256, eos_id=99999, dtype=jnp.float32,
+    )
+    sampled = batch_mod.generate_batch(
+        tparams, dparams, TCFG, DCFG, SPEC, prompts,
+        max_new_tokens=12, max_len=256, eos_id=99999, dtype=jnp.float32,
+        temperature=0.7, top_k=1, seed=3,
+    )
+    for g, s in zip(greedy, sampled):
+        n = min(len(g), len(s))
+        assert n >= 8
+        np.testing.assert_array_equal(s[:n], g[:n])

@@ -272,3 +272,21 @@ def test_engine_with_tp_sharded_model():
         n = min(len(r), len(o))
         assert n >= 12
         assert list(o[:n]) == list(r[:n])
+
+
+def test_engine_topk1_sampling_equals_greedy():
+    """The engine's T>0 sampling graph: temperature with top_k=1 one-hots the
+    target distribution, so every output must equal the greedy engine run."""
+    model = _model()
+    rng = np.random.default_rng(11)
+    prompts = [rng.integers(5, 120, rng.integers(8, 30)).tolist()
+               for _ in range(3)]
+    greedy = ServingEngine(model, batch_size=2, max_new_tokens=12,
+                           chunk_rounds=4).run_all(prompts)
+    sampled = ServingEngine(model, batch_size=2, max_new_tokens=12,
+                            temperature=0.7, top_k=1, seed=5,
+                            chunk_rounds=4).run_all(prompts)
+    for g, s in zip(greedy, sampled):
+        n = min(len(g), len(s))
+        assert n >= 6
+        np.testing.assert_array_equal(np.asarray(s)[:n], np.asarray(g)[:n])

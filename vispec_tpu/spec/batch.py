@@ -301,6 +301,8 @@ def generate_batch(
     max_len: int = 1024,
     eos_id: int = 2,
     temperature: float = 0.0,
+    top_p: float = 0.0,
+    top_k: int = 0,
     dtype=jnp.bfloat16,
     seed: int = 0,
     chunk_rounds: int = 8,
@@ -309,7 +311,7 @@ def generate_batch(
     """Decode a batch of text prompts to completion; returns generated ids per
     request.  (Vision requests go through SpecModel.specgenerate_batch, which
     prepares vision-merged request dicts.)"""
-    sampling = spec_loop.SamplingParams(temperature=temperature)
+    sampling = spec_loop.SamplingParams(temperature, top_p, int(top_k))
     slack = max(spec.total_tokens, spec.depth * spec.top_k + spec.depth + 2) + 10
     max_out = max_new_tokens + 2 * (spec.depth + 2)
     requests = text_requests(tparams, dcfg, prompts, max_len, slack)
