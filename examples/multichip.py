@@ -19,7 +19,6 @@ With real checkpoints replace the random weights with
 SpecModel.from_pretrained(..., mesh=make_mesh(tp=2), pp=..., sp=...).
 """
 
-import os
 import sys
 
 sys.path.insert(0, __file__.rsplit("/examples", 1)[0])

@@ -483,3 +483,36 @@ def test_shard_cache_warns_on_multihead_nondividing():
         warnings.simplefilter("always")
         shard_cache(mesh, kv.init_cache(1, 1, 256, 16, jnp.float32))
     assert not w
+
+
+def test_mesh_from_args_contract():
+    """The one shared CLI mesh helper: None when all axes are 1, validation
+    of the dp/sp-shardable quantities, and a real mesh otherwise."""
+    import pytest
+
+    from vispec_tpu.parallel.mesh import mesh_from_args
+
+    assert mesh_from_args() is None
+    mesh = mesh_from_args(tp=2, bs=4, max_len=64)
+    assert mesh is not None and mesh.shape["tp"] == 2
+    with pytest.raises(ValueError, match="--dp"):
+        mesh_from_args(dp=2, bs=3)
+    with pytest.raises(ValueError, match="--sp"):
+        mesh_from_args(sp=2, max_len=65)
+
+
+def test_shard_cache_warns_on_multilayer_nondividing_pp():
+    """pp replication of a multi-layer cache is the same every-chip-holds-
+    everything misconfiguration as the tp case and must warn too; the 1-layer
+    draft cache stays quiet."""
+    import warnings
+
+    mesh = make_mesh(dp=1, pp=2, devices=jax.devices()[:2])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        shard_cache(mesh, kv.init_cache(3, 2, 64, 16, jnp.float32), pp=True)
+    assert any("does not divide pp" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        shard_cache(mesh, kv.init_cache(1, 2, 64, 16, jnp.float32), pp=True)
+    assert not w

@@ -111,15 +111,9 @@ def main():
         tokenizer = AutoTokenizer.from_pretrained(args.model)
         processor = tokenizer
 
-    mesh = None
-    if args.tp * args.pp * args.sp > 1:
-        import jax
+    from ..parallel.mesh import mesh_from_args
 
-        from ..parallel.mesh import make_mesh
-
-        n = args.tp * args.pp * args.sp
-        mesh = make_mesh(dp=1, tp=args.tp, pp=args.pp, sp=args.sp,
-                         devices=jax.devices()[:n])
+    mesh = mesh_from_args(tp=args.tp, pp=args.pp, sp=args.sp)
 
     model = SpecModel.from_pretrained(
         base_model_path=args.model,

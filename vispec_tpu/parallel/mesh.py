@@ -45,3 +45,26 @@ def make_mesh(
 
 def shard(mesh: Mesh, spec: P) -> NamedSharding:
     return NamedSharding(mesh, spec)
+
+
+def mesh_from_args(
+    dp: int = 1,
+    tp: int = 1,
+    sp: int = 1,
+    pp: int = 1,
+    bs: Optional[int] = None,
+    max_len: Optional[int] = None,
+) -> Optional[Mesh]:
+    """Build the mesh a CLI's --dp/--tp/--sp/--pp flags describe, or None when
+    every axis is 1 (single-device: no mesh machinery engaged).  Validates the
+    shardable quantities the flags act on: ``bs`` must divide over dp and
+    ``max_len`` over sp.  One helper for every CLI so the mesh construction
+    and its checks can't drift between entry points."""
+    n = dp * tp * sp * pp
+    if n <= 1:
+        return None
+    if bs is not None and bs % dp:
+        raise ValueError(f"--bs {bs} must be a multiple of --dp {dp}")
+    if max_len is not None and max_len % sp:
+        raise ValueError(f"--max-len {max_len} must be a multiple of --sp {sp}")
+    return make_mesh(dp=dp, tp=tp, sp=sp, pp=pp, devices=jax.devices()[:n])

@@ -214,7 +214,8 @@ def shard_cache(mesh: Mesh, cache, pp: bool = False):
     MULTI-head cache is almost always a misconfiguration (every chip holds
     the full multi-GB buffer), so that case warns."""
     tp = mesh.shape.get("tp", 1)
-    pp_ok = pp and cache.k.shape[0] % mesh.shape.get("pp", 1) == 0
+    pp_n = mesh.shape.get("pp", 1)
+    pp_ok = pp and cache.k.shape[0] % pp_n == 0
     tp_ok = cache.k.shape[1] % tp == 0
     if not tp_ok and cache.k.shape[1] > 1:
         import warnings
@@ -223,6 +224,13 @@ def shard_cache(mesh: Mesh, cache, pp: bool = False):
             f"KV cache with {cache.k.shape[1]} heads does not divide tp={tp}; "
             f"replicating the full cache on every chip (pick tp dividing the "
             f"KV head count to shard it)", stacklevel=2)
+    if pp and not pp_ok and cache.k.shape[0] > 1:
+        import warnings
+
+        warnings.warn(
+            f"KV cache with {cache.k.shape[0]} layers does not divide "
+            f"pp={pp_n}; every stage will hold the full layer axis (pick pp "
+            f"dividing the layer count to split it)", stacklevel=2)
     specs = kv_cache_specs(pp=pp_ok, h_ax="tp" if tp_ok else None)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),

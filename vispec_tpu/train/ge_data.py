@@ -134,13 +134,9 @@ def main():
     from ..spec.spec_model import SpecModel, _bucket
     from .data_gen import generate_sample, generate_vlm_sample, save_sample
 
-    mesh = None
-    if args.tp > 1:
-        import jax
+    from ..parallel.mesh import mesh_from_args
 
-        from ..parallel.mesh import make_mesh
-
-        mesh = make_mesh(dp=1, tp=args.tp, devices=jax.devices()[: args.tp])
+    mesh = mesh_from_args(tp=args.tp)
 
     max_len = _bucket(args.max_len + args.max_new_tokens + 128)
     # target-only load: full arch dispatch incl. the vision tower, no draft

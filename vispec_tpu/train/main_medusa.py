@@ -54,22 +54,21 @@ def main():
         mparams = medusa_mod.init_params(d, jax.random.PRNGKey(0), jnp.float32)
         opt_state = optimizer.init(mparams)
 
+    from ..parallel.mesh import mesh_from_args
+
+    try:
+        mesh = mesh_from_args(dp=args.dp, sp=args.sp,
+                              bs=args.bs, max_len=args.max_len)
+    except ValueError as e:
+        p.error(str(e))
     shard_batch = lambda b: b  # noqa: E731 — identity when unsharded
-    if args.dp * args.sp > 1:
+    if mesh is not None:
         import functools
 
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from ..parallel.mesh import make_mesh
         from ..parallel.sharding import shard_train_batch
 
-        if args.bs % args.dp:
-            p.error(f"--bs {args.bs} must be a multiple of --dp {args.dp}")
-        if args.max_len % args.sp:
-            p.error(f"--max-len {args.max_len} must be a multiple of "
-                    f"--sp {args.sp}")
-        mesh = make_mesh(dp=args.dp, sp=args.sp,
-                         devices=jax.devices()[:args.dp * args.sp])
         rep = NamedSharding(mesh, P())
         put_rep = lambda x: (jax.device_put(x, rep)  # noqa: E731
                              if hasattr(x, "shape") else x)

@@ -95,18 +95,13 @@ def main():
         lr=args.lr, bs=args.bs, num_epochs=args.num_epochs,
         max_len=args.max_len, mtp_steps=args.mtp_steps,
     )
-    mesh = None
-    if args.dp * args.tp * args.sp > 1:
-        from ..parallel.mesh import make_mesh
+    from ..parallel.mesh import mesh_from_args
 
-        n = args.dp * args.tp * args.sp
-        mesh = make_mesh(dp=args.dp, tp=args.tp, sp=args.sp,
-                         devices=jax.devices()[:n])
-        if args.bs % args.dp:
-            p.error(f"--bs {args.bs} must be a multiple of --dp {args.dp}")
-        if args.max_len % args.sp:
-            p.error(f"--max-len {args.max_len} must be a multiple of "
-                    f"--sp {args.sp}")
+    try:
+        mesh = mesh_from_args(dp=args.dp, tp=args.tp, sp=args.sp,
+                              bs=args.bs, max_len=args.max_len)
+    except ValueError as e:
+        p.error(str(e))
     train(args.tmpdir, args.cpdir, dcfg, head_w, cfg, dparams=dparams,
           mesh=mesh)
 

@@ -365,10 +365,26 @@ def train(
         dparams = apply_specs(mesh, dparams,
                               quantized_draft_specs(dcfg, dparams))
         head_w = jax.device_put(head_w, NamedSharding(mesh, P(None, "tp")))
+        # Adam moments mirror the param pytree — give each leaf its param's
+        # sharding (zeros_like on the sharded params inherits it) rather than
+        # committing everything to replicated P(): a P() commitment both holds
+        # full mu/nu on every chip and mismatches the tp-sharded moments the
+        # compiled step emits, forcing a second full compile at step 2.
+        fresh = optimizer.init(dparams)
+        rep = NamedSharding(mesh, P())
+
+        def _moment_sharding(init):
+            # scalar leaves (count) come out of init single-device committed
+            # — mixing those with mesh-committed params is an error; they
+            # replicate over the mesh instead
+            s = getattr(init, "sharding", None)
+            return s if isinstance(s, NamedSharding) else rep
+
         opt_state = jax.tree.map(
-            lambda x: (jax.device_put(x, NamedSharding(mesh, P()))
-                       if hasattr(x, "shape") else x),
-            opt_state,
+            lambda loaded, init: (
+                jax.device_put(jnp.asarray(loaded), _moment_sharding(init))
+                if hasattr(init, "shape") else loaded),
+            opt_state, fresh,
         )
         shard_batch = functools.partial(shard_train_batch, mesh)
 
