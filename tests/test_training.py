@@ -244,3 +244,63 @@ def test_medusa_cli_under_mesh(tmp_path, monkeypatch):
     _, params, _ = trainer.load_state(latest)
     assert all(np.isfinite(np.asarray(x)).all()
                for x in jax.tree.leaves(params))
+
+
+def test_orbax_checkpoint_roundtrip_and_resume(tmp_path):
+    """ckpt_backend='orbax': sharded-aware tensorstore saves (TPU-idiomatic —
+    no host gather of tp-sharded params).  Save -> auto-resume (NamedTuple
+    opt_state structure must survive via the template restore) -> the
+    warm-start loadpath's structureless params restore."""
+    tparams = gen_dataset(tmp_path)
+    head_w = tparams["lm_head"].astype(jnp.float32)
+    cfg = trainer.TrainConfig(
+        lr=2e-3, bs=2, num_epochs=1, max_len=64, mtp_steps=1,
+        warmup_steps=2, total_steps=1000, max_images=1, max_span_bucket=8,
+        ckpt_backend="orbax",
+    )
+    cpdir = str(tmp_path / "ckpt_orbax")
+    p1 = trainer.train(str(tmp_path), cpdir, DCFG, head_w, cfg)
+    latest = trainer.latest_state(cpdir)
+    assert latest is not None and latest.endswith("state_0.orbax")
+
+    # resume: epoch 1 must pick up from the orbax state (template restore)
+    cfg2 = trainer.TrainConfig(
+        lr=2e-3, bs=2, num_epochs=2, max_len=64, mtp_steps=1,
+        warmup_steps=2, total_steps=1000, max_images=1, max_span_bucket=8,
+        ckpt_backend="orbax",
+    )
+    p2 = trainer.train(str(tmp_path), cpdir, DCFG, head_w, cfg2)
+    assert trainer.latest_state(cpdir).endswith("state_1.orbax")
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(p2))
+    # resumed params moved on from the epoch-0 save
+    assert not np.allclose(np.asarray(p1["fc_w"]), np.asarray(p2["fc_w"]))
+
+    # the stage-2 --loadpath path: structureless params-only restore
+    import orbax.checkpoint as ocp
+
+    blob = ocp.PyTreeCheckpointer().restore(os.path.abspath(latest))
+    assert jax.tree.structure(blob["params"]) == jax.tree.structure(
+        jax.tree.map(np.asarray, p1))
+
+
+def test_orbax_save_state_sharded_params(tmp_path):
+    """save_state(backend='orbax') with tp-sharded params: each shard writes
+    without a host gather, and load_state restores the values."""
+    from vispec_tpu.parallel.mesh import make_mesh
+    from vispec_tpu.parallel.sharding import apply_specs, quantized_draft_specs
+    from vispec_tpu.train.step import make_optimizer
+
+    dparams = draft_mod.init_params(DCFG, jax.random.PRNGKey(5), jnp.float32)
+    mesh = make_mesh(dp=1, tp=2, devices=jax.devices()[:2])
+    dparams = apply_specs(mesh, dparams, quantized_draft_specs(DCFG, dparams))
+    opt = make_optimizer(1e-3, 2, 100, 0.5)
+    opt_state = opt.init(dparams)
+    path = trainer.save_state(str(tmp_path / "cp"), 7, dparams, opt_state,
+                              backend="orbax")
+    assert path.endswith("state_7.orbax")
+    epoch, params, restored_opt = trainer.load_state(
+        path, template={"params": dparams, "opt_state": opt_state})
+    assert epoch == 7
+    np.testing.assert_array_equal(
+        np.asarray(params["layer"]["wq"]), np.asarray(dparams["layer"]["wq"]))
+    assert jax.tree.structure(restored_opt) == jax.tree.structure(opt_state)

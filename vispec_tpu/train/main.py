@@ -25,6 +25,8 @@ def main():
     p.add_argument("--max-len", type=int, default=2048)
     p.add_argument("--num-q", type=int, default=2)
     p.add_argument("--num-epochs", type=int, default=20)
+    p.add_argument("--ckpt-backend", choices=["pickle", "orbax"],
+                   default="pickle")
     # mesh axes — same GSPMD step as main_mtp (the reference trains stage 1
     # with the identical accelerate/DDP launch, README.md:85-87)
     p.add_argument("--dp", type=int, default=1)
@@ -46,7 +48,7 @@ def main():
     head_w = load_head_only(args.basepath, jnp.float32)
     cfg = TrainConfig(
         lr=args.lr, bs=args.bs, num_epochs=args.num_epochs,
-        max_len=args.max_len, mtp_steps=0,
+        max_len=args.max_len, mtp_steps=0, ckpt_backend=args.ckpt_backend,
     )
     from ..parallel.mesh import mesh_from_args
 

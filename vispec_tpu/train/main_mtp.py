@@ -65,6 +65,9 @@ def main():
     p.add_argument("--mtp-steps", type=int, default=2)
     p.add_argument("--num-epochs", type=int, default=20)
     p.add_argument("--begin-epoch", type=int, default=0)
+    p.add_argument("--ckpt-backend", choices=["pickle", "orbax"],
+                   default="pickle", help="orbax = sharded-aware tensorstore "
+                   "saves (no host gather of tp-sharded params)")
     # mesh axes (multi-chip GSPMD step — the accelerate/DDP replacement);
     # --bs must be a multiple of dp, --max-len a multiple of sp
     p.add_argument("--dp", type=int, default=1)
@@ -84,16 +87,25 @@ def main():
 
     dparams = None
     if args.loadpath:
-        import pickle
+        if args.loadpath.endswith(".orbax"):
+            # stage-1 saved with --ckpt-backend orbax; params are a plain
+            # nested dict, so a structureless restore is safe here
+            import orbax.checkpoint as ocp
 
-        with open(args.loadpath, "rb") as f:
-            blob = pickle.load(f)
+            blob = ocp.PyTreeCheckpointer().restore(
+                os.path.abspath(args.loadpath))
+        else:
+            import pickle
+
+            with open(args.loadpath, "rb") as f:
+                blob = pickle.load(f)
         dparams = jax.tree.map(jnp.asarray, blob["params"])
         print(f"[main_mtp] warm-started from {args.loadpath}")
 
     cfg = TrainConfig(
         lr=args.lr, bs=args.bs, num_epochs=args.num_epochs,
         max_len=args.max_len, mtp_steps=args.mtp_steps,
+        ckpt_backend=args.ckpt_backend,
     )
     from ..parallel.mesh import mesh_from_args
 

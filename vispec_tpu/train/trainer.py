@@ -46,6 +46,9 @@ class TrainConfig:
     max_images: int = 4
     max_span_bucket: int = 64
     save_freq: int = 1  # epochs
+    ckpt_backend: str = "pickle"  # "pickle" (host-gathered blob, the
+    # reference's accelerator.save_state analog) or "orbax" (TPU-idiomatic:
+    # sharded-aware tensorstore save — no host gather of tp-sharded params)
 
 
 def prepare_example(
@@ -284,9 +287,22 @@ def _kacc_rollout(dparams, dcfg, head_w, h_pad, e_pad, plan, cache,
 # ---------------------------------------------------------------------------
 
 
-def save_state(cpdir: str, epoch: int, dparams: dict, opt_state) -> str:
+def save_state(cpdir: str, epoch: int, dparams: dict, opt_state,
+               backend: str = "pickle") -> str:
     os.makedirs(cpdir, exist_ok=True)
     path = os.path.join(cpdir, f"state_{epoch}")
+    if backend == "orbax":
+        # sharded-aware save: each chip writes its own shards to tensorstore,
+        # no host gather of tp-sharded params/moments (the pickle path's
+        # np.asarray would pull every shard through the host)
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(path + ".orbax")
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, {"params": dparams, "opt_state": opt_state},
+                   force=True)
+        ckptr.wait_until_finished()
+        return path
     with open(path + ".pkl", "wb") as f:
         pickle.dump(
             {
@@ -302,13 +318,30 @@ def save_state(cpdir: str, epoch: int, dparams: dict, opt_state) -> str:
 
 
 def latest_state(cpdir: str) -> Optional[str]:
-    states = glob.glob(os.path.join(cpdir, "state_*.pkl"))
+    states = glob.glob(os.path.join(cpdir, "state_*.pkl")) + glob.glob(
+        os.path.join(cpdir, "state_*.orbax"))
     if not states:
         return None
     return max(states, key=lambda p: int(re.search(r"state_(\d+)", p).group(1)))
 
 
-def load_state(path: str):
+def load_state(path: str, template=None):
+    """Load a checkpoint.  Orbax checkpoints need ``template`` — a concrete
+    {"params": ..., "opt_state": ...} pytree (e.g. fresh-initialized) whose
+    STRUCTURE the restore follows (optax NamedTuple states don't survive a
+    structureless restore); pickle ignores it."""
+    if path.endswith(".orbax"):
+        import orbax.checkpoint as ocp
+
+        if template is None:
+            raise ValueError("orbax restore needs a template pytree")
+        abstract = jax.tree.map(
+            lambda x: (jax.ShapeDtypeStruct(x.shape, x.dtype)
+                       if hasattr(x, "shape") else x), template)
+        restored = ocp.StandardCheckpointer().restore(
+            os.path.abspath(path), abstract)
+        epoch = int(re.search(r"state_(\d+)", path).group(1))
+        return epoch, restored["params"], restored["opt_state"]
     with open(path, "rb") as f:
         blob = pickle.load(f)
     return blob["epoch"], blob["params"], blob["opt_state"]
@@ -339,7 +372,12 @@ def train(
     begin_epoch = 0
     resume = latest_state(cpdir)
     if resume is not None:
-        begin_epoch, raw_params, raw_opt = load_state(resume)
+        template = None
+        if resume.endswith(".orbax"):  # structure donor for the restore
+            p0 = dparams if dparams is not None else draft_mod.init_params(
+                dcfg, jax.random.PRNGKey(0), jnp.float32)
+            template = {"params": p0, "opt_state": optimizer.init(p0)}
+        begin_epoch, raw_params, raw_opt = load_state(resume, template)
         begin_epoch += 1
         dparams = jax.tree.map(jnp.asarray, raw_params)
         opt_state = jax.tree.map(
@@ -435,5 +473,6 @@ def train(
                     {"epoch": epoch, "getkacc": accs}) + "\n")
                 print(f"[train] epoch {epoch} getkacc={accs}")
         if (epoch + 1) % cfg.save_freq == 0 or epoch == cfg.num_epochs - 1:
-            save_state(cpdir, epoch, dparams, opt_state)
+            save_state(cpdir, epoch, dparams, opt_state,
+                       backend=cfg.ckpt_backend)
     return dparams
