@@ -516,3 +516,45 @@ def test_shard_cache_warns_on_multilayer_nondividing_pp():
         warnings.simplefilter("always")
         shard_cache(mesh, kv.init_cache(1, 2, 64, 16, jnp.float32), pp=True)
     assert not w
+
+
+def _vision_isolated(fn):
+    from tests.test_vlm_ingestion import subprocess_isolated
+
+    return subprocess_isolated(fn)
+
+
+@_vision_isolated
+def test_tp2_vision_request_matches_single_device(tmp_path):
+    """A VISION request under tensor parallelism: the vision tower/projector
+    (vparams — untouched by shard_over, tiny next to the backbone) composes
+    with tp-sharded text weights and caches, token-identically to the
+    unsharded model.  Subprocess-isolated: fresh vmapped-vision compiles late
+    in a shared worker hit this jax build's XLA:CPU segfault (see
+    test_vlm_ingestion.subprocess_isolated)."""
+    from tests.test_vlm_ingestion import _image, _vision_prompt
+    from tests.vlm_fixtures import write_llava_ckpt, write_vision_draft_ckpt
+    from vispec_tpu.spec.spec_model import SpecModel
+
+    tdir, ddir = str(tmp_path / "t"), str(tmp_path / "d")
+    write_llava_ckpt(tdir, anyres=True)
+    write_vision_draft_ckpt(ddir)
+
+    ref_model = SpecModel.from_pretrained(
+        tdir, ddir, total_token=12, depth=3, top_k=4, max_len=512,
+        dtype=jnp.float32)
+    img = _image(40, 40)
+    ids, _ = _vision_prompt(ref_model, (40, 40))
+    ref = ref_model.specgenerate(ids, max_new_tokens=10, pixel_values=img,
+                                 image_size=(40, 40))
+
+    mesh = make_mesh(dp=1, tp=2, devices=jax.devices()[:2])
+    tp_model = SpecModel.from_pretrained(
+        tdir, ddir, total_token=12, depth=3, top_k=4, max_len=512,
+        dtype=jnp.float32, mesh=mesh)
+    out = tp_model.specgenerate(ids, max_new_tokens=10, pixel_values=img,
+                                image_size=(40, 40))
+    n = min(ref.new_tokens, out.new_tokens)
+    assert n >= 5
+    np.testing.assert_array_equal(
+        out.sequences[: len(ids) + n], ref.sequences[: len(ids) + n])

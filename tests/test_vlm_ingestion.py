@@ -41,11 +41,14 @@ def subprocess_isolated(fn):
         if os.environ.get("VISPEC_SUBTEST") == "1":
             return fn(*args, **kwargs)
         env = {**os.environ, "VISPEC_SUBTEST": "1"}
+        # resolve the DEFINING module's file so the decorator works for
+        # vision-compiling tests in other files too
+        mod_file = os.path.abspath(sys.modules[fn.__module__].__file__)
         r = subprocess.run(
             [sys.executable, "-m", "pytest", "-q", "-x",
-             f"{os.path.abspath(__file__)}::{fn.__name__}"],
+             f"{mod_file}::{fn.__name__}"],
             env=env, capture_output=True, text=True, timeout=1200,
-            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            cwd=os.path.dirname(os.path.dirname(mod_file)),
         )
         assert r.returncode == 0, (r.stdout[-3000:], r.stderr[-1000:])
 
