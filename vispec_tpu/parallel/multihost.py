@@ -39,7 +39,7 @@ def init_distributed(
         )
     try:
         jax.distributed.initialize(**kwargs)
-    except Exception as e:  # single-host runs
+    except Exception:  # single-host runs
         if coordinator_address:
             raise
     return jax.process_index()
