@@ -114,7 +114,10 @@ def _time_spec(model, prompt, temperature=0.0):
     return t_round
 
 
-def run_bench(cfg_d):
+def run_bench(cfg_d, on_t0=None):
+    """Measure every mode; ``on_t0(partial_results)`` fires after all T=0
+    measurements and before the T=1 legs, so a caller can emit the headline
+    even if the T=1 compiles blow the wall clock."""
     model = build(cfg_d)
     prompt = np.random.default_rng(0).integers(
         10, cfg_d["vocab_size"] - 10, 120).tolist()
@@ -165,28 +168,6 @@ def run_bench(cfg_d):
     choices = dict(last_auto_choices)
     t_round_auto = _time_spec(model, prompt)
 
-    # ---- T=1 sampling legs LAST (the reference's other headline block,
-    # README.md:196-207: the temperature warper + rejection acceptance run
-    # in-graph; ratio reported at the reference's published T=1 tau).
-    # Non-fatal AND ordered after every T=0 measurement: their three cold
-    # graph compiles can at worst time the subprocess out here, after the
-    # T=0 numbers exist, and the persistent compile cache heals the retry.
-    t_round_t1 = t_ar_t1 = t_round_q8_t1 = None
-    t1_error = ""
-    try:
-        model.dparams = orig_dparams
-        t_round_t1 = _time_spec(model, prompt, temperature=1.0)
-        model.ar_generate(prompt, max_new_tokens=8, temperature=1.0)
-        t_ar_t1 = 1e9
-        for _ in range(REPEATS):
-            res = model.ar_generate(prompt, max_new_tokens=N_TOKENS,
-                                    temperature=1.0)
-            t_ar_t1 = min(t_ar_t1, res.decode_time / max(res.new_tokens - 1, 1))
-        model.quantize_draft_inplace("int8")
-        t_round_q8_t1 = _time_spec(model, prompt, temperature=1.0)
-    except Exception as e:  # pragma: no cover - chip-side resource failures
-        t1_error = f"{type(e).__name__}: {e}"[:200]
-
     r = t_round / t_ar
     r_q8 = t_round_q8 / t_ar
     r_q4 = t_round_q4 / t_ar
@@ -207,6 +188,32 @@ def run_bench(cfg_d):
         auto_choices=choices,
         model=cfg_d["label"],
     )
+    if on_t0 is not None:
+        on_t0(dict(out))
+
+    # ---- T=1 sampling legs LAST (the reference's other headline block,
+    # README.md:196-207: the temperature warper + rejection acceptance run
+    # in-graph; ratio reported at the reference's published T=1 tau).
+    # Non-fatal AND ordered after every T=0 measurement — and after on_t0
+    # has emitted the headline — so their three cold graph compiles can at
+    # worst cost the T=1 detail, never the T=0 result; the persistent
+    # compile cache heals the retry.
+    t_round_t1 = t_ar_t1 = t_round_q8_t1 = None
+    t1_error = ""
+    try:
+        model.dparams = orig_dparams
+        t_round_t1 = _time_spec(model, prompt, temperature=1.0)
+        model.ar_generate(prompt, max_new_tokens=8, temperature=1.0)
+        t_ar_t1 = 1e9
+        for _ in range(REPEATS):
+            res = model.ar_generate(prompt, max_new_tokens=N_TOKENS,
+                                    temperature=1.0)
+            t_ar_t1 = min(t_ar_t1, res.decode_time / max(res.new_tokens - 1, 1))
+        model.quantize_draft_inplace("int8")
+        t_round_q8_t1 = _time_spec(model, prompt, temperature=1.0)
+    except Exception as e:  # pragma: no cover - chip-side resource failures
+        t1_error = f"{type(e).__name__}: {e}"[:200]
+
     if t_ar_t1 is not None and t_round_t1 is not None:
         out.update(
             t_ar_T1_ms=t_ar_t1 * 1e3, t_round_T1_ms=t_round_t1 * 1e3,
@@ -229,14 +236,14 @@ def run_bench(cfg_d):
     return out
 
 
-def _run_one(idx: int) -> None:
-    """Child-process entry: bench one config, print its JSON line.
+def _emit(res: dict) -> None:
+    """Print the headline JSON line for a (possibly T=1-less) result dict.
 
     Headline = the recommended serving configuration (int8 draft mode: greedy
     output still equals AR decoding exactly; only proposal quality can shift,
     measured -1.2% tau on a trained draft at test scale).  The exact-bf16-draft
     number is in detail.speedup_at_ref_tau for the conservative reading."""
-    res = run_bench(CONFIGS[idx])
+    res = dict(res)
     # headline: fastest lossless-output mode; tau haircuts measured at toy
     # scale live in detail for the honest reading
     by_mode = {m: res[f"speedup_at_ref_tau_{m}"]
@@ -254,7 +261,16 @@ def _run_one(idx: int) -> None:
         "vs_baseline": round(value / REF_SPEEDUP, 3),
         "detail": {k: (round(v, 4) if isinstance(v, float) else v)
                    for k, v in res.items()},
-    }))
+    }), flush=True)
+
+
+def _run_one(idx: int) -> None:
+    """Child-process entry: bench one config.  Prints the T=0 headline line
+    as soon as every T=0 mode is measured, then a superseding final line with
+    the T=1 detail — the parent takes the LAST JSON line, so a wall-clock
+    kill during the T=1 legs still leaves a valid headline on stdout."""
+    res = run_bench(CONFIGS[idx], on_t0=_emit)
+    _emit(res)
 
 
 def main():
@@ -275,20 +291,31 @@ def main():
                      "--config", str(i)],
                     capture_output=True, text=True, timeout=3000,
                 )
-            except subprocess.TimeoutExpired:
+                stdout, stderr, rc = proc.stdout, proc.stderr, proc.returncode
+            except subprocess.TimeoutExpired as e:
+                # salvage: the child prints the T=0 headline before the T=1
+                # legs, so a kill mid-T=1 still left a valid line on stdout
+                stdout = (e.stdout or b"")
+                stdout = stdout.decode() if isinstance(stdout, bytes) else stdout
+                stderr, rc = "", -1
                 last_err = f"{cfg_d['label']} timed out (cold compile?)"
                 sys.stderr.write(f"[bench] {last_err}\n")
-                continue  # retry once, then fall back to a smaller config
             line = ""
-            for l in proc.stdout.splitlines():
+            for l in (stdout or "").splitlines():
                 if l.startswith("{"):
                     line = l
-            if proc.returncode == 0 and line:
+            if line and (rc == 0 or '"value"' in line):
+                if rc != 0:
+                    sys.stderr.write(
+                        f"[bench] {cfg_d['label']}: salvaged T=0 headline "
+                        f"(child died in the T=1 legs, rc={rc})\n")
                 print(line)
                 return
-            last_err = (proc.stderr.strip().splitlines() or ["unknown"])[-1][:200]
+            if rc == -1:
+                continue  # timeout with nothing salvageable: retry once
+            last_err = (stderr.strip().splitlines() or ["unknown"])[-1][:200]
             sys.stderr.write(f"[bench] {cfg_d['label']} failed: {last_err}\n")
-            if "RESOURCE_EXHAUSTED" in proc.stderr:
+            if "RESOURCE_EXHAUSTED" in stderr:
                 break  # OOM won't heal on retry; try the smaller config
     print(json.dumps({
         "metric": "spec_speedup_at_ref_tau_T0", "value": 0.0, "unit": "x",

@@ -18,7 +18,13 @@ def test_run_bench_tiny_contract(monkeypatch):
     cfg = dict(num_hidden_layers=2, hidden_size=64, intermediate_size=128,
                num_attention_heads=4, num_key_value_heads=4, vocab_size=256,
                max_len=512, label="tiny")
-    res = bench.run_bench(cfg)
+    t0_snapshots = []
+    res = bench.run_bench(cfg, on_t0=t0_snapshots.append)
+    # the headline callback fired after every T=0 mode and BEFORE the T=1
+    # legs (that ordering is what lets the parent salvage a timed-out child)
+    assert len(t0_snapshots) == 1
+    assert "speedup_at_ref_tau_int8" in t0_snapshots[0]
+    assert "ratio_T1" not in t0_snapshots[0]
     for key in ("t_ar_ms", "t_round_ms", "ratio", "speedup_at_ref_tau",
                 "ratio_int8", "ratio_int4", "ratio_mixed", "ratio_auto",
                 "speedup_at_ref_tau_int8", "auto_choices"):
