@@ -183,3 +183,57 @@ def test_quantized_draft_losslessness_and_tau(tmp_path):
     print(f"tau bf16={tau_bf16:.3f} int8={tau_int8:.3f} "
           f"int4={tau_int4:.3f} int4_head={tau_i4head:.3f} "
           f"mixed={tau_mixed:.3f} auto={tau_auto:.3f}")
+
+
+def test_tau_fixture_sampling_T1():
+    """Sampling-path acceptance on the trained fixture, two anchors:
+
+    1. top_k=1 at T=1 one-hots the warped target, so the single-request
+       sampling graph must reproduce the greedy OUTPUT exactly (same
+       invariant as the batched/engine variants).
+    2. Rejection acceptance follows the warped target's candidate mass: the
+       raw toy target is near-uniform (p_argmax ~2%, tau ~1.02 at any T —
+       mathematically expected, NOT a machinery failure), so sharpen it by
+       scaling lm_head (order-preserving); at T=0.5 the sharpened target
+       must accept sampled proposals at a real rate, and more than at T=1.
+       This anchors bench.py's ratio_T1 claim: acceptance responds to the
+       target distribution exactly as the reference's T=1 results block
+       assumes."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "data", "tau_fixture.npz")
+    z = np.load(path)
+    tparams = _fixture_params(z, "t")
+    dparams = _fixture_params(z, "d")
+
+    model = SpecModel(T, D, SpecConfig(total_tokens=16, depth=3, top_k=4),
+                      tparams, dparams, max_len=512, dtype=jnp.float32,
+                      eos_token_id=999)
+    prompt = np.random.default_rng(200).integers(1, 90, 16).tolist()
+    greedy = model.specgenerate(prompt, max_new_tokens=30)
+    onehot = model.specgenerate(prompt, max_new_tokens=30, temperature=1.0,
+                                top_k=1, seed=3)
+    n = min(greedy.new_tokens, onehot.new_tokens)
+    assert n >= 10
+    assert onehot.sequences[: 16 + n].tolist() == \
+        greedy.sequences[: 16 + n].tolist()
+
+    sharp = dict(tparams)
+    sharp["lm_head"] = tparams["lm_head"] * 8.0
+    model_s = SpecModel(T, D, SpecConfig(total_tokens=16, depth=3, top_k=4),
+                        sharp, dparams, max_len=512, dtype=jnp.float32,
+                        eos_token_id=999)
+
+    def mean_tau(temperature):
+        taus = []
+        for s_ in range(6):
+            p_ = np.random.default_rng(200 + s_).integers(1, 90, 16).tolist()
+            r = model_s.specgenerate(p_, max_new_tokens=40,
+                                     temperature=temperature, seed=s_)
+            taus.extend(a + 1 for a in r.acceptance_lengths)
+        return float(np.mean(taus))
+
+    tau_t05, tau_t1 = mean_tau(0.5), mean_tau(1.0)
+    # measured on this fixture: ~1.32 at T=0.5, ~1.07 at T=1
+    assert tau_t05 >= 1.15, f"sharp-target T=0.5 tau collapsed: {tau_t05}"
+    assert tau_t05 > tau_t1, (tau_t05, tau_t1)
