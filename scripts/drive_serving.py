@@ -66,4 +66,16 @@ for p, ref, o in zip(m_prompts, m_refs, outs_m):
     okm += list(o[:n]) == ref_new[:n]
 print(f"medusa engine outputs matching medusa specgenerate: {okm}/3")
 assert okm >= 2
+
+# Sampling graph on-chip: top_k=1 at T>0 one-hots the warped target, so the
+# engine's SAMPLING decode graph must reproduce the greedy outputs.
+eng_s = model.serving_engine(batch_size=2, max_new_tokens=20,
+                             temperature=0.7, top_k=1, chunk_rounds=4)
+outs_s = eng_s.run_all(prompts[:4])
+oks = 0
+for p_, g, o in zip(prompts[:4], outs[:4], outs_s):
+    n = min(len(o), len(g))
+    oks += list(o[:n]) == list(g[:n])
+print(f"T>0 top_k=1 engine outputs matching greedy: {oks}/4")
+assert oks >= 3
 print("SERVING DRIVE OK")
