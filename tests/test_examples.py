@@ -1,0 +1,21 @@
+"""Smoke the checked-in examples as subprocesses — demos rot silently
+otherwise.  quickstart trains for minutes, so only the multichip demo (the
+multi-chip API surface in one file) runs in CI."""
+
+import os
+import subprocess
+import sys
+
+
+def test_multichip_example_runs():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ,
+           "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+           "PYTHONPATH": repo + ":" + os.environ.get("PYTHONPATH", "")}
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "examples", "multichip.py")],
+        capture_output=True, text=True, timeout=900, env=env, cwd=repo,
+    )
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-1000:])
+    assert "multichip demo OK" in r.stdout
+    assert "token-identical" in r.stdout
