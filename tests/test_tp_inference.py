@@ -558,3 +558,36 @@ def test_tp2_vision_request_matches_single_device(tmp_path):
     assert n >= 5
     np.testing.assert_array_equal(
         out.sequences[: len(ids) + n], ref.sequences[: len(ids) + n])
+
+
+def test_tp2_medusa_matches_single_device():
+    """Medusa drafting under tensor parallelism: the heads (mparams — small,
+    untouched by shard_over like vparams) compose with tp-sharded target
+    weights and caches token-identically."""
+    from vispec_tpu.models import medusa as medusa_mod
+    from vispec_tpu.spec.spec_model import SpecModel
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(2), 3)
+    tparams = llama.init_params(TCFG, k1, jnp.float32)
+    dparams = draft_mod.init_params(DCFG, k2, jnp.float32)
+    dparams["embed"] = tparams["embed"]
+    mparams = medusa_mod.init_params(TCFG.hidden_size, k3, jnp.float32)
+    mparams = jax.tree.map(
+        lambda x: x + 0.01 * jax.random.normal(k3, x.shape, x.dtype), mparams)
+
+    def build():
+        return SpecModel(TCFG, DCFG, SPEC, dict(tparams), dict(dparams),
+                         max_len=512, dtype=jnp.float32, eos_token_id=10**6,
+                         mparams=jax.tree.map(lambda x: x, mparams))
+
+    prompt = list(range(30, 60))
+    ref_model = build()
+    ref = ref_model.specgenerate(prompt, max_new_tokens=12)
+
+    tp_model = build()
+    tp_model.shard_over(make_mesh(dp=1, tp=2, devices=jax.devices()[:2]))
+    out = tp_model.specgenerate(prompt, max_new_tokens=12)
+    n = min(ref.new_tokens, out.new_tokens)
+    assert n >= 6
+    np.testing.assert_array_equal(
+        out.sequences[: len(prompt) + n], ref.sequences[: len(prompt) + n])
