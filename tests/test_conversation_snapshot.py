@@ -165,3 +165,30 @@ def test_multiturn_harness_prefix_cache_equivalent(tmp_path):
     rec_snap = run_eval(model, qs, str(tmp_path / "b.jsonl"), tokenizer=Tok(),
                         max_new_tokens=8, num_warmup=0, prefix_cache=True)
     assert rec_full[0]["turns"] == rec_snap[0]["turns"]
+
+
+def test_snapshot_continuation_under_tp_mesh():
+    """Prefix-cached continuation under tensor parallelism: the snapshot's
+    committed KV carries tp shardings into spec_prefill_continue; turn-2
+    output must match both the full-prefill path on the SAME sharded model
+    and the unsharded model (token identity)."""
+    from vispec_tpu.parallel.mesh import make_mesh
+
+    ref_model = _model()
+    prompt1 = list(range(20, 50))
+    ref1 = ref_model.specgenerate(prompt1, max_new_tokens=12)
+    prompt2 = list(ref1.sequences) + list(range(60, 75))
+    ref2 = ref_model.specgenerate(prompt2, max_new_tokens=12)
+
+    model = _model()
+    model.shard_over(make_mesh(dp=1, tp=2, devices=jax.devices()[:2]))
+    r1 = model.specgenerate(prompt1, max_new_tokens=12, keep_hiddens=True)
+    np.testing.assert_array_equal(r1.sequences, ref1.sequences)
+    snap = model.last_snapshot
+    assert snap is not None
+
+    full = model.specgenerate(prompt2, max_new_tokens=12)
+    cont = model.specgenerate(prompt2, max_new_tokens=12, continue_from=snap)
+    assert cont.new_tokens >= 6
+    assert cont.sequences.tolist() == full.sequences.tolist()
+    np.testing.assert_array_equal(cont.sequences, ref2.sequences)
