@@ -36,7 +36,7 @@ SPEC = SpecConfig(total_tokens=12, depth=3, top_k=4)
 
 
 def run_rounds(tparams, dparams, target_cache, draft_cache, n=10, tcfg=TCFG,
-               sp_mesh=None):
+               sp_mesh=None, dcfg=DCFG):
     sampling = spec_loop.SamplingParams()
     prompt = list(range(40, 70))
     embeds = llama.embed(tparams, jnp.asarray(prompt, jnp.int32))
@@ -45,15 +45,15 @@ def run_rounds(tparams, dparams, target_cache, draft_cache, n=10, tcfg=TCFG,
         from vispec_tpu.parallel.sharding import sp_shard_prefill
 
         embeds = sp_shard_prefill(sp_mesh, embeds)
-    plan, ms = draft_mod.make_prefill_plan(None, len(prompt), DCFG.num_q, 128)
+    plan, ms = draft_mod.make_prefill_plan(None, len(prompt), dcfg.num_q, 128)
     state = spec_loop.spec_prefill(
-        tparams, dparams, tcfg, DCFG, SPEC, plan, sampling, embeds,
+        tparams, dparams, tcfg, dcfg, SPEC, plan, sampling, embeds,
         target_cache, draft_cache, jax.random.PRNGKey(0), 200, ms,
     )
     big = jnp.asarray(10**6, jnp.int32)
     for _ in range(n):
         state = spec_loop.decode_round(
-            tparams, dparams, tcfg, DCFG, SPEC, sampling, state, big, big,
+            tparams, dparams, tcfg, dcfg, SPEC, sampling, state, big, big,
         )
     return np.asarray(state.output)[: int(state.out_len)]
 
@@ -591,3 +591,34 @@ def test_tp2_medusa_matches_single_device():
     assert n >= 6
     np.testing.assert_array_equal(
         out.sequences[: len(prompt) + n], ref.sequences[: len(prompt) + n])
+
+
+def test_tp2_qkv_bias_matches_single_device():
+    """Qwen2-style qkv_bias target + draft under tp=2: the column-parallel
+    bias vectors (bq/bk/bv split with their heads, sharding.py) must stay
+    token-identical to single-device execution."""
+    import dataclasses
+
+    tcfg = dataclasses.replace(TCFG, qkv_bias=True)
+    dcfg = dataclasses.replace(DCFG, qkv_bias=True)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(5))
+    tparams = llama.init_params(tcfg, k1, jnp.float32)
+    dparams = draft_mod.init_params(dcfg, k2, jnp.float32)
+    dparams["embed"] = tparams["embed"]
+    assert "bq" in tparams["layers"]  # bias actually present
+
+    tc = kv.init_cache(2, 2, 256, 16, jnp.float32)
+    dc = kv.init_cache(1, 2, 256, 16, jnp.float32)
+    ref = run_rounds(tparams, dparams, tc, dc, n=6, tcfg=tcfg, dcfg=dcfg)
+
+    mesh = make_mesh(dp=1, tp=2, devices=jax.devices()[:2])
+    with mesh:
+        tp_t = apply_specs(mesh, tparams, llama_param_specs(tcfg))
+        tp_d = apply_specs(mesh, dparams, draft_param_specs(dcfg))
+        tc2 = shard_cache(mesh, kv.init_cache(2, 2, 256, 16, jnp.float32))
+        dc2 = shard_cache(mesh, kv.init_cache(1, 2, 256, 16, jnp.float32))
+        out = run_rounds(tp_t, tp_d, tc2, dc2, n=6, tcfg=tcfg, dcfg=dcfg)
+
+    n = min(len(ref), len(out))
+    assert n >= 6
+    np.testing.assert_array_equal(out[:n], ref[:n])
