@@ -8,12 +8,22 @@ autoregressive decoding.  With real checkpoints use SpecModel.from_pretrained
 (see README.md).
 """
 
+import os
 import sys
 import time
 
 sys.path.insert(0, ".")
 
 import jax
+
+if os.environ.get("JAX_PLATFORMS"):
+    # honor an explicit JAX_PLATFORMS even under site hooks that import jax
+    # at interpreter startup and pin a backend before env vars take effect
+    try:
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+
 import jax.numpy as jnp
 import numpy as np
 

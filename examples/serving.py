@@ -13,7 +13,18 @@ import time
 
 sys.path.insert(0, __file__.rsplit("/examples", 1)[0])
 
+import os
+
 import jax
+
+if os.environ.get("JAX_PLATFORMS"):
+    # honor an explicit JAX_PLATFORMS even under site hooks that import jax
+    # at interpreter startup and pin a backend before env vars take effect
+    try:
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -19,3 +19,15 @@ def test_multichip_example_runs():
     assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-1000:])
     assert "multichip demo OK" in r.stdout
     assert "token-identical" in r.stdout
+
+
+def test_serving_example_runs():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "JAX_PLATFORMS": "cpu",
+           "PYTHONPATH": repo + ":" + os.environ.get("PYTHONPATH", "")}
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "examples", "serving.py")],
+        capture_output=True, text=True, timeout=900, env=env, cwd=repo,
+    )
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-1000:])
+    assert "served 12 requests" in r.stdout
