@@ -125,4 +125,26 @@ res_rp = model.specgenerate(prompt, max_new_tokens=16, temperature=0.8,
 print(f"repetition_penalty=1.3: {res_rp.new_tokens} tokens")
 assert res_rp.new_tokens >= 4
 
+# 8. int8 TARGET mode (serving config): outputs may differ from the bf16
+# model, but spec must equal AR **on the same quantized weights** exactly
+modelT = SpecModel(tcfg, dcfg, SpecConfig(total_tokens=12, depth=3, top_k=4),
+                   tparams, dict(dparams), max_len=512, dtype=jnp.bfloat16,
+                   eos_token_id=10**6)
+modelT.quantize_target_inplace("int8")
+res_ts = modelT.specgenerate(prompt, max_new_tokens=32)
+res_ta = modelT.ar_generate(prompt, max_new_tokens=32)
+ts, ta = list(res_ts.sequences), list(res_ta.sequences)
+n = min(len(ts), len(ta), len(prompt) + 32)
+match = sum(a == b for a, b in zip(ts[:n], ta[:n]))
+print(f"int8 target: spec {res_ts.new_tokens} toks, prefix match vs "
+      f"int8-target AR {match}/{n}")
+assert match >= n - 2
+modelT.quantize_draft_inplace("int8")  # ranks with the target's int8 head
+res_tq = modelT.specgenerate(prompt, max_new_tokens=32)
+tq = list(res_tq.sequences)
+n = min(len(tq), len(ta), len(prompt) + 32)
+match = sum(a == b for a, b in zip(tq[:n], ta[:n]))
+print(f"int8 target + int8 draft: prefix match vs int8-target AR {match}/{n}")
+assert match >= n - 2
+
 print("DRIVE OK")

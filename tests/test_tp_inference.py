@@ -622,3 +622,38 @@ def test_tp2_qkv_bias_matches_single_device():
     n = min(len(ref), len(out))
     assert n >= 6
     np.testing.assert_array_equal(out[:n], ref[:n])
+
+
+def test_tp2_quantized_target_matches_single_device():
+    """int8 TARGET weights under tp=2 (quantize_target_inplace + shard_over):
+    quantize_aware_specs expands each stacked weight's spec to field-wise
+    QTensor specs (scale [L, out] follows the layer and output axes), and the
+    sharded decode must be token-identical to the same quantized target on
+    one device."""
+    from vispec_tpu.spec.spec_model import SpecModel
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+    tparams = llama.init_params(TCFG, k1, jnp.float32)
+    dparams = draft_mod.init_params(DCFG, k2, jnp.float32)
+    dparams["embed"] = tparams["embed"]
+
+    def build():
+        m = SpecModel(TCFG, DCFG, SPEC, tparams, dparams, max_len=512,
+                      dtype=jnp.float32, eos_token_id=0)
+        m.quantize_target_inplace()
+        return m
+
+    prompt = list(range(35, 65))
+    ref = build().specgenerate(prompt, max_new_tokens=16)
+    assert ref.new_tokens >= 8
+
+    model = build()
+    model.quantize_draft_inplace("int8")  # rank_head aliases the int8 head
+    model.shard_over(make_mesh(dp=1, tp=2, devices=jax.devices()[:2]))
+    from vispec_tpu.ops.quant import QTensor
+    assert isinstance(model.tparams["layers"]["wq"], QTensor)
+    out = model.specgenerate(prompt, max_new_tokens=16)
+    n = min(ref.new_tokens, out.new_tokens)
+    assert n >= 8
+    np.testing.assert_array_equal(
+        out.sequences[: len(prompt) + n], ref.sequences[: len(prompt) + n])

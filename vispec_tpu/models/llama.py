@@ -36,6 +36,7 @@ from ..configs import LlamaConfig
 from ..ops import rope as rope_ops
 from ..ops.attention import attend, attend_region
 from ..ops.kv_cache import KVCache
+from ..ops.quant import qdot
 
 
 def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
@@ -48,9 +49,8 @@ def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
 
 def swiglu_mlp(x: jax.Array, w_gate, w_up, w_down) -> jax.Array:
     # qdot == jnp.dot for plain arrays; weights may be int8 QTensors when the
-    # draft runs quantized (ops/quant.py — the target is never quantized)
-    from ..ops.quant import qdot
-
+    # draft (quantize_draft) or the target (quantize_target_inplace) runs
+    # weight-only quantized (ops/quant.py)
     gate = qdot(x, w_gate, preferred_element_type=jnp.float32)
     up = qdot(x, w_up, preferred_element_type=jnp.float32)
     inter = (jax.nn.silu(gate) * up).astype(x.dtype)
@@ -73,9 +73,9 @@ def attention_block(
     s = x.shape[0]
     h, hkv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
-    q = jnp.dot(x, lp["wq"], preferred_element_type=jnp.float32).astype(x.dtype)
-    k = jnp.dot(x, lp["wk"], preferred_element_type=jnp.float32).astype(x.dtype)
-    v = jnp.dot(x, lp["wv"], preferred_element_type=jnp.float32).astype(x.dtype)
+    q = qdot(x, lp["wq"], preferred_element_type=jnp.float32).astype(x.dtype)
+    k = qdot(x, lp["wk"], preferred_element_type=jnp.float32).astype(x.dtype)
+    v = qdot(x, lp["wv"], preferred_element_type=jnp.float32).astype(x.dtype)
     if cfg.qkv_bias:
         q = q + lp["bq"].astype(x.dtype)
         k = k + lp["bk"].astype(x.dtype)
@@ -92,7 +92,7 @@ def attention_block(
 
     out = attend_region(q, k_full, v_full, attn_mask, region)  # [h, S, d]
     out = out.transpose(1, 0, 2).reshape(s, h * d)
-    out = jnp.dot(out, lp["wo"], preferred_element_type=jnp.float32).astype(x.dtype)
+    out = qdot(out, lp["wo"], preferred_element_type=jnp.float32).astype(x.dtype)
     return out, k, v
 
 
@@ -149,9 +149,9 @@ def forward_hidden(
 
         s = normed.shape[0]
         h, hkv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
-        q = jnp.dot(normed, lp["wq"], preferred_element_type=jnp.float32).astype(normed.dtype)
-        k = jnp.dot(normed, lp["wk"], preferred_element_type=jnp.float32).astype(normed.dtype)
-        v = jnp.dot(normed, lp["wv"], preferred_element_type=jnp.float32).astype(normed.dtype)
+        q = qdot(normed, lp["wq"], preferred_element_type=jnp.float32).astype(normed.dtype)
+        k = qdot(normed, lp["wk"], preferred_element_type=jnp.float32).astype(normed.dtype)
+        v = qdot(normed, lp["wv"], preferred_element_type=jnp.float32).astype(normed.dtype)
         if cfg.qkv_bias:
             q = q + lp["bq"].astype(normed.dtype)
             k = k + lp["bk"].astype(normed.dtype)
@@ -181,7 +181,7 @@ def forward_hidden(
         else:
             out = attend(q, k_cache[layer_idx], v_cache[layer_idx], attn_mask)
         out = out.transpose(1, 0, 2).reshape(s, h * d)
-        attn_out = jnp.dot(
+        attn_out = qdot(
             out, lp["wo"], preferred_element_type=jnp.float32
         ).astype(normed.dtype)
 
@@ -207,9 +207,7 @@ def embed(params: dict, token_ids: jax.Array) -> jax.Array:
 
 def lm_head(params: dict, hidden: jax.Array) -> jax.Array:
     """[..., hidden] -> [..., vocab] float32 logits."""
-    return jnp.dot(
-        hidden, params["lm_head"], preferred_element_type=jnp.float32
-    )
+    return qdot(hidden, params["lm_head"], preferred_element_type=jnp.float32)
 
 
 def init_params(cfg: LlamaConfig, key: jax.Array, dtype=jnp.bfloat16) -> dict:

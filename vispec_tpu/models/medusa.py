@@ -45,7 +45,11 @@ def expand_tree(
     num_cand = k_beam + levels * k_beam * k_beam
 
     mh = heads_forward(params, seed_hidden)  # [H, D]
-    logits = jnp.einsum("hd,dv->hv", mh, head_w, preferred_element_type=jnp.float32)
+    # qdot == jnp.dot for plain arrays; head_w is a QTensor under
+    # quantize_target_inplace (the heads share the target's lm_head)
+    from ..ops.quant import qdot
+
+    logits = qdot(mh, head_w, preferred_element_type=jnp.float32)
     logp = jax.nn.log_softmax(logits, axis=-1)  # [H, V]
 
     top_p0, top_i0 = fast_top_k(logp[0], k_beam)

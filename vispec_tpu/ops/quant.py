@@ -70,30 +70,35 @@ MaybeQuant = Union[jax.Array, QTensor, "Q4Tensor"]
 
 
 def quantize_q8(w: jax.Array, chunk_cols: int = 8192) -> QTensor:
-    """Per-output-channel symmetric int8: w ~= q * s[None, :].
+    """Per-output-channel symmetric int8: w ~= q * s[..., None, :].
 
-    Column-chunked (scales included) so the float32 transient stays small —
-    quantizing the 0.5GB lm_head at near-full HBM (7B @ max_len=2048
-    occupancy) OOMs if a whole f32 copy materializes at once."""
+    Accepts a 2-D matrix or a scan-stacked ``[L, in, out]`` weight (scales
+    are then per (layer, column) — each layer slice of the QTensor is a valid
+    2-D QTensor, which is exactly what ``lax.scan`` produces when the stacked
+    fields ride the xs).  Column-chunked (scales included) so the float32
+    transient stays small — quantizing the 0.5GB lm_head at near-full HBM
+    (7B @ max_len=2048 occupancy) OOMs if a whole f32 copy materializes at
+    once."""
 
     def _scale(block):
-        s = jnp.max(jnp.abs(block).astype(jnp.float32), axis=0) / 127.0
+        s = jnp.max(jnp.abs(block).astype(jnp.float32), axis=-2) / 127.0
         return jnp.where(s == 0, jnp.ones_like(s), s)
 
     def _q(block, sblock):
         return jnp.clip(
-            jnp.round(block.astype(jnp.float32) / sblock), -127, 127
+            jnp.round(block.astype(jnp.float32) / sblock[..., None, :]),
+            -127, 127,
         ).astype(jnp.int8)
 
-    if w.ndim == 2 and w.shape[1] > chunk_cols:
+    if w.shape[-1] > chunk_cols:
         s_parts, q_parts = [], []
-        for i in range(0, w.shape[1], chunk_cols):
-            block = w[:, i:i + chunk_cols]
+        for i in range(0, w.shape[-1], chunk_cols):
+            block = w[..., i:i + chunk_cols]
             sb = _scale(block)
             q_parts.append(_q(block, sb))
             s_parts.append(sb)
-        return QTensor(q=jnp.concatenate(q_parts, axis=1),
-                       s=jnp.concatenate(s_parts))
+        return QTensor(q=jnp.concatenate(q_parts, axis=-1),
+                       s=jnp.concatenate(s_parts, axis=-1))
     s = _scale(w)
     return QTensor(q=_q(w, s), s=s)
 
@@ -385,6 +390,14 @@ def quantize_draft_params(dparams: dict, lm_head: jax.Array,
         last_auto_choices[k] = choice
         layer[k] = _QUANTIZERS[choice](layer[k])
     dparams["layer"] = layer
+    if isinstance(lm_head, (QTensor, Q4Tensor)):
+        # target already quantized (quantize_target_inplace ran first): rank
+        # with the target's own quantized head — same bytes the verify reads,
+        # no second copy, no double quantization error
+        last_auto_choices["rank_head"] = (
+            "int8" if isinstance(lm_head, QTensor) else "int4")
+        dparams["rank_head"] = lm_head
+        return dparams
     if mode == "auto":
         head_choice = _auto_repr(lm_head)
     elif mode == "mixed":
@@ -402,9 +415,53 @@ def quantize_draft_params(dparams: dict, lm_head: jax.Array,
     return dparams
 
 
+def quantize_target_params(tparams: dict, mode: str = "int8",
+                           inplace: bool = False,
+                           chunk_cols: int = 1024) -> dict:
+    """Weight-only int8 quantization of the TARGET backbone (opt-in serving
+    mode; the source for ``SpecModel.quantize_target_inplace``).
+
+    Quantizes the seven scan-stacked layer matmuls + lm_head (per-(layer,
+    output-channel) scales — each ``lax.scan`` slice is a valid 2-D QTensor)
+    and leaves embed / norms / qkv biases in their original dtypes.  At 7B
+    this halves the ~13.5GB the verify and AR loops stream per step, the
+    structural floor of both (README "byte floor") — roughly 2x serving
+    throughput and ~6.5GB of HBM freed for batch slots.
+
+    Unlike draft quantization this CHANGES the model's outputs (the verifier
+    itself is quantized) — but speculative decoding remains exactly lossless
+    *relative to the quantized target*: spec output == AR output on the same
+    int8 weights, the same guarantee the reference's bf16 stack makes
+    (utils.py:415-493 accepts by target argmax, whatever the target is).
+
+    Returns a NEW dict unless ``inplace`` — then the caller's nested dicts are
+    mutated so each bf16 source frees the moment its int8 copy exists.  At 7B
+    the bf16 weights are 13.5GB on a 16GB chip: a non-mutating copy would hold
+    both generations at once and OOM, and ``chunk_cols`` stays small because a
+    column chunk of a scan-stacked [32, 4096, N] matrix materializes
+    ``32*4096*chunk_cols`` float32 transients."""
+    if mode != "int8":
+        raise ValueError(
+            f"target quantization supports mode='int8' only (got {mode!r}); "
+            "int4's Pallas unpack loses on the 31-row verify block the same "
+            "way it lost on the ranking head (README quant A/B)")
+    if "router" in tparams.get("layers", {}):
+        raise NotImplementedError(
+            "int8 target quantization covers the llama-family backbone; the "
+            "Mixtral expert stack keeps bf16 (quantize the draft instead)")
+    if not inplace:
+        tparams = dict(tparams)
+        tparams["layers"] = dict(tparams["layers"])
+    layers = tparams["layers"]
+    for k in _LAYER_QUANT_KEYS:
+        layers[k] = quantize_q8(layers[k], chunk_cols=chunk_cols)
+    tparams["lm_head"] = quantize_q8(tparams["lm_head"], chunk_cols=chunk_cols)
+    return tparams
+
+
 def dequantize(w: MaybeQuant, dtype=jnp.bfloat16) -> jax.Array:
     if isinstance(w, QTensor):
-        return (w.q.astype(jnp.float32) * w.s).astype(dtype)
+        return (w.q.astype(jnp.float32) * w.s[..., None, :]).astype(dtype)
     if isinstance(w, Q4Tensor):
         return _q4_dequant(w, dtype)
     return w

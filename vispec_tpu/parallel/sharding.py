@@ -90,7 +90,9 @@ def _quant_leaf_spec(leaf, sp):
       int4, so the memory cost is noise next to the target.
     """
     if isinstance(leaf, QTensor):
-        return QTensor(q=sp, s=P(sp[-1] if len(sp) else None))
+        # scale is [out] for a 2-D weight, [L, out] for a scan-stacked one:
+        # drop the contraction axis, keep any leading (layer/pp) axis
+        return QTensor(q=sp, s=P(*sp[:-2], sp[-1]) if len(sp) else P())
     if isinstance(leaf, Q4Tensor):
         if len(sp) == 2 and sp[0] is None:
             return Q4Tensor(packed=sp, s=P(None, sp[1]))
@@ -125,6 +127,22 @@ def quantized_draft_specs(cfg: DraftConfig, dparams: dict) -> dict:
             if sp is None:
                 sp = P(*(None,) * getattr(val, "ndim", 0))
             specs[key] = _quant_leaf_spec(val, sp)
+    return specs
+
+
+def quantize_aware_specs(specs, params):
+    """Overlay a bf16 spec pytree onto a possibly-quantized params pytree:
+    wherever the params hold a QTensor/Q4Tensor leaf (ops/quant), the weight's
+    spec expands to field-wise specs via ``_quant_leaf_spec``; plain leaves
+    keep their spec.  Identity for an unquantized tree — ``shard_over`` runs
+    every target through this so ``quantize_target_inplace`` composes with
+    tp/pp meshes the same way the quantized draft does."""
+    if isinstance(params, (QTensor, Q4Tensor)):
+        return _quant_leaf_spec(params, specs)
+    if isinstance(params, dict):
+        return {k: quantize_aware_specs(specs[k], v) if k in specs
+                else P(*(None,) * getattr(v, "ndim", 0))
+                for k, v in params.items()}
     return specs
 
 

@@ -123,6 +123,7 @@ class SpecModel:
         # | "auto" (per-matrix fastest of bf16/int8/int4, measured on-chip)
     ):
         self.quantize_draft = False
+        self.quantize_target = False  # set by quantize_target_inplace
         self.tcfg, self.dcfg, self.spec = tcfg, dcfg, spec
         self.tparams, self.dparams = tparams, dparams
         if quantize_draft:
@@ -231,6 +232,28 @@ class SpecModel:
         self.quantize_draft = mode
         self._derive_fuse_mats()
 
+    def quantize_target_inplace(self, mode: str = "int8") -> None:
+        """Weight-only int8 TARGET quantization (opt-in serving mode,
+        ops/quant.quantize_target_params): halves the ~13.5GB/step the verify
+        and AR loops stream at 7B — the structural byte floor of the decode
+        round — for ~2x decode throughput and ~6.5GB of freed HBM (bigger
+        serving batches).  Changes model outputs (the verifier itself is
+        quantized; W8 is near-lossless in practice) but speculative decoding
+        stays exactly lossless **relative to the quantized target**: spec
+        output == AR output on the same weights, the same internal-consistency
+        guarantee as the bf16 stack.  A draft quantized AFTER this call ranks
+        with the target's own int8 head (no second lm_head copy).  Composable
+        with tp/pp meshes (sharding.quantize_aware_specs) — call before
+        ``shard_over``.  Not for the eval-parity path: BASELINE.md comparisons
+        assume the reference's bf16-class verifier."""
+        from ..ops.quant import quantize_target_params
+
+        # vision towers stay bf16 (a ViT forward per REQUEST is noise next to
+        # per-TOKEN decode bytes); embed stays bf16 too, so the shared
+        # draft-embed alias is untouched
+        self.tparams = quantize_target_params(self.tparams, mode=mode)
+        self.quantize_target = mode
+
     # ------------------------------------------------------------------
     def shard_over(self, mesh, pp: bool = False, sp: bool = False) -> None:
         """Shard this model's weights and single-request KV caches over a
@@ -254,7 +277,7 @@ class SpecModel:
         from ..parallel.sharding import (
             apply_specs, llama_param_specs, llama_param_specs_pp,
             mixtral_param_specs, mixtral_param_specs_pp,
-            quantized_draft_specs, shard_cache,
+            quantize_aware_specs, quantized_draft_specs, shard_cache,
         )
 
         if "router" in self.tparams.get("layers", {}):
@@ -263,6 +286,9 @@ class SpecModel:
         else:
             tspecs = (llama_param_specs_pp(self.tcfg) if pp
                       else llama_param_specs(self.tcfg))
+        # int8-target weights (quantize_target_inplace) expand each weight
+        # spec to field-wise QTensor specs; identity on a bf16 target
+        tspecs = quantize_aware_specs(tspecs, self.tparams)
         # a draft that omits its own embed aliases the target's (one buffer);
         # re-point at the SHARDED target embed so shard_over keeps the alias
         # instead of pinning the pre-shard replicated copy (or device_putting
