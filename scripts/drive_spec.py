@@ -147,4 +147,28 @@ match = sum(a == b for a, b in zip(tq[:n], ta[:n]))
 print(f"int8 target + int8 draft: prefix match vs int8-target AR {match}/{n}")
 assert match >= n - 2
 
+# 8. int8 KV cache (quantize_kv=True): spec == AR through the SAME quantized
+# cache — at head_dim=128 so the Mosaic kernel's int8 DMA + scale path
+# actually compiles and runs on the chip (tiny_model's head_dim=32 falls back
+# to the XLA attend)
+modelK, *_ = tiny_model(hidden=512, quantize_kv=True)
+promptK = np.random.default_rng(7).integers(10, 500, 48).tolist()
+res_ks = modelK.specgenerate(promptK, max_new_tokens=32)
+res_ka = modelK.ar_generate(promptK, max_new_tokens=32)
+ks, ka = list(res_ks.sequences), list(res_ka.sequences)
+n = min(len(ks), len(ka), len(promptK) + 32)
+match = sum(a == b for a, b in zip(ks[:n], ka[:n]))
+print(f"int8 KV (kernel path): spec {res_ks.new_tokens} toks, prefix match "
+      f"vs int8-KV AR {match}/{n}")
+assert match >= n - 2, (ks[:n], ka[:n])
+modelK.quantize_target_inplace()
+modelK.quantize_draft_inplace("int8")
+res_k3 = modelK.specgenerate(promptK, max_new_tokens=32)
+res_a3 = modelK.ar_generate(promptK, max_new_tokens=32)
+k3, a3 = list(res_k3.sequences), list(res_a3.sequences)
+n = min(len(k3), len(a3), len(promptK) + 32)
+match = sum(a == b for a, b in zip(k3[:n], a3[:n]))
+print(f"int8 KV + int8 target + int8 draft: prefix match vs AR {match}/{n}")
+assert match >= n - 2
+
 print("DRIVE OK")

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..configs import LlamaConfig
+from ..ops import kv_cache as kvc
 from ..ops import rope as rope_ops
 from ..ops.attention import attend, attend_region
 from ..ops.kv_cache import KVCache
@@ -55,6 +56,54 @@ def swiglu_mlp(x: jax.Array, w_gate, w_up, w_down) -> jax.Array:
     up = qdot(x, w_up, preferred_element_type=jnp.float32)
     inter = (jax.nn.silu(gate) * up).astype(x.dtype)
     return qdot(inter, w_down, preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def append_kv(k_cache, v_cache, k_scale, v_scale, k_new, v_new,
+              layer_idx, write_at):
+    """Write this layer's new K/V rows into the stacked cache buffers at
+    ``write_at``; when the cache is int8 (k_scale is not None) the rows are
+    per-row quantized on the way in (kv_cache.quantize_rows) and the scale
+    tables updated alongside.  Shared by the llama and mixtral layer scans."""
+    zero = jnp.zeros((), jnp.int32)
+    if k_scale is not None:
+        kq, ks = kvc.quantize_rows(k_new)
+        vq, vs = kvc.quantize_rows(v_new)
+        k_cache = lax.dynamic_update_slice(
+            k_cache, kq[None], (layer_idx, zero, write_at, zero))
+        v_cache = lax.dynamic_update_slice(
+            v_cache, vq[None], (layer_idx, zero, write_at, zero))
+        k_scale = lax.dynamic_update_slice(
+            k_scale, ks[None], (layer_idx, zero, write_at))
+        v_scale = lax.dynamic_update_slice(
+            v_scale, vs[None], (layer_idx, zero, write_at))
+    else:
+        k_cache = lax.dynamic_update_slice(
+            k_cache, k_new[None], (layer_idx, zero, write_at, zero))
+        v_cache = lax.dynamic_update_slice(
+            v_cache, v_new[None], (layer_idx, zero, write_at, zero))
+    return k_cache, v_cache, k_scale, v_scale
+
+
+def cached_attend(q, k_cache, v_cache, k_scale, v_scale, layer_idx,
+                  attn_mask, region, kernel_path):
+    """Attention over the stacked cache for one scanned layer: the Pallas
+    length-aware kernel on TPU (reads int8 tiles directly when quantized —
+    half the KV bytes), masked XLA `attend` elsewhere (dequantizing the
+    layer's slice first when quantized)."""
+    if kernel_path:
+        from ..ops.attention import pick_block
+        from ..ops.pallas_attention import verify_attention
+
+        return verify_attention(
+            q, k_cache, v_cache, region[0], region[1],
+            block=pick_block(k_cache.shape[2]), layer_idx=layer_idx,
+            k_scale=k_scale, v_scale=v_scale,
+        )
+    if k_scale is not None:
+        k_l = kvc.dequantize_rows(k_cache[layer_idx], k_scale[layer_idx], q.dtype)
+        v_l = kvc.dequantize_rows(v_cache[layer_idx], v_scale[layer_idx], q.dtype)
+        return attend(q, k_l, v_l, attn_mask)
+    return attend(q, k_cache[layer_idx], v_cache[layer_idx], attn_mask)
 
 
 def attention_block(
@@ -141,8 +190,10 @@ def forward_hidden(
     kernel_path = (region is not None and use_pallas()
                    and kernel_eligible(cfg.head_dim, cache.max_len))
 
+    quant_kv = cache.k.dtype == jnp.int8
+
     def layer_step(carry, xs):
-        hidden, k_cache, v_cache, layer_idx = carry
+        hidden, k_cache, v_cache, k_scale, v_scale, layer_idx = carry
         lp = xs
         residual = hidden
         normed = rms_norm(hidden, lp["input_norm"], cfg.rms_norm_eps)
@@ -161,25 +212,13 @@ def forward_hidden(
         v_new = v.reshape(s, hkv, d).transpose(1, 0, 2)
         q, k_new = rope_ops.apply_rope(q, k_new, cos, sin)
 
-        zero = jnp.zeros((), jnp.int32)
-        k_cache = lax.dynamic_update_slice(
-            k_cache, k_new[None], (layer_idx, zero, write_at, zero)
-        )
-        v_cache = lax.dynamic_update_slice(
-            v_cache, v_new[None], (layer_idx, zero, write_at, zero)
-        )
-        if kernel_path:
-            # read the stacked cache directly in the kernel — no per-layer
-            # slice materialization (~8 MB x2 per layer per round at 7B)
-            from ..ops.attention import pick_block
-            from ..ops.pallas_attention import verify_attention
-
-            out = verify_attention(
-                q, k_cache, v_cache, region[0], region[1],
-                block=pick_block(k_cache.shape[2]), layer_idx=layer_idx,
-            )
-        else:
-            out = attend(q, k_cache[layer_idx], v_cache[layer_idx], attn_mask)
+        k_cache, v_cache, k_scale, v_scale = append_kv(
+            k_cache, v_cache, k_scale, v_scale, k_new, v_new, layer_idx,
+            write_at)
+        # kernel path reads the stacked cache directly — no per-layer slice
+        # materialization (~8 MB x2 per layer per round at 7B)
+        out = cached_attend(q, k_cache, v_cache, k_scale, v_scale, layer_idx,
+                            attn_mask, region, kernel_path)
         out = out.transpose(1, 0, 2).reshape(s, h * d)
         attn_out = qdot(
             out, lp["wo"], preferred_element_type=jnp.float32
@@ -190,12 +229,15 @@ def forward_hidden(
         normed = rms_norm(hidden, lp["post_norm"], cfg.rms_norm_eps)
         hidden = residual + swiglu_mlp(normed, lp["w_gate"], lp["w_up"], lp["w_down"])
         ys = (k_new, v_new) if return_new_kv else None
-        return (hidden, k_cache, v_cache, layer_idx + 1), ys
+        return (hidden, k_cache, v_cache, k_scale, v_scale, layer_idx + 1), ys
 
-    init = (inputs_embeds, cache.k, cache.v, jnp.zeros((), jnp.int32))
-    (hidden, new_k, new_v, _), ys = lax.scan(layer_step, init, params["layers"])
+    init = (inputs_embeds, cache.k, cache.v,
+            cache.k_scale if quant_kv else None,
+            cache.v_scale if quant_kv else None, jnp.zeros((), jnp.int32))
+    (hidden, new_k, new_v, new_ks, new_vs, _), ys = lax.scan(
+        layer_step, init, params["layers"])
     hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
-    out_cache = cache._replace(k=new_k, v=new_v)
+    out_cache = cache._replace(k=new_k, v=new_v, k_scale=new_ks, v_scale=new_vs)
     if return_new_kv:
         return hidden, out_cache, ys
     return hidden, out_cache

@@ -82,14 +82,18 @@ def forward_hidden(
         seq_len=seq_len,
     )
     write_at = cache.length
-    from ..ops.attention import attend, kernel_eligible, pick_block, use_pallas
+    from ..ops.attention import kernel_eligible, use_pallas
 
     kernel_path = (region is not None and use_pallas()
                    and kernel_eligible(cfg.head_dim, cache.max_len))
 
-    # caches in the scan carry => in-place updates (see llama.forward_hidden)
+    # caches in the scan carry => in-place updates (see llama.forward_hidden);
+    # append/attend (incl. the int8-KV quantize-on-write path) shared with the
+    # llama backbone
+    from .llama import append_kv, cached_attend
+
     def layer_step(carry, lp):
-        hidden, k_cache, v_cache, layer_idx = carry
+        hidden, k_cache, v_cache, k_scale, v_scale, layer_idx = carry
         residual = hidden
         normed = rms_norm(hidden, lp["input_norm"], cfg.rms_norm_eps)
 
@@ -103,22 +107,11 @@ def forward_hidden(
         v_new = v.reshape(s, hkv, d).transpose(1, 0, 2)
         q, k_new = rope_ops.apply_rope(q, k_new, cos, sin)
 
-        zero = jnp.zeros((), jnp.int32)
-        k_cache = lax.dynamic_update_slice(
-            k_cache, k_new[None], (layer_idx, zero, write_at, zero)
-        )
-        v_cache = lax.dynamic_update_slice(
-            v_cache, v_new[None], (layer_idx, zero, write_at, zero)
-        )
-        if kernel_path:
-            from ..ops.pallas_attention import verify_attention
-
-            out = verify_attention(
-                q, k_cache, v_cache, region[0], region[1],
-                block=pick_block(k_cache.shape[2]), layer_idx=layer_idx,
-            )
-        else:
-            out = attend(q, k_cache[layer_idx], v_cache[layer_idx], attn_mask)
+        k_cache, v_cache, k_scale, v_scale = append_kv(
+            k_cache, v_cache, k_scale, v_scale, k_new, v_new, layer_idx,
+            write_at)
+        out = cached_attend(q, k_cache, v_cache, k_scale, v_scale, layer_idx,
+                            attn_mask, region, kernel_path)
         out = out.transpose(1, 0, 2).reshape(s, h * d)
         attn_out = jnp.dot(
             out, lp["wo"], preferred_element_type=jnp.float32
@@ -129,12 +122,14 @@ def forward_hidden(
         normed = rms_norm(hidden, lp["post_norm"], cfg.rms_norm_eps)
         hidden = residual + moe_block(normed, lp, cfg)
         ys = (k_new, v_new) if return_new_kv else None
-        return (hidden, k_cache, v_cache, layer_idx + 1), ys
+        return (hidden, k_cache, v_cache, k_scale, v_scale, layer_idx + 1), ys
 
-    init = (inputs_embeds, cache.k, cache.v, jnp.zeros((), jnp.int32))
-    (hidden, new_k, new_v, _), ys = lax.scan(layer_step, init, params["layers"])
+    init = (inputs_embeds, cache.k, cache.v, cache.k_scale, cache.v_scale,
+            jnp.zeros((), jnp.int32))
+    (hidden, new_k, new_v, new_ks, new_vs, _), ys = lax.scan(
+        layer_step, init, params["layers"])
     hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
-    out_cache = cache._replace(k=new_k, v=new_v)
+    out_cache = cache._replace(k=new_k, v=new_v, k_scale=new_ks, v_scale=new_vs)
     if return_new_kv:
         return hidden, out_cache, ys
     return hidden, out_cache

@@ -25,7 +25,7 @@ rows append at ``length``.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -39,12 +39,17 @@ class KVCache(NamedTuple):
     length: int32 scalar — number of committed (attendable) rows.
     real_length: int32 scalar — logical sequence position count; equals ``length``
         unless image compression dropped rows (draft cache only).
+    k_scale, v_scale: [num_layers, num_kv_heads, max_len] float32 per-row
+        dequantization scales — present (non-None) iff k/v are int8
+        (``init_cache(quantized=True)``, the opt-in int8-KV serving mode).
     """
 
     k: jax.Array
     v: jax.Array
     length: jax.Array
     real_length: jax.Array
+    k_scale: Optional[jax.Array] = None
+    v_scale: Optional[jax.Array] = None
 
     @property
     def max_len(self) -> int:
@@ -61,14 +66,47 @@ def init_cache(
     max_len: int,
     head_dim: int,
     dtype=jnp.bfloat16,
+    quantized: bool = False,
 ) -> KVCache:
+    """``quantized=True`` allocates int8 k/v plus per-row float32 scales —
+    half the KV HBM and half the KV bytes each verify/decode round reads
+    (the opt-in serving mode; see llama.forward_hidden's dequant contract)."""
     shape = (num_layers, num_kv_heads, max_len, head_dim)
+    if quantized:
+        sshape = (num_layers, num_kv_heads, max_len)
+        # distinct buffers throughout (donation must never alias two leaves)
+        return KVCache(
+            k=jnp.zeros(shape, jnp.int8),
+            v=jnp.zeros(shape, jnp.int8) + 0,
+            length=jnp.zeros((), jnp.int32),
+            real_length=jnp.zeros((), jnp.int32),
+            k_scale=jnp.zeros(sshape, jnp.float32),
+            v_scale=jnp.zeros(sshape, jnp.float32) + 0,
+        )
     return KVCache(
         k=jnp.zeros(shape, dtype),
         v=jnp.zeros(shape, dtype),
         length=jnp.zeros((), jnp.int32),
         real_length=jnp.zeros((), jnp.int32),
     )
+
+
+def quantize_rows(x: jax.Array):
+    """Symmetric per-row int8: ``x [..., D] -> (int8 [..., D], scale [...])``.
+
+    Row granularity = one (layer, head, position) K or V vector — the finest
+    grain whose scales still vanish next to the int8 payload (1/head_dim the
+    bytes) and whose dequant factors OUT of both attention dots: scores scale
+    per key column, PV scales the prob vector (ops/pallas_attention.py)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def dequantize_rows(q: jax.Array, scale: jax.Array, dtype=jnp.float32) -> jax.Array:
+    return (q.astype(jnp.float32) * scale[..., None].astype(jnp.float32)).astype(dtype)
 
 
 def reset(cache: KVCache) -> KVCache:
@@ -108,8 +146,20 @@ def commit_from_blocks(
     v_sel = jnp.take(v_blocks, node_indices, axis=2)
     zero = jnp.zeros((), jnp.int32)
     start = (zero, zero, tree_start, zero)
-    k = lax.dynamic_update_slice(cache.k, k_sel, start)
-    v = lax.dynamic_update_slice(cache.v, v_sel, start)
     new_len = tree_start + jnp.asarray(num_accepted, jnp.int32)
     delta = new_len - cache.length
-    return KVCache(k=k, v=v, length=new_len, real_length=cache.real_length + delta)
+    k_scale, v_scale = cache.k_scale, cache.v_scale
+    if cache.k.dtype == jnp.int8:
+        # the verify pass returns the PRE-quant bf16 blocks; re-quantizing the
+        # accepted rows here reproduces bit-identical int8 to an append of the
+        # same rows (quantize_rows is deterministic), so spec and AR caches
+        # agree on every committed row
+        k_sel, ks_sel = quantize_rows(k_sel)
+        v_sel, vs_sel = quantize_rows(v_sel)
+        sstart = (zero, zero, tree_start)
+        k_scale = lax.dynamic_update_slice(k_scale, ks_sel, sstart)
+        v_scale = lax.dynamic_update_slice(v_scale, vs_sel, sstart)
+    k = lax.dynamic_update_slice(cache.k, k_sel.astype(cache.k.dtype), start)
+    v = lax.dynamic_update_slice(cache.v, v_sel.astype(cache.v.dtype), start)
+    return KVCache(k=k, v=v, length=new_len, real_length=cache.real_length + delta,
+                   k_scale=k_scale, v_scale=v_scale)

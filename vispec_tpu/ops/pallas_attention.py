@@ -35,17 +35,21 @@ def _kernel(
     tm_ref,  # [GS, S] VMEM f32 — per-query-row tree mask (group-expanded)
     k_hbm,  # [L?, Hkv, max_len, D] ANY/HBM (leading layer dim optional)
     v_hbm,
-    out_ref,  # [1, GS, D] VMEM
-    k_buf,  # [2, B, D] VMEM scratch
-    v_buf,
-    acc_ref,  # [GS, D] f32
-    ml_ref,  # [GS, 256] f32 — cols 0:128 running max, 128:256 running sum
-    sem,  # DMA semaphores [2, 2]
-    *,
+    *rest,  # quantized: (ks_hbm, vs_hbm) [L?, Hkv, nb, block] f32, then the
+    # shared refs below, then (ks_all, vs_all) [nb, block] f32 scratch + ssem
+    # shared: out_ref [1, GS, D] VMEM; k_buf/v_buf [2, B, D] VMEM scratch;
+    # acc_ref [GS, D] f32; ml_ref [GS, 256] f32 (cols 0:128 running max,
+    # 128:256 running sum); sem — DMA semaphores [2, 2]
     block: int,
     t_reg: int,  # width of the masked tree region appended at tree_start
     scale: float,
+    quantized: bool = False,
 ):
+    if quantized:
+        (ks_hbm, vs_hbm, out_ref, k_buf, v_buf, acc_ref, ml_ref,
+         ks_all, vs_all, sem, ssem) = rest
+    else:
+        out_ref, k_buf, v_buf, acc_ref, ml_ref, sem = rest
     head = pl.program_id(0)
     gs = q_ref.shape[1]
     start = start_ref[0]
@@ -62,6 +66,18 @@ def _kernel(
 
     dma(0, 0, k_buf, k_hbm, sem.at[0]).start()
     dma(0, 0, v_buf, v_hbm, sem.at[1]).start()
+    if quantized:
+        # the full per-row scale tables for this (layer, head) are tiny
+        # (max_len * 4B ≈ 8 KB at 2048): one DMA each up front, reused by
+        # every block iteration as a [1, block] sublane row
+        def sdma(hbm, dst, s):
+            src = hbm.at[layer, head] if hbm.ndim == 4 else hbm.at[head]
+            return pltpu.make_async_copy(src, dst, s)
+
+        sdma(ks_hbm, ks_all, ssem.at[0]).start()
+        sdma(vs_hbm, vs_all, ssem.at[1]).start()
+        sdma(ks_hbm, ks_all, ssem.at[0]).wait()
+        sdma(vs_hbm, vs_all, ssem.at[1]).wait()
 
     acc_ref[:] = jnp.zeros_like(acc_ref)
     ml_ref[:, :128] = jnp.full((gs, 128), NEG_INF, jnp.float32)
@@ -89,6 +105,11 @@ def _kernel(
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [GS, B]
+        if quantized:
+            # per-row symmetric int8 (ops/kv_cache.quantize_rows): the key
+            # scale multiplies its score COLUMN, exact w.r.t. the dequantized
+            # dot since the scale is constant over the contracted D axis
+            scores = scores * ks_all[pl.ds(j, 1), :]  # [GS, B] * [1, B]
 
         # visibility: absolute col = j*block + c
         cols = jax.lax.broadcasted_iota(jnp.int32, (gs, block), 1) + j * block
@@ -116,11 +137,20 @@ def _kernel(
             p, axis=1, keepdims=True
         )
         ml_ref[:, :1] = m_new
-        pv = jax.lax.dot_general(
-            p.astype(v.dtype), v,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        if quantized:
+            # fold the value row scales into the prob vector (constant over
+            # the contracted row axis), then dot against the raw int8 tile
+            pv = jax.lax.dot_general(
+                p * vs_all[pl.ds(j, 1), :], v.astype(jnp.float32),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            pv = jax.lax.dot_general(
+                p.astype(v.dtype), v,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         acc_ref[:] = acc_ref[:] * alpha + pv
         return 0
 
@@ -142,6 +172,8 @@ def verify_attention(
     layer_idx=None,  # [] int32 — required when k_cache has the layer dim;
     # reading the stacked cache directly avoids materializing the per-layer
     # slice (~8 MB x2 per layer per round at 7B)
+    k_scale=None,  # [.., Hkv, max_len] f32 — present iff the cache is int8
+    v_scale=None,  # (kv_cache.quantize_rows layout); halves the KV DMA bytes
 ) -> jax.Array:
     """Length-aware fused attention over the cache; returns [H, S, D]."""
     h, s, d = q.shape
@@ -149,12 +181,30 @@ def verify_attention(
     groups = h // hkv
     gs = groups * s
     t_reg = tree_mask.shape[1]
-    assert k_cache.shape[-2] % block == 0, "max_len must be a block multiple"
+    max_len = k_cache.shape[-2]
+    assert max_len % block == 0, "max_len must be a block multiple"
+    quantized = k_scale is not None
     if layer_idx is None:
         layer_idx = jnp.zeros((), jnp.int32)
 
     qg = q.reshape(hkv, gs, d)
     tm_g = jnp.tile(tree_mask.astype(jnp.float32), (groups, 1))  # [GS, T_reg]
+
+    cache_specs = [pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)]
+    scale_ops, scale_specs, scale_scratch = (), [], []
+    nb = max_len // block
+    if quantized:
+        # lay the per-row scales out as [nb, block] so each loop step reads
+        # one dynamically-indexed SUBLANE row (lane offsets stay static)
+        scale_ops = (
+            k_scale.reshape(*k_scale.shape[:-1], nb, block).astype(jnp.float32),
+            v_scale.reshape(*v_scale.shape[:-1], nb, block).astype(jnp.float32),
+        )
+        scale_specs = [pl.BlockSpec(memory_space=pl.ANY),
+                       pl.BlockSpec(memory_space=pl.ANY)]
+        scale_scratch = [pltpu.VMEM((nb, block), jnp.float32),
+                         pltpu.VMEM((nb, block), jnp.float32)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -163,8 +213,8 @@ def verify_attention(
             pl.BlockSpec((1, gs, d), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((gs, t_reg), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            *cache_specs,
+            *scale_specs,
         ],
         out_specs=pl.BlockSpec((1, gs, d), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -173,11 +223,13 @@ def verify_attention(
             pltpu.VMEM((2, block, d), v_cache.dtype),
             pltpu.VMEM((gs, d), jnp.float32),
             pltpu.VMEM((gs, 256), jnp.float32),
+            *scale_scratch,
             pltpu.SemaphoreType.DMA((2, 2)),
-        ],
+        ] + ([pltpu.SemaphoreType.DMA((2,))] if quantized else []),
     )
 
-    wrapped = functools.partial(_kernel, block=block, t_reg=t_reg, scale=d**-0.5)
+    wrapped = functools.partial(_kernel, block=block, t_reg=t_reg,
+                                scale=d**-0.5, quantized=quantized)
     scalars = jnp.stack([
         jnp.asarray(tree_start, jnp.int32), jnp.asarray(layer_idx, jnp.int32)
     ])
@@ -185,5 +237,5 @@ def verify_attention(
         wrapped,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((hkv, gs, d), q.dtype),
-    )(scalars, qg, tm_g, k_cache, v_cache)
+    )(scalars, qg, tm_g, k_cache, v_cache, *scale_ops)
     return out.reshape(h, s, d)

@@ -204,7 +204,7 @@ def mixtral_param_specs_pp(cfg) -> dict:
     return specs
 
 
-def kv_cache_specs(pp: bool = False, h_ax="tp"):
+def kv_cache_specs(pp: bool = False, h_ax="tp", quantized: bool = False):
     """PartitionSpecs for ops/kv_cache.KVCache: KV heads split over ``tp`` —
     attention activations are already head-sharded under llama_param_specs
     (wq/wk/wv column-parallel), so the cache rows land on the same shard with
@@ -221,6 +221,9 @@ def kv_cache_specs(pp: bool = False, h_ax="tp"):
         v=P(l_ax, h_ax, None, None),
         length=P(),
         real_length=P(),
+        # int8-KV per-row scale tables shard exactly like their rows
+        k_scale=P(l_ax, h_ax, None) if quantized else None,
+        v_scale=P(l_ax, h_ax, None) if quantized else None,
     )
 
 
@@ -249,7 +252,8 @@ def shard_cache(mesh: Mesh, cache, pp: bool = False):
             f"KV cache with {cache.k.shape[0]} layers does not divide "
             f"pp={pp_n}; every stage will hold the full layer axis (pick pp "
             f"dividing the layer count to split it)", stacklevel=2)
-    specs = kv_cache_specs(pp=pp_ok, h_ax="tp" if tp_ok else None)
+    specs = kv_cache_specs(pp=pp_ok, h_ax="tp" if tp_ok else None,
+                           quantized=cache.k_scale is not None)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
         cache, specs,

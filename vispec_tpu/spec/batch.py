@@ -185,6 +185,7 @@ def batched_prefill(
     seed: int = 0,
     cache_pool: Optional[List] = None,
     mparams: Optional[dict] = None,
+    quantize_kv: bool = False,  # int8 target caches (kv_cache.init_cache)
 ) -> spec_loop.SpecState:
     """Prefill each request and stack into a batched SpecState.
 
@@ -203,7 +204,8 @@ def batched_prefill(
             tc, dc = kv.reset(tc), kv.reset(dc)
         else:
             tc = kv.init_cache(tcfg.num_hidden_layers, tcfg.num_key_value_heads,
-                               max_len, tcfg.head_dim, dtype)
+                               max_len, tcfg.head_dim, dtype,
+                               quantized=quantize_kv)
             # medusa has no draft transformer; keep the pool entry tiny
             dc = kv.init_cache(1, dcfg.num_key_value_heads,
                                128 if mparams is not None else max_len,
@@ -307,6 +309,7 @@ def generate_batch(
     seed: int = 0,
     chunk_rounds: int = 8,
     cache_pool: Optional[List] = None,
+    quantize_kv: bool = False,
 ) -> List[np.ndarray]:
     """Decode a batch of text prompts to completion; returns generated ids per
     request.  (Vision requests go through SpecModel.specgenerate_batch, which
@@ -318,6 +321,7 @@ def generate_batch(
     states = batched_prefill(
         tparams, dparams, tcfg, dcfg, spec, sampling, requests,
         max_len, max_out, dtype, seed, cache_pool=cache_pool,
+        quantize_kv=quantize_kv,
     )
     longest = max(len(p) for p in prompts)
     budget = min(max_new_tokens, max_len - longest - slack)

@@ -193,6 +193,9 @@ class PrefixSnapshot(NamedTuple):
     d_v: jax.Array
     prefix_len: jax.Array  # [] int32
     boundary_hidden: jax.Array  # [hidden] — target hidden at prefix_len-1
+    t_ks: Optional[jax.Array] = None  # [L, H, prefix_pad] f32 — per-row scales
+    t_vs: Optional[jax.Array] = None  # when the target cache is int8 (the
+    # quantize_kv serving mode); the draft cache stays bf16 either way
 
 
 @functools.partial(jax.jit, static_argnames=("tcfg", "dcfg"))
@@ -233,6 +236,8 @@ def make_prefix_snapshot(
         d_k=dc.k[:, :, :pad], d_v=dc.v[:, :, :pad],
         prefix_len=jnp.asarray(prefix_len, jnp.int32),
         boundary_hidden=boundary,
+        t_ks=None if tc.k_scale is None else tc.k_scale[:, :, :pad],
+        t_vs=None if tc.v_scale is None else tc.v_scale[:, :, :pad],
     )
 
 
@@ -266,6 +271,10 @@ def spec_prefill_continue(
         k=lax.dynamic_update_slice(target_cache.k, snap.t_k, (0, 0, 0, 0)),
         v=lax.dynamic_update_slice(target_cache.v, snap.t_v, (0, 0, 0, 0)),
         length=plen, real_length=plen + 0,
+        k_scale=target_cache.k_scale if snap.t_ks is None else
+        lax.dynamic_update_slice(target_cache.k_scale, snap.t_ks, (0, 0, 0)),
+        v_scale=target_cache.v_scale if snap.t_vs is None else
+        lax.dynamic_update_slice(target_cache.v_scale, snap.t_vs, (0, 0, 0)),
     )
     draft_cache = draft_cache._replace(
         k=lax.dynamic_update_slice(draft_cache.k, snap.d_k, (0, 0, 0, 0)),

@@ -149,7 +149,8 @@ class ServingEngine:
         m = self.m
         return (
             kv.init_cache(m.tcfg.num_hidden_layers, m.tcfg.num_key_value_heads,
-                          self._t_rows, m.tcfg.head_dim, m.dtype),
+                          self._t_rows, m.tcfg.head_dim, m.dtype,
+                          quantized=m.quantize_kv),
             kv.init_cache(1, m.dcfg.num_key_value_heads, self._d_rows,
                           m.dcfg.head_dim, m.dtype),
         )
@@ -170,11 +171,18 @@ class ServingEngine:
                           template._replace(target_cache=None,
                                             draft_cache=None))
 
-        def big(layers, heads, head_dim):
+        def big(layers, heads, head_dim, quantized=False):
             shape = (b, layers, heads, m.max_len, head_dim)
             zero = jnp.zeros((b,), jnp.int32)
             # distinct buffers throughout: these leaves are donated every
             # chunk and a pytree must not alias one buffer twice (CLAUDE.md)
+            if quantized:
+                sshape = (b, layers, heads, m.max_len)
+                return kv.KVCache(k=jnp.zeros(shape, jnp.int8),
+                                  v=jnp.zeros(shape, jnp.int8) + 0,
+                                  length=zero, real_length=zero + 0,
+                                  k_scale=jnp.zeros(sshape, jnp.float32),
+                                  v_scale=jnp.zeros(sshape, jnp.float32) + 0)
             return kv.KVCache(k=jnp.zeros(shape, m.dtype),
                               v=jnp.zeros(shape, m.dtype) + 0,
                               length=zero, real_length=zero + 0)
@@ -188,7 +196,8 @@ class ServingEngine:
             d_cache = big(1, m.dcfg.num_key_value_heads, m.dcfg.head_dim)
         return st._replace(
             target_cache=big(m.tcfg.num_hidden_layers,
-                             m.tcfg.num_key_value_heads, m.tcfg.head_dim),
+                             m.tcfg.num_key_value_heads, m.tcfg.head_dim,
+                             quantized=m.quantize_kv),
             draft_cache=d_cache,
             done=jnp.ones((b,), bool),
         )
@@ -240,7 +249,8 @@ class ServingEngine:
             # medusa: heads on the target hidden; no plan, no draft cache
             tc = kv.init_cache(m.tcfg.num_hidden_layers,
                                m.tcfg.num_key_value_heads, self._t_rows,
-                               m.tcfg.head_dim, m.dtype)
+                               m.tcfg.head_dim, m.dtype,
+                               quantized=m.quantize_kv)
             self._n_prefills += 1
             return spec_loop.medusa_prefill(
                 m.tparams, m.mparams, m.tcfg, m.spec, self.sampling, embeds,

@@ -71,8 +71,10 @@ class ConversationSnapshot:
     conversation skips re-prefilling the whole history (the reference
     re-prefills every turn, gen_spec_answer_vicuna.py:160-275)."""
 
-    def __init__(self, t_k, t_v, d_k, d_v, hiddens, seq, prompt_len):
+    def __init__(self, t_k, t_v, d_k, d_v, hiddens, seq, prompt_len,
+                 t_ks=None, t_vs=None):
         self.t_k, self.t_v, self.d_k, self.d_v = t_k, t_v, d_k, d_v
+        self.t_ks, self.t_vs = t_ks, t_vs  # int8-KV per-row scales (or None)
         self.hiddens = hiddens  # [max_out, hidden] device
         self.seq = np.asarray(seq)  # committed ids (prompt + trimmed output)
         self.prompt_len = int(prompt_len)
@@ -121,9 +123,14 @@ class SpecModel:
         # match the tokenizer's video-token expansion like the image budgets do
         quantize_draft=False,  # False | True/"int8" | "int4"/"int4_head" | "mixed" | "auto"
         # | "auto" (per-matrix fastest of bf16/int8/int4, measured on-chip)
+        quantize_kv: bool = False,  # int8 TARGET KV cache (per-row scales,
+        # ops/kv_cache.quantize_rows): halves KV HBM + KV read bytes per round
+        # — the long-context serving mode; outputs change (the cache is
+        # quantized) but spec stays exactly lossless vs AR on the same cache
     ):
         self.quantize_draft = False
         self.quantize_target = False  # set by quantize_target_inplace
+        self.quantize_kv = bool(quantize_kv)
         self.tcfg, self.dcfg, self.spec = tcfg, dcfg, spec
         self.tparams, self.dparams = tparams, dparams
         if quantize_draft:
@@ -167,6 +174,7 @@ class SpecModel:
             self._target_cache = kv.init_cache(
                 self.tcfg.num_hidden_layers, self.tcfg.num_key_value_heads,
                 self.max_len, self.tcfg.head_dim, self.dtype,
+                quantized=self.quantize_kv,
             )
             if self._mesh is not None:  # shard_over() ran before first touch
                 from ..parallel.sharding import shard_cache
@@ -330,6 +338,7 @@ class SpecModel:
         max_pixels: int = 1280 * 28 * 28,
         video_max_pixels: int = 768 * 28 * 28,
         quantize_draft=False,  # False | "int8"/True | "int4"/"int4_head" | "mixed" | "auto"
+        quantize_kv: bool = False,  # int8 target KV cache (long-context serving)
         mesh=None,  # parallel.mesh.make_mesh: shard_over() the loaded model
         pp: bool = False,  # with mesh: layer-stage placement of the target
         sp: bool = False,  # with mesh: sequence-parallel prompt prefill
@@ -416,7 +425,7 @@ class SpecModel:
                 base_model_path, spec_model_path, hf_cfg, spec_cfg, num_q,
                 max_len, dtype, min_pixels=min_pixels, max_pixels=max_pixels,
                 video_max_pixels=video_max_pixels,
-                quantize_draft=quantize_draft,
+                quantize_draft=quantize_draft, quantize_kv=quantize_kv,
             )
             if mesh is not None:
                 model.shard_over(mesh, pp=pp, sp=sp)
@@ -473,6 +482,7 @@ class SpecModel:
             eos_token_id=eos[0] if isinstance(eos, list) else eos,
             image_token_index=image_token_index,
             mparams=mparams, quantize_draft=quantize_draft,
+            quantize_kv=quantize_kv,
         )
         if mesh is not None:
             model.shard_over(mesh, pp=pp, sp=sp)
@@ -487,6 +497,7 @@ class SpecModel:
         max_len, dtype, min_pixels: int = 256 * 28 * 28,
         max_pixels: int = 1280 * 28 * 28,
         video_max_pixels: int = 768 * 28 * 28, quantize_draft=False,
+        quantize_kv: bool = False,
     ) -> "SpecModel":
         from ..convert import hf as hf_convert
 
@@ -532,7 +543,7 @@ class SpecModel:
             vision_start_token_id=hf_cfg.get("vision_start_token_id", 151652),
             min_pixels=min_pixels, max_pixels=max_pixels,
             video_max_pixels=video_max_pixels,
-            quantize_draft=quantize_draft,
+            quantize_draft=quantize_draft, quantize_kv=quantize_kv,
         )
 
     # ------------------------------------------------------------------
@@ -977,6 +988,8 @@ class SpecModel:
                 t_k=tc.k[:, :, :pad], t_v=tc.v[:, :, :pad],
                 d_k=dc.k[:, :, :pad], d_v=dc.v[:, :, :pad],
                 hiddens=state.hiddens, seq=seq, prompt_len=l,
+                t_ks=None if tc.k_scale is None else tc.k_scale[:, :, :pad],
+                t_vs=None if tc.v_scale is None else tc.v_scale[:, :, :pad],
             )
         # persist caches for reuse (buffer reuse across calls)
         self.target_cache = kv.reset(state.target_cache)
@@ -1007,6 +1020,7 @@ class SpecModel:
             t_k=snap.t_k, t_v=snap.t_v, d_k=snap.d_k, d_v=snap.d_v,
             prefix_len=jnp.asarray(plen, jnp.int32),
             boundary_hidden=snap.hiddens[plen - 1 - snap.prompt_len],
+            t_ks=snap.t_ks, t_vs=snap.t_vs,
         )
         return spec_loop.spec_prefill_continue_donated(
             self.tparams, self.dparams, self.tcfg, self.dcfg, self.spec,
@@ -1096,6 +1110,7 @@ class SpecModel:
             self.tparams, self.dparams, self.tcfg, self.dcfg, self.spec,
             sampling, reqs, self.max_len, max_out, self.dtype, seed,
             cache_pool=self._batch_pool, mparams=self.mparams,
+            quantize_kv=self.quantize_kv,
         )
         # decode_time excludes prefill — same semantics as specgenerate
         t0 = time.perf_counter()
