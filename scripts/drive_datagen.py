@@ -38,11 +38,15 @@ embeds = llama.embed(tparams, jnp.asarray(ids))
 embeds = jnp.pad(embeds, ((0, 128 - len(ids)), (0, 0)))
 N_NEW = 256
 
-# warm both compiled paths (prefill + step / scan-chunk)
+# warm both compiled paths (prefill + step / scan-chunk).  chunk is a STATIC
+# argname of the scan graph — the warm call must use the same chunk as the
+# timed run or the timing eats a multi-second XLA compile (observed: 1.8x
+# "speedup" instead of 20x because the chunk=32 graph compiled inside the
+# timed region)
 for pipelined in (False, True):
     _, cache = data_gen.generate_sample(
         tparams, tcfg, embeds, len(ids), None, kv.reset(cache),
-        max_new_tokens=8, eos_token_id=10**6, pipelined=pipelined)
+        max_new_tokens=8, eos_token_id=10**6, chunk=32, pipelined=pipelined)
 
 t0 = time.perf_counter()
 ref, cache = data_gen.generate_sample(
