@@ -76,7 +76,7 @@ N_TOKENS = 96  # tokens per timed e2e run (random draft => ~1 round per token)
 REPEATS = 3
 
 
-def build(cfg_d, dtype=jnp.bfloat16) -> SpecModel:
+def build(cfg_d, dtype=jnp.bfloat16, quantize_kv: bool = False) -> SpecModel:
     max_len = cfg_d["max_len"]
     tcfg = LlamaConfig(
         vocab_size=cfg_d["vocab_size"], hidden_size=cfg_d["hidden_size"],
@@ -100,7 +100,7 @@ def build(cfg_d, dtype=jnp.bfloat16) -> SpecModel:
     # out-of-vocab eos: random weights must not stop generation early
     return SpecModel(tcfg, dcfg, SpecConfig(total_tokens=30, depth=3, top_k=8),
                      tparams, dparams, max_len=max_len, dtype=dtype,
-                     eos_token_id=10**6)
+                     eos_token_id=10**6, quantize_kv=quantize_kv)
 
 
 def _time_spec(model, prompt, temperature=0.0):

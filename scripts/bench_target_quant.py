@@ -40,11 +40,20 @@ def main():
     ap.add_argument("--max-new", type=int, default=60)
     ap.add_argument("--requests-factor", type=int, default=2,
                     help="requests = factor * batch size")
+    ap.add_argument("--kv", action="store_true",
+                    help="also quantize the KV cache to int8 (quantize_kv)")
+    ap.add_argument("--max-len", type=int, default=0,
+                    help="override the config's max_len (e.g. 4096 — the "
+                    "context capacity int8 target+KV unlocks on one v5e)")
     args = ap.parse_args()
 
-    cfg_d = bench.CONFIGS[args.config]
-    print(f"building {cfg_d['label']} ...", flush=True)
-    model = bench.build(cfg_d)
+    cfg_d = dict(bench.CONFIGS[args.config])
+    if args.max_len:
+        cfg_d["max_len"] = args.max_len
+        cfg_d["label"] = cfg_d["label"].split("@")[0] + f"@{args.max_len}"
+    print(f"building {cfg_d['label']} (kv={'int8' if args.kv else 'bf16'})"
+          " ...", flush=True)
+    model = bench.build(cfg_d, quantize_kv=args.kv)
     t0 = time.perf_counter()
     model.quantize_target_inplace("int8")
     print(f"target quantized in {time.perf_counter() - t0:.1f}s", flush=True)
@@ -68,6 +77,7 @@ def main():
         "unit": "tok/s",
         "detail": {
             "model": cfg_d["label"],
+            "kv": "int8" if args.kv else "bf16",
             "t_ar_ms": round(t_ar * 1e3, 3),
             "t_round_ms": round(t_round * 1e3, 3),
             "t_round_int8draft_ms": round(t_round_q8 * 1e3, 3),

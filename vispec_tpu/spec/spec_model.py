@@ -258,8 +258,13 @@ class SpecModel:
 
         # vision towers stay bf16 (a ViT forward per REQUEST is noise next to
         # per-TOKEN decode bytes); embed stays bf16 too, so the shared
-        # draft-embed alias is untouched
-        self.tparams = quantize_target_params(self.tparams, mode=mode)
+        # draft-embed alias is untouched.  inplace: at 7B the bf16 weights are
+        # 13.5GB of a 16GB chip — a non-mutating copy keeps every bf16 matrix
+        # alive (via self.tparams) until the method returns, OOMing next to
+        # the 6.9GB of int8 copies; mutating frees each source as its int8
+        # copy lands (the async OOM surfaces at the NEXT readback, far from
+        # here — CLAUDE.md pitfall, hit on-chip at 7B/1024)
+        quantize_target_params(self.tparams, mode=mode, inplace=True)
         self.quantize_target = mode
 
     # ------------------------------------------------------------------
