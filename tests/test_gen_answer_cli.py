@@ -87,3 +87,13 @@ def test_gen_answer_cli_vicuna(tmp_path, monkeypatch):
     ref = [json.loads(l) for l in open(spec_file) if l.strip()][0]
     got = [json.loads(l) for l in open(tp_file) if l.strip()][0]
     assert got["turns"] == ref["turns"]
+
+    # serving quant modes through the CLI (int8 target + int8 KV, with a tp=2
+    # mesh so the quantize-then-shard ordering is exercised): answers may
+    # differ from bf16 (quantized verifier/cache) but the run must complete
+    # with the same record shape
+    q_file = str(tmp_path / "out" / "spec_quant.jsonl")
+    run(["--answer-file", q_file, "--quantize-target", "--quantize-kv",
+         "--tp", "2"])
+    q = [json.loads(l) for l in open(q_file) if l.strip()][0]
+    assert len(q["turns"]) == 2 and "acceptance_length" in q

@@ -75,6 +75,14 @@ def main():
                         "faster rounds, greedy output unchanged, small tau "
                         "cost; bare flag = int8; auto = per-matrix fastest "
                         "of bf16/int8/int4 measured on the chip")
+    p.add_argument("--quantize-target", action="store_true",
+                   help="weight-only int8 on the TARGET (serving mode: ~2x "
+                        "decode throughput, ~6.5GB freed at 7B; outputs "
+                        "change — not for BASELINE.md parity runs)")
+    p.add_argument("--quantize-kv", action="store_true",
+                   help="int8 KV cache (serving mode: half the KV HBM/read "
+                        "bytes — the long-context configuration; outputs "
+                        "change — not for BASELINE.md parity runs)")
     p.add_argument("--repetition-penalty", type=float, default=1.0)
     p.add_argument("--prefix-cache", action="store_true",
                    help="multi-turn benches: continue each turn from the "
@@ -128,8 +136,19 @@ def main():
         max_pixels=args.max_pixels,
         video_max_pixels=args.video_max_pixels,
         quantize_draft=args.quantize_draft or False,
-        mesh=mesh, pp=args.pp > 1, sp=args.sp > 1,
+        quantize_kv=args.quantize_kv,
+        # target quantization must precede sharding (quantize_aware_specs
+        # reshard the QTensors; shard_over handles it — the reverse order
+        # would quantize per-shard views), so load unsharded first
+        mesh=None if args.quantize_target else mesh,
+        pp=args.pp > 1, sp=args.sp > 1,
     )
+    if args.quantize_target:
+        # right after load: the method frees each bf16 matrix as its int8
+        # copy lands (7B headroom on one 16GB chip)
+        model.quantize_target_inplace()
+        if mesh is not None:
+            model.shard_over(mesh, pp=args.pp > 1, sp=args.sp > 1)
 
     questions = list(
         iter_questions(args.bench, processor, args.data_root,
