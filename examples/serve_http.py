@@ -1,0 +1,206 @@
+"""Minimal HTTP serving front end over the continuous-batching engine.
+
+A stdlib-only demonstration of the ONLINE engine API (submit/step/results):
+HTTP handler threads enqueue requests as they arrive; one decode thread steps
+the engine (chunks of device rounds, one readback each) and wakes the waiting
+handlers as their requests complete — requests batch together automatically
+whenever more than one is in flight.
+
+    python examples/serve_http.py [--port 8123] [--batch 4] [--selftest]
+
+    curl -s localhost:8123/generate -d '{"input_ids": [5, 6, 7], \
+        "max_new_tokens": 16}'
+    -> {"request_id": 0, "output_ids": [...]}
+
+Random-weight demo model (this container has no checkpoints); with real
+weights build via SpecModel.from_pretrained and tokenize client-side, or put
+a tokenizer in front of /generate.  --selftest starts the server, fires
+concurrent requests at it, checks each against single-request specgenerate,
+and exits (the CI smoke).
+"""
+
+import argparse
+import json
+import sys
+import threading
+import time
+
+sys.path.insert(0, __file__.rsplit("/examples", 1)[0])
+
+import os
+
+import jax
+
+if os.environ.get("JAX_PLATFORMS"):
+    try:
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+
+import numpy as np
+
+
+def build_model(hidden=128):
+    import jax.numpy as jnp
+
+    from vispec_tpu.configs import DraftConfig, LlamaConfig, SpecConfig
+    from vispec_tpu.models import draft as draft_mod
+    from vispec_tpu.models import llama
+    from vispec_tpu.spec.spec_model import SpecModel
+
+    tcfg = LlamaConfig(
+        vocab_size=512, hidden_size=hidden, intermediate_size=hidden * 2,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512,
+    )
+    dcfg = DraftConfig(
+        vocab_size=512, hidden_size=hidden, intermediate_size=hidden * 2,
+        num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512, num_q=2,
+    )
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    tparams = llama.init_params(tcfg, k1, jnp.float32)
+    dparams = draft_mod.init_params(dcfg, k2, jnp.float32)
+    dparams["embed"] = tparams["embed"]
+    return SpecModel(tcfg, dcfg, SpecConfig(total_tokens=12, depth=3, top_k=4),
+                     tparams, dparams, max_len=512, dtype=jnp.float32,
+                     eos_token_id=10**6)
+
+
+class EngineLoop:
+    """One decode thread around the engine's online API; handler threads call
+    generate() and block until their request completes."""
+
+    def __init__(self, engine):
+        self.eng = engine
+        self.eng.start_session()
+        self.cv = threading.Condition()
+        self.stop = False
+        self.thread = threading.Thread(target=self._run, daemon=True)
+        self.thread.start()
+
+    def _run(self):
+        while not self.stop:
+            with self.cv:
+                if not self.eng.pending():
+                    self.cv.wait(timeout=0.05)
+                    continue
+            done = self.eng.step()
+            if done:
+                with self.cv:
+                    self.cv.notify_all()
+
+    def generate(self, input_ids):
+        with self.cv:
+            rid = self.eng.submit(list(map(int, input_ids)))
+            self.cv.notify_all()
+            while rid not in self.eng.results:
+                self.cv.wait(timeout=1.0)
+        return rid, self.eng.results[rid]
+
+    def shutdown(self):
+        self.stop = True
+        self.thread.join(timeout=5)
+
+
+def make_server(port, loop_):
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            if self.path != "/generate":
+                self.send_error(404)
+                return
+            try:
+                body = json.loads(
+                    self.rfile.read(int(self.headers["Content-Length"])))
+                ids = body["input_ids"]
+            except Exception as e:  # malformed request
+                self.send_error(400, str(e))
+                return
+            rid, out = loop_.generate(ids)
+            resp = json.dumps({"request_id": rid,
+                               "output_ids": np.asarray(out).tolist()})
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(resp.encode())
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    return ThreadingHTTPServer(("127.0.0.1", port), Handler)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--port", type=int, default=8123)
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--max-new-tokens", type=int, default=24)
+    p.add_argument("--selftest", action="store_true")
+    args = p.parse_args()
+
+    model = build_model()
+    eng = model.serving_engine(batch_size=args.batch,
+                               max_new_tokens=args.max_new_tokens)
+    # warm the stacked decode graphs before accepting traffic
+    eng.run_all([[7, 8, 9]])
+    loop_ = EngineLoop(eng)
+    srv = make_server(args.port, loop_)
+    print(f"serving on :{args.port} (batch={args.batch})", flush=True)
+
+    if not args.selftest:
+        try:
+            srv.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            loop_.shutdown()
+        return
+
+    # ---- selftest: concurrent clients vs single-request specgenerate ----
+    import urllib.request
+
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(5, 500, rng.integers(8, 20)).tolist()
+               for _ in range(6)]
+    singles = [model.specgenerate(p, max_new_tokens=args.max_new_tokens)
+               .sequences.tolist() for p in prompts]
+
+    results = {}
+
+    def client(i):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{args.port}/generate",
+            data=json.dumps({"input_ids": prompts[i]}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=300) as r:
+            results[i] = json.loads(r.read())["output_ids"]
+
+    t0 = time.time()
+    threads = [threading.Thread(target=client, args=(i,))
+               for i in range(len(prompts))]
+    for t in threads:
+        t.start()
+        time.sleep(0.02)  # staggered arrivals — exercises mid-flight admission
+    for t in threads:
+        t.join()
+    wall = time.time() - t0
+
+    ok = 0
+    for i, p in enumerate(prompts):
+        out = results[i]
+        ref = singles[i][len(p):len(p) + len(out)]
+        assert ref == out[:len(ref)], (i, out, ref)
+        ok += 1
+    srv.shutdown()
+    loop_.shutdown()
+    print(f"selftest: {ok}/{len(prompts)} concurrent HTTP requests match "
+          f"specgenerate ({wall:.1f}s, admissions="
+          f"{eng.stats['admissions']})")
+    print("serve_http demo OK")
+
+
+if __name__ == "__main__":
+    main()

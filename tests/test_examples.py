@@ -21,6 +21,22 @@ def test_multichip_example_runs():
     assert "token-identical" in r.stdout
 
 
+def test_serve_http_example_runs():
+    """The HTTP front end: concurrent clients over the engine's online
+    submit/step API, each response checked against specgenerate."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "JAX_PLATFORMS": "cpu",
+           "PYTHONPATH": repo + ":" + os.environ.get("PYTHONPATH", "")}
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "examples", "serve_http.py"),
+         "--selftest", "--port", "8431", "--batch", "2"],
+        capture_output=True, text=True, timeout=900, env=env, cwd=repo,
+    )
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-1000:])
+    assert "serve_http demo OK" in r.stdout
+    assert "6/6 concurrent HTTP requests match" in r.stdout
+
+
 def test_serving_example_runs():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = {**os.environ, "JAX_PLATFORMS": "cpu",

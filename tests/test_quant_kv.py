@@ -204,6 +204,32 @@ def test_snapshot_continuation_quantized_kv():
         cont.sequences.tolist()[:len(turn2) + n]
 
 
+def test_mixtral_quantized_kv_losslessness():
+    """The MoE target shares the llama append/attend helpers — spec == AR on
+    the same int8 cache holds there too."""
+    from vispec_tpu.models import mixtral
+
+    from .test_mixtral import DCFG, MCFG
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    tparams = mixtral.init_params(MCFG, k1, jnp.float32)
+    dparams = draft_mod.init_params(DCFG, k2, jnp.float32)
+    dparams["embed"] = tparams["embed"]
+    model = SpecModel(
+        MCFG, DCFG, SpecConfig(total_tokens=12, depth=3, top_k=4),
+        tparams, dparams, max_len=512, dtype=jnp.float32, eos_token_id=999,
+        quantize_kv=True,
+    )
+    assert model.target_cache.k.dtype == jnp.int8
+    prompt = list(range(30, 60))
+    spec = model.specgenerate(prompt, max_new_tokens=14)
+    ar = model.ar_generate(prompt, max_new_tokens=14)
+    n = min(spec.new_tokens, ar.new_tokens, 14)
+    assert n >= 8
+    assert spec.sequences[: len(prompt) + n].tolist() == \
+        ar.sequences[: len(prompt) + n].tolist()
+
+
 def test_tp2_quantized_kv_matches_single_device():
     """int8 KV shards over the tp axis like its rows (kv_cache_specs
     quantized=True): decode under tp=2 is token-identical to single-device."""

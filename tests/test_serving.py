@@ -50,6 +50,37 @@ def test_continuous_batching_matches_single():
         assert list(o[:n]) == ref_new[:n], (list(o), ref_new)
 
 
+def test_online_submit_mid_flight():
+    """The online API (submit/step/results): requests arriving WHILE others
+    decode — a live server's pattern, not just the batch run_all wrapper —
+    still match single-request specgenerate exactly."""
+    model = _model()
+    rng = np.random.default_rng(7)
+    prompts = [rng.integers(5, 120, rng.integers(8, 30)).tolist()
+               for _ in range(5)]
+    singles = [model.specgenerate(p, max_new_tokens=16).sequences.tolist()
+               for p in prompts]
+
+    eng = ServingEngine(model, batch_size=2, max_new_tokens=16,
+                        chunk_rounds=2)
+    rids = [eng.submit(p) for p in prompts[:2]]
+    # decode a few chunks before the late arrivals land
+    for _ in range(2):
+        eng.step()
+    assert eng.pending()
+    rids += [eng.submit(p) for p in prompts[2:]]  # arrive mid-flight
+    while eng.pending():
+        eng.step()
+    assert sorted(eng.results) == sorted(rids)
+    for p, s, rid in zip(prompts, singles, rids):
+        o = eng.results[rid]
+        n = min(len(o), 16)
+        assert n >= 12
+        assert s[len(p):len(p) + n] == list(o[:n])
+    # the late arrivals were mid-flight admissions
+    assert eng.stats["admissions"] >= 3
+
+
 def test_engine_fewer_requests_than_slots():
     model = _model()
     prompts = [list(range(10, 22)), list(range(30, 45))]

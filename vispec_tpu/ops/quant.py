@@ -453,9 +453,15 @@ def quantize_target_params(tparams: dict, mode: str = "int8",
         tparams = dict(tparams)
         tparams["layers"] = dict(tparams["layers"])
     layers = tparams["layers"]
+    # idempotent: skip matrices that are already QTensors — with inplace=True
+    # the caller's dict IS the storage, so a second model built over the same
+    # (now-quantized) params must be a no-op, not a double-quantization
     for k in _LAYER_QUANT_KEYS:
-        layers[k] = quantize_q8(layers[k], chunk_cols=chunk_cols)
-    tparams["lm_head"] = quantize_q8(tparams["lm_head"], chunk_cols=chunk_cols)
+        if not isinstance(layers[k], QTensor):
+            layers[k] = quantize_q8(layers[k], chunk_cols=chunk_cols)
+    if not isinstance(tparams["lm_head"], QTensor):
+        tparams["lm_head"] = quantize_q8(tparams["lm_head"],
+                                         chunk_cols=chunk_cols)
     return tparams
 
 

@@ -12,6 +12,11 @@ repacking, no pause).  The reference has no serving story at all
 Scheduling is decode-priority (admissions happen between chunks, one prefill
 at a time on the same chip); the slot's done latch (spec/loop.latch_done)
 keeps drained slots as no-ops until refilled.
+
+The engine is ONLINE: ``submit()`` enqueues a request at any time (a live
+server's arrivals), ``step()`` runs one decode chunk and returns the request
+ids that finished, ``results[rid]`` holds outputs.  ``run_all`` is the batch
+convenience wrapper (submit everything, step until dry).
 """
 
 from __future__ import annotations
@@ -276,6 +281,127 @@ class ServingEngine:
         )
 
     # ------------------------------------------------------------------
+    # Online serving API: submit() requests at ANY time (a live server's
+    # arrivals), step() one decode chunk, read completions from .results.
+    # run_all() below is the batch wrapper (submit everything, step to dry).
+    # ------------------------------------------------------------------
+    def start_session(self) -> None:
+        """Reset the live-serving state (called lazily by submit/run_all)."""
+        self._queue: deque = deque()  # (rid, request) awaiting a slot
+        self._states = None  # stacked SpecState (allocated on first admit)
+        self._active: Dict[int, int] = {}  # slot -> rid
+        self.results: Dict[int, np.ndarray] = {}  # rid -> generated ids
+        self.acceptance: Dict[int, List[int]] = {}
+        self._emitted: Dict[int, int] = {}  # rid -> streamed-token cursor
+        self._prev = np.zeros(self.b, np.int64)
+        self._next_rid = 0
+        self._guard = 0
+        self._chunks = 0
+        # per-session admission accounting (VERDICT r2 weak #8): mid-flight
+        # admissions serialize their prefill with decode on the one chip;
+        # stats lets benches quantify that stall per admission
+        self.stats = {"admissions": 0, "admit_dispatch_s": 0.0, "wall_s": 0.0}
+
+    def submit(self, request) -> int:
+        """Enqueue a request (token list or dict with ``input_ids`` +
+        optional vision inputs); returns a request id.  Admission into a
+        decode slot happens inside step() as slots free up."""
+        if not hasattr(self, "_queue"):
+            self.start_session()
+        rid = self._next_rid
+        self._next_rid += 1
+        self._queue.append((rid, request))
+        self.acceptance[rid] = []
+        self._emitted[rid] = 0
+        return rid
+
+    def pending(self) -> bool:
+        """True while any request is queued or decoding."""
+        return bool(getattr(self, "_queue", None)) or bool(
+            getattr(self, "_active", None))
+
+    def _admit_from_queue(self) -> None:
+        """Fill free slots from the queue (one prefill at a time on the same
+        chip — decode-priority scheduling, between chunks)."""
+        import time as _time
+
+        free = [s for s in range(self.b) if s not in self._active]
+        while self._queue and free:
+            rid, request = self._queue.popleft()
+            t_adm = _time.perf_counter()
+            s1 = self._prefill_one(request)
+            if self._states is None:
+                self._states = self._empty_stacked(s1)
+            slot = free.pop(0)
+            self._states = admit(self._states, s1,
+                                 jnp.asarray(slot, jnp.int32))
+            if self._chunks:
+                # only MID-FLIGHT admissions stall other slots' decode (the
+                # initial fill has nothing to stall) — count those
+                self.stats["admissions"] += 1
+                self.stats["admit_dispatch_s"] += _time.perf_counter() - t_adm
+            self._active[slot] = rid
+            self._prev[slot] = 0
+
+    def step(self, on_tokens=None) -> List[int]:
+        """Admit queued requests into free slots, run ONE decode chunk
+        (``chunk_rounds`` device rounds, one host readback), harvest finished
+        slots into ``self.results``; returns the rids completed this step.
+
+        ``on_tokens(rid, token_ids)`` streams each request's newly generated
+        tokens once per chunk (may include up to one lookahead round's tokens
+        past EOS; the final trim happens at completion)."""
+        m = self.m
+        self._admit_from_queue()
+        if not self._active:
+            return []
+        states = self._states
+        eos = jnp.asarray(m.eos_token_id, jnp.int32)
+        cap = jnp.asarray(self.max_new, jnp.int32)
+        if m.mparams is not None:
+            states, counts = batch_mod.batched_medusa_rounds_chunk(
+                m.tparams, m.mparams, m.tcfg, m.spec, self.sampling,
+                states, eos, cap, n_rounds=self.chunk_rounds,
+            )
+        else:
+            states, counts = batch_mod.batched_decode_rounds_chunk(
+                m.tparams, m.dparams, m.tcfg, m.dcfg, m.spec,
+                self.sampling, states, eos, cap,
+                n_rounds=self.chunk_rounds,
+            )
+        self._states = states
+        # ONE host readback per chunk (each separate np.asarray pays the
+        # full tunnel RTT — CLAUDE.md); outputs are fetched before any
+        # admission donates the buffers
+        counts_np, done, out_lens, outputs = jax.device_get(
+            (counts, states.done, states.out_len, states.output))
+        batch_mod.apply_count_diffs(
+            counts_np, self._prev, self.acceptance,
+            list(self._active.items()))
+        if on_tokens is not None:
+            for slot, rid in self._active.items():
+                n = min(int(out_lens[slot]), self.max_new)
+                if n > self._emitted[rid]:
+                    on_tokens(rid, outputs[slot][self._emitted[rid]:n])
+                    self._emitted[rid] = n
+        completed = []
+        for slot in [s for s, d in zip(range(self.b), done) if d]:
+            if slot not in self._active:
+                continue
+            toks = outputs[slot][: int(out_lens[slot])]
+            epos = np.nonzero(toks == m.eos_token_id)[0]
+            if epos.size:
+                toks = toks[: epos[0] + 1]
+            rid = self._active.pop(slot)  # slot stays latched-done until
+            self.results[rid] = toks[: self.max_new]  # refilled
+            completed.append(rid)
+        self._guard += self.chunk_rounds
+        self._chunks += 1
+        if self._guard > (self._next_rid + self.b) * (self.max_new + 8):
+            raise RuntimeError("serving engine failed to converge")
+        return completed
+
+    # ------------------------------------------------------------------
     def run_all(self, prompts: Sequence, on_tokens=None) -> List[np.ndarray]:
         """Serve every request with dynamic slot admission; returns generated
         token ids per request (submission order).  Each request is a token
@@ -283,88 +409,16 @@ class ServingEngine:
         outputs match single-request ``specgenerate`` exactly.
 
         ``on_tokens(request_idx, token_ids)`` streams each request's newly
-        generated tokens once per chunk (may include up to one lookahead
-        round's tokens past EOS; the final trim happens at completion)."""
-        m = self.m
-        queue = deque(enumerate(prompts))
-        if not queue:
-            return []
-
+        generated tokens once per chunk.  This is the batch wrapper over the
+        online submit()/step() API — a live server calls those directly."""
         import time as _time
 
-        # per-run admission accounting (VERDICT r2 weak #8): mid-flight
-        # admissions serialize their prefill with decode on the one chip;
-        # stats lets benches quantify that stall per admission
-        self.stats = {"admissions": 0, "admit_dispatch_s": 0.0, "wall_s": 0.0}
+        if not prompts:
+            return []
+        self.start_session()
         t_run0 = _time.perf_counter()
-
-        # ---- initial fill: admit into an empty full-length stacked state
-        # (prefill states carry small pad-bucket caches — _fresh_caches) ----
-        states = None
-        active: Dict[int, int] = {}  # slot -> request idx
-        while queue and len(active) < self.b:
-            ridx, prompt = queue.popleft()
-            s1 = self._prefill_one(prompt)
-            if states is None:
-                states = self._empty_stacked(s1)
-            slot = len(active)
-            states = admit(states, s1, jnp.asarray(slot, jnp.int32))
-            active[slot] = ridx
-
-        results: List[Optional[np.ndarray]] = [None] * len(prompts)
-        self.acceptance: Dict[int, List[int]] = {i: [] for i in range(len(prompts))}
-        emitted = np.zeros(len(prompts), np.int64)  # streamed-token cursors
-        prev = np.zeros(self.b, np.int64)
-        eos = jnp.asarray(m.eos_token_id, jnp.int32)
-        cap = jnp.asarray(self.max_new, jnp.int32)
-
-        guard = 0
-        while active:
-            if m.mparams is not None:
-                states, counts = batch_mod.batched_medusa_rounds_chunk(
-                    m.tparams, m.mparams, m.tcfg, m.spec, self.sampling,
-                    states, eos, cap, n_rounds=self.chunk_rounds,
-                )
-            else:
-                states, counts = batch_mod.batched_decode_rounds_chunk(
-                    m.tparams, m.dparams, m.tcfg, m.dcfg, m.spec,
-                    self.sampling, states, eos, cap,
-                    n_rounds=self.chunk_rounds,
-                )
-            # ONE host readback per chunk (each separate np.asarray pays the
-            # full tunnel RTT — CLAUDE.md); outputs are fetched before any
-            # admission donates the buffers
-            counts_np, done, out_lens, outputs = jax.device_get(
-                (counts, states.done, states.out_len, states.output))
-            batch_mod.apply_count_diffs(
-                counts_np, prev, self.acceptance, list(active.items()))
-            if on_tokens is not None:
-                for slot, ridx in active.items():
-                    n = min(int(out_lens[slot]), self.max_new)
-                    if n > emitted[ridx]:
-                        on_tokens(ridx, outputs[slot][emitted[ridx]:n])
-                        emitted[ridx] = n
-            for slot in [s for s, d in zip(range(self.b), done) if d]:
-                if slot not in active:
-                    continue
-                toks = outputs[slot][: int(out_lens[slot])]
-                epos = np.nonzero(toks == m.eos_token_id)[0]
-                if epos.size:
-                    toks = toks[: epos[0] + 1]
-                results[active[slot]] = toks[: self.max_new]
-                if queue:
-                    ridx, prompt = queue.popleft()
-                    t_adm = _time.perf_counter()
-                    states = admit(states, self._prefill_one(prompt),
-                                   jnp.asarray(slot, jnp.int32))
-                    self.stats["admissions"] += 1
-                    self.stats["admit_dispatch_s"] += _time.perf_counter() - t_adm
-                    active[slot] = ridx
-                    prev[slot] = 0
-                else:
-                    del active[slot]  # slot stays latched-done until drained
-            guard += self.chunk_rounds
-            if guard > (len(prompts) + self.b) * (self.max_new + 8):
-                raise RuntimeError("serving engine failed to converge")
+        rids = [self.submit(p) for p in prompts]
+        while self.pending():
+            self.step(on_tokens=on_tokens)
         self.stats["wall_s"] = _time.perf_counter() - t_run0
-        return results
+        return [self.results[r] for r in rids]
