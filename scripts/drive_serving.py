@@ -78,4 +78,21 @@ for p_, g, o in zip(prompts[:4], outs[:4], outs_s):
     oks += list(o[:n]) == list(g[:n])
 print(f"T>0 top_k=1 engine outputs matching greedy: {oks}/4")
 assert oks >= 3
+
+# Online API on-chip (the live-server path examples/serve_http.py wraps):
+# submit 2, decode a couple of chunks, submit 4 more MID-FLIGHT, drain.
+eng_o = model.serving_engine(batch_size=2, max_new_tokens=20, chunk_rounds=4)
+rids = [eng_o.submit(p) for p in prompts[:2]]
+eng_o.step()
+rids += [eng_o.submit(p) for p in prompts[2:6]]
+while eng_o.pending():
+    eng_o.step()
+oko = 0
+for p_, g, rid in zip(prompts[:6], outs[:6], rids):
+    o = eng_o.results[rid]
+    n = min(len(o), len(g))
+    oko += list(o[:n]) == list(g[:n])
+print(f"online submit/step mid-flight outputs matching run_all: {oko}/6 "
+      f"(admissions={eng_o.stats['admissions']})")
+assert oko >= 5 and eng_o.stats["admissions"] >= 4
 print("SERVING DRIVE OK")

@@ -81,6 +81,30 @@ def test_online_submit_mid_flight():
     assert eng.stats["admissions"] >= 3
 
 
+def test_multi_bucket_admission():
+    """pad_bucket as a list: each admission pads to the smallest bucket that
+    fits, so mixed-length workloads don't pay the longest prompt's prefill;
+    outputs still match single-request specgenerate, and an over-long prompt
+    is rejected with the bucket list in the message."""
+    import pytest
+
+    model = _model()
+    rng = np.random.default_rng(9)
+    prompts = [rng.integers(5, 120, n).tolist()
+               for n in (20, 150, 40, 200)]  # spans both buckets
+    singles = [model.specgenerate(p, max_new_tokens=12).sequences.tolist()
+               for p in prompts]
+    eng = ServingEngine(model, batch_size=2, max_new_tokens=12,
+                        pad_bucket=(128, 256), chunk_rounds=4)
+    outs = eng.run_all(prompts)
+    for p, s, o in zip(prompts, singles, outs):
+        n = min(len(o), 12)
+        assert n >= 10
+        assert s[len(p):len(p) + n] == list(o[:n])
+    with pytest.raises(ValueError, match="largest pad bucket"):
+        eng.run_all([list(range(300))])
+
+
 def test_engine_fewer_requests_than_slots():
     model = _model()
     prompts = [list(range(10, 22)), list(range(30, 45))]

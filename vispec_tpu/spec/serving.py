@@ -68,7 +68,10 @@ class ServingEngine:
         temperature: float = 0.0,
         top_p: float = 0.0,
         top_k: int = 0,
-        pad_bucket: Optional[int] = None,
+        pad_bucket=None,  # int, or a sequence of bucket sizes (mixed prompt
+        # lengths: each admission pads to the smallest bucket that fits, so
+        # short prompts don't pay a long prompt's prefill; one prefill graph
+        # compiles per bucket)
         chunk_rounds: int = 8,
         seed: int = 0,
         max_images: int = 4,  # vision-span plan buckets (fixed at engine
@@ -88,7 +91,14 @@ class ServingEngine:
         spec = model.spec
         self.slack = max(spec.total_tokens,
                          spec.depth * spec.top_k + spec.depth + 2) + 10
-        self.pad = pad_bucket or 128
+        if pad_bucket is None:
+            pad_bucket = 128
+        self.buckets = tuple(sorted(
+            (pad_bucket,) if isinstance(pad_bucket, int) else pad_bucket))
+        if any(b % 128 for b in self.buckets) or not self.buckets:
+            raise ValueError(f"pad buckets must be 128-multiples: "
+                             f"{self.buckets}")
+        self.pad = self.buckets[-1]  # largest bucket bounds the headroom
         self.max_images, self.max_span = max_images, max_span
         self.max_new = min(max_new_tokens,
                            model.max_len - self.pad - self.slack)
@@ -110,8 +120,10 @@ class ServingEngine:
         # fitting next to 13.5 GB of weights and an OOM.  Rows beyond the
         # prefill in a reused slot keep the previous request's KV; they are
         # masked (cols >= length) until overwritten by decode appends.
-        self._t_rows = self.pad
-        self._d_rows = _r128(self.pad + self.slack)
+        # rows sized per admission bucket (_fresh_caches(bucket)); the prefix
+        # path below may raise the largest bucket's sizes
+        self._t_rows = {b: b for b in self.buckets}
+        self._d_rows = {b: _r128(b + self.slack) for b in self.buckets}
 
         # ---- optional prefix cache: prefill the shared text prefix ONCE ----
         # (e.g. a long system prompt); admissions whose ids start with it run
@@ -132,10 +144,12 @@ class ServingEngine:
             pembeds = llama.embed(model.tparams,
                                   jnp.asarray(self._prefix, jnp.int32))
             pembeds = jnp.pad(pembeds, ((0, ppad - plen), (0, 0)))
-            self._t_rows = max(self._t_rows, _r128(ppad + suffix_bucket))
-            self._d_rows = max(self._d_rows,
-                               _r128(ppad + suffix_bucket + self.slack))
-            tc, dc = self._fresh_caches()
+            big = self.buckets[-1]
+            self._t_rows[big] = max(self._t_rows[big],
+                                    _r128(ppad + suffix_bucket))
+            self._d_rows[big] = max(self._d_rows[big],
+                                    _r128(ppad + suffix_bucket + self.slack))
+            tc, dc = self._fresh_caches(big)
             self._snap = spec_loop.make_prefix_snapshot(
                 model.tparams, model.dparams, model.tcfg, model.dcfg,
                 pembeds, jnp.asarray(plen, jnp.int32), tc, dc,
@@ -145,7 +159,7 @@ class ServingEngine:
                                model.max_len - plen - suffix_bucket - self.slack)
 
     # ------------------------------------------------------------------
-    def _fresh_caches(self):
+    def _fresh_caches(self, bucket: int):
         """New zero SMALL cache pair per admission (pad-bucket rows, not
         max_len — see __init__): admission prefills DONATE their caches (a
         non-donated prefill copies both buffers — the loop.py
@@ -154,11 +168,21 @@ class ServingEngine:
         m = self.m
         return (
             kv.init_cache(m.tcfg.num_hidden_layers, m.tcfg.num_key_value_heads,
-                          self._t_rows, m.tcfg.head_dim, m.dtype,
+                          self._t_rows[bucket], m.tcfg.head_dim, m.dtype,
                           quantized=m.quantize_kv),
-            kv.init_cache(1, m.dcfg.num_key_value_heads, self._d_rows,
-                          m.dcfg.head_dim, m.dtype),
+            kv.init_cache(1, m.dcfg.num_key_value_heads,
+                          self._d_rows[bucket], m.dcfg.head_dim, m.dtype),
         )
+
+    def _bucket_for(self, length: int) -> int:
+        """Smallest admission bucket that fits ``length`` prompt tokens."""
+        for b in self.buckets:
+            if length < b:
+                return b
+        raise ValueError(
+            f"prompt length {length} >= largest pad bucket "
+            f"{self.buckets[-1]}; construct the engine with a larger "
+            f"pad_bucket (or add one to the bucket list)")
 
     # ------------------------------------------------------------------
     def _empty_stacked(self, template: spec_loop.SpecState):
@@ -232,7 +256,7 @@ class ServingEngine:
                 sembeds = llama.embed(m.tparams, jnp.asarray(suffix, jnp.int32))
                 sembeds = jnp.pad(sembeds,
                                   ((0, self.suffix_bucket - sl), (0, 0)))
-                tc, dc = self._fresh_caches()
+                tc, dc = self._fresh_caches(self.buckets[-1])
                 self._n_prefills += 1
                 return spec_loop.spec_prefill_continue_donated(
                     m.tparams, m.dparams, m.tcfg, m.dcfg, m.spec,
@@ -244,17 +268,17 @@ class ServingEngine:
         req = request if isinstance(request, dict) else {"input_ids": request}
         ids = np.asarray(req["input_ids"], np.int64)
         l = len(ids)
-        if l >= self.pad:
-            raise ValueError(f"prompt length {l} >= pad bucket {self.pad}")
+        bucket = self._bucket_for(l)  # smallest bucket that fits — short
+        # prompts never pay a long prompt's prefill (one graph per bucket)
         embeds, _, shifted, _, position_ids, rope_delta = m._padded_prompt(
-            ids, self.pad, req.get("pixel_values"), req.get("image_size"),
+            ids, bucket, req.get("pixel_values"), req.get("image_size"),
             req.get("pixel_values_videos"), req.get("second_per_grid_ts", 1.0),
         )
         if m.mparams is not None:
             # medusa: heads on the target hidden; no plan, no draft cache
             tc = kv.init_cache(m.tcfg.num_hidden_layers,
-                               m.tcfg.num_key_value_heads, self._t_rows,
-                               m.tcfg.head_dim, m.dtype,
+                               m.tcfg.num_key_value_heads,
+                               self._t_rows[bucket], m.tcfg.head_dim, m.dtype,
                                quantized=m.quantize_kv)
             self._n_prefills += 1
             return spec_loop.medusa_prefill(
@@ -263,14 +287,14 @@ class ServingEngine:
                 jax.random.PRNGKey(self.seed + self._n_prefills), self.max_out,
             )
         plan, ms = draft_mod.make_prefill_plan(
-            shifted, l, m.dcfg.num_q, self.pad,
+            shifted, l, m.dcfg.num_q, bucket,
             max_images=self.max_images, max_span=self.max_span,
         )
         if ms > self.max_span:
             raise ValueError(
                 f"image span {ms} exceeds engine max_span={self.max_span}; "
                 f"construct the engine with a larger bucket")
-        tc, dc = self._fresh_caches()
+        tc, dc = self._fresh_caches(bucket)
         self._n_prefills += 1
         return spec_loop.spec_prefill_donated(
             m.tparams, m.dparams, m.tcfg, m.dcfg, m.spec, plan, self.sampling,
