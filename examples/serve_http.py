@@ -90,13 +90,20 @@ class EngineLoop:
                 with self.cv:
                     self.cv.notify_all()
 
-    def generate(self, input_ids):
+    def generate(self, input_ids, max_new_tokens=None):
         with self.cv:
-            rid = self.eng.submit(list(map(int, input_ids)))
+            rid = self.eng.submit(list(map(int, input_ids)),
+                                  max_new_tokens=max_new_tokens)
             self.cv.notify_all()
             while rid not in self.eng.results:
                 self.cv.wait(timeout=1.0)
         return rid, self.eng.results[rid]
+
+    def cancel(self, rid):
+        with self.cv:
+            ok = self.eng.cancel(rid)
+            self.cv.notify_all()
+        return ok
 
     def shutdown(self):
         self.stop = True
@@ -108,6 +115,19 @@ def make_server(port, loop_):
 
     class Handler(BaseHTTPRequestHandler):
         def do_POST(self):
+            if self.path == "/cancel":
+                try:
+                    body = json.loads(
+                        self.rfile.read(int(self.headers["Content-Length"])))
+                    ok = loop_.cancel(int(body["request_id"]))
+                except Exception as e:
+                    self.send_error(400, str(e))
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(json.dumps({"canceled": ok}).encode())
+                return
             if self.path != "/generate":
                 self.send_error(404)
                 return
@@ -115,10 +135,11 @@ def make_server(port, loop_):
                 body = json.loads(
                     self.rfile.read(int(self.headers["Content-Length"])))
                 ids = body["input_ids"]
+                cap = body.get("max_new_tokens")
             except Exception as e:  # malformed request
                 self.send_error(400, str(e))
                 return
-            rid, out = loop_.generate(ids)
+            rid, out = loop_.generate(ids, max_new_tokens=cap)
             resp = json.dumps({"request_id": rid,
                                "output_ids": np.asarray(out).tolist()})
             self.send_response(200)
@@ -171,9 +192,12 @@ def main():
     results = {}
 
     def client(i):
+        body = {"input_ids": prompts[i]}
+        if i == 0:  # exercise the per-request token budget
+            body["max_new_tokens"] = 8
         req = urllib.request.Request(
             f"http://127.0.0.1:{args.port}/generate",
-            data=json.dumps({"input_ids": prompts[i]}).encode(),
+            data=json.dumps(body).encode(),
             headers={"Content-Type": "application/json"})
         with urllib.request.urlopen(req, timeout=300) as r:
             results[i] = json.loads(r.read())["output_ids"]
@@ -194,6 +218,7 @@ def main():
         ref = singles[i][len(p):len(p) + len(out)]
         assert ref == out[:len(ref)], (i, out, ref)
         ok += 1
+    assert len(results[0]) <= 8, results[0]  # per-request cap honored
     srv.shutdown()
     loop_.shutdown()
     print(f"selftest: {ok}/{len(prompts)} concurrent HTTP requests match "

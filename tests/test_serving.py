@@ -81,6 +81,72 @@ def test_online_submit_mid_flight():
     assert eng.stats["admissions"] >= 3
 
 
+def test_per_request_max_new_tokens():
+    """submit(max_new_tokens=...) caps THAT request only: the [B] cap vector
+    rides the batched decode graph, a capped slot frees early, and every
+    output is still an exact prefix of single-request specgenerate."""
+    model = _model()
+    rng = np.random.default_rng(11)
+    prompts = [rng.integers(5, 120, rng.integers(8, 30)).tolist()
+               for _ in range(4)]
+    caps = [6, 24, 13, 24]
+    singles = [model.specgenerate(p, max_new_tokens=24).sequences.tolist()
+               for p in prompts]
+
+    eng = ServingEngine(model, batch_size=2, max_new_tokens=24,
+                        chunk_rounds=2)
+    eng.start_session()
+    rids = [eng.submit(p, max_new_tokens=c) if i % 2 == 0
+            else eng.submit({"input_ids": p, "max_new_tokens": c})
+            for i, (p, c) in enumerate(zip(prompts, caps))]  # both surfaces
+    while eng.pending():
+        eng.step()
+    for p, s, rid, c in zip(prompts, singles, rids, caps):
+        o = eng.results[rid]
+        # eos never fires (eos=10**6) => each request runs to ITS OWN budget
+        assert len(o) == c, (rid, len(o), c)
+        assert s[len(p):len(p) + len(o)] == list(o), (rid, list(o))
+
+    import pytest
+
+    with pytest.raises(ValueError, match="max_new_tokens"):
+        eng.submit(prompts[0], max_new_tokens=0)
+
+
+def test_cancel_queued_and_active():
+    """cancel(rid): a queued request is dropped with an empty result; an
+    active one stops at the next chunk and returns the tokens generated so
+    far (a prefix of the uncanceled output); other slots are untouched."""
+    model = _model()
+    rng = np.random.default_rng(13)
+    prompts = [rng.integers(5, 120, rng.integers(8, 30)).tolist()
+               for _ in range(4)]
+    singles = [model.specgenerate(p, max_new_tokens=32).sequences.tolist()
+               for p in prompts]
+
+    eng = ServingEngine(model, batch_size=2, max_new_tokens=32,
+                        chunk_rounds=2)
+    eng.start_session()
+    rids = [eng.submit(p) for p in prompts]
+    assert eng.cancel(rids[3])  # still queued: dropped before admission
+    eng.step()  # admits rids[0] and rids[1], decodes one chunk
+    assert eng.cancel(rids[0])  # active: force the slot's done latch
+    while eng.pending():
+        eng.step()
+
+    assert len(eng.results[rids[3]]) == 0  # queued-cancel: empty
+    out0 = eng.results[rids[0]]  # active-cancel: partial prefix
+    p0 = prompts[0]
+    assert 0 < len(out0) < 32, len(out0)
+    assert singles[0][len(p0):len(p0) + len(out0)] == list(out0)
+    for i in (1, 2):  # untouched requests decode to the full budget
+        o, p = eng.results[rids[i]], prompts[i]
+        assert len(o) == 32
+        assert singles[i][len(p):len(p) + 32] == list(o)
+    assert not eng.cancel(rids[1])  # already finished: no-op
+    assert not eng.cancel(99)  # unknown rid: no-op
+
+
 def test_multi_bucket_admission():
     """pad_bucket as a list: each admission pads to the smallest bucket that
     fits, so mixed-length workloads don't pay the longest prompt's prefill;

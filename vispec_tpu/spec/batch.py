@@ -51,16 +51,19 @@ def batched_decode_round(
     sampling: spec_loop.SamplingParams,
     states: spec_loop.SpecState,  # stacked over a leading batch axis
     eos_id,
-    max_new_tokens,
+    max_new_tokens,  # scalar, or [B] per-request caps
 ):
-    def one(state):
+    caps = jnp.broadcast_to(jnp.asarray(max_new_tokens, jnp.int32),
+                            states.done.shape)
+
+    def one(state, cap):
         # decode_round freezes finished requests internally (latch_done):
         # rounds execute unconditionally and only the cursor/output leaves
         # are selected — a full-tree `where` here would copy the
         # multi-hundred-MB caches per request per round
         return spec_loop.decode_round.__wrapped__(
             tparams, dparams, tcfg, dcfg, spec, sampling, state,
-            eos_id, max_new_tokens,
+            eos_id, cap,
         )
 
     if states.done.shape[0] == 1:
@@ -68,13 +71,13 @@ def batched_decode_round(
         # the scan-stacked qkv weights (three 1 GB HLO-temp copies at 7B —
         # a compile-time OOM).  Squeeze to the single-request graph instead;
         # this also keeps the Pallas attention kernel eligible.
-        out = one(jax.tree.map(lambda x: x[0], states))
+        out = one(jax.tree.map(lambda x: x[0], states), caps[0])
         return jax.tree.map(lambda x: x[None], out)
 
     from ..ops.attention import no_kernel_scope
 
     with no_kernel_scope():  # the vmapped Mosaic kernel is slower than XLA
-        return jax.vmap(one)(states)
+        return jax.vmap(one)(states, caps)
 
 
 @functools.partial(
@@ -95,20 +98,24 @@ def batched_decode_rounds_chunk(
     n_rounds: int = 8,
 ):
     """``n_rounds`` batched rounds in one dispatch; the host checks the done
-    flags once per chunk (the single-request analog is decode_rounds_chunk)."""
+    flags once per chunk (the single-request analog is decode_rounds_chunk).
+    ``max_new_tokens`` may be a scalar or a [B] vector of per-request caps
+    (serving: each request's own budget ends its slot independently)."""
+    caps = jnp.broadcast_to(jnp.asarray(max_new_tokens, jnp.int32),
+                            states.done.shape)
 
-    def one(state):
+    def one(state, cap):
         # internal latch_done freezes finished requests
         return spec_loop.decode_round.__wrapped__(
             tparams, dparams, tcfg, dcfg, spec, sampling, state,
-            eos_id, max_new_tokens,
+            eos_id, cap,
         )
 
     if states.done.shape[0] == 1:
         # unit batch: bypass vmap (see batched_decode_round — the degenerate
         # [1, s, D] dots force 3 GB of stacked-weight relayout copies on TPU)
         def body1(state, _):
-            state = one(state)
+            state = one(state, caps[0])
             return state, state.new_token[None]
 
         state, counts = lax.scan(
@@ -117,7 +124,7 @@ def batched_decode_rounds_chunk(
         return jax.tree.map(lambda x: x[None], state), counts
 
     def body(states, _):
-        states = jax.vmap(one)(states)
+        states = jax.vmap(one)(states, caps)
         return states, states.new_token  # [B] cumulative counters per round
 
     from ..ops.attention import no_kernel_scope
@@ -145,19 +152,22 @@ def batched_medusa_rounds_chunk(
 ):
     """``n_rounds`` batched MEDUSA rounds in one dispatch (the medusa analog
     of batched_decode_rounds_chunk; no draft transformer — heads on the
-    target's hidden, spec_loop.medusa_decode_round)."""
+    target's hidden, spec_loop.medusa_decode_round).  ``max_new_tokens`` may
+    be a scalar or a [B] vector of per-request caps."""
+    caps = jnp.broadcast_to(jnp.asarray(max_new_tokens, jnp.int32),
+                            states.done.shape)
 
-    def one(state):
+    def one(state, cap):
         return spec_loop.medusa_decode_round.__wrapped__(
             tparams, mparams, tcfg, spec, sampling, state,
-            eos_id, max_new_tokens,
+            eos_id, cap,
         )
 
     if states.done.shape[0] == 1:
         # unit batch: bypass vmap (see batched_decode_round — the degenerate
         # [1, s, D] dots force 3 GB of stacked-weight relayout copies on TPU)
         def body1(state, _):
-            state = one(state)
+            state = one(state, caps[0])
             return state, state.new_token[None]
 
         state, counts = lax.scan(
@@ -166,7 +176,7 @@ def batched_medusa_rounds_chunk(
         return jax.tree.map(lambda x: x[None], state), counts
 
     def body(states, _):
-        states = jax.vmap(one)(states)
+        states = jax.vmap(one)(states, caps)
         return states, states.new_token
 
     from ..ops.attention import no_kernel_scope

@@ -53,6 +53,13 @@ def admit(states: spec_loop.SpecState, state1: spec_loop.SpecState, slot):
     return jax.tree.map(put, states, state1)
 
 
+@functools.partial(jax.jit, donate_argnames=("states",))
+def _force_done(states: spec_loop.SpecState, slot):
+    """Latch one slot's done flag (request cancellation): the slot becomes a
+    no-op in subsequent rounds (spec/loop.latch_done) until refilled."""
+    return states._replace(done=states.done.at[slot].set(True))
+
+
 class ServingEngine:
     """Fixed-slot continuous batching over a SpecModel.
 
@@ -317,6 +324,9 @@ class ServingEngine:
         self.results: Dict[int, np.ndarray] = {}  # rid -> generated ids
         self.acceptance: Dict[int, List[int]] = {}
         self._emitted: Dict[int, int] = {}  # rid -> streamed-token cursor
+        self._req_cap: Dict[int, int] = {}  # rid -> per-request token budget
+        self._caps = np.full(self.b, self.max_new, np.int32)  # per-SLOT caps
+        self._canceled: set = set()
         self._prev = np.zeros(self.b, np.int64)
         self._next_rid = 0
         self._guard = 0
@@ -326,18 +336,50 @@ class ServingEngine:
         # stats lets benches quantify that stall per admission
         self.stats = {"admissions": 0, "admit_dispatch_s": 0.0, "wall_s": 0.0}
 
-    def submit(self, request) -> int:
+    def submit(self, request, max_new_tokens: Optional[int] = None) -> int:
         """Enqueue a request (token list or dict with ``input_ids`` +
         optional vision inputs); returns a request id.  Admission into a
-        decode slot happens inside step() as slots free up."""
+        decode slot happens inside step() as slots free up.
+
+        ``max_new_tokens`` (kwarg or request-dict key) caps THIS request's
+        generation (clamped to the engine's budget); the cap rides the
+        batched decode graph as a per-slot vector, so a short request frees
+        its slot as soon as its own budget is hit."""
         if not hasattr(self, "_queue"):
             self.start_session()
+        if max_new_tokens is None and isinstance(request, dict):
+            max_new_tokens = request.get("max_new_tokens")
+        cap = self.max_new if max_new_tokens is None else int(max_new_tokens)
+        if cap < 1:
+            raise ValueError(f"max_new_tokens must be >= 1, got {cap}")
         rid = self._next_rid
         self._next_rid += 1
         self._queue.append((rid, request))
         self.acceptance[rid] = []
         self._emitted[rid] = 0
+        self._req_cap[rid] = min(cap, self.max_new)
         return rid
+
+    def cancel(self, rid: int) -> bool:
+        """Cancel a request: a queued one is dropped (empty result); an
+        active one has its slot's done latch forced — the next step()
+        harvests whatever it generated so far and frees the slot.  Returns
+        False if the rid is unknown or already finished."""
+        if not hasattr(self, "_queue"):
+            return False
+        for i, (qid, _) in enumerate(self._queue):
+            if qid == rid:
+                del self._queue[i]
+                self.results[rid] = np.zeros(0, np.int64)
+                self._canceled.add(rid)
+                return True
+        for slot, arid in self._active.items():
+            if arid == rid:
+                self._states = _force_done(
+                    self._states, jnp.asarray(slot, jnp.int32))
+                self._canceled.add(rid)
+                return True
+        return False
 
     def pending(self) -> bool:
         """True while any request is queued or decoding."""
@@ -366,6 +408,7 @@ class ServingEngine:
                 self.stats["admit_dispatch_s"] += _time.perf_counter() - t_adm
             self._active[slot] = rid
             self._prev[slot] = 0
+            self._caps[slot] = self._req_cap[rid]
 
     def step(self, on_tokens=None) -> List[int]:
         """Admit queued requests into free slots, run ONE decode chunk
@@ -381,7 +424,7 @@ class ServingEngine:
             return []
         states = self._states
         eos = jnp.asarray(m.eos_token_id, jnp.int32)
-        cap = jnp.asarray(self.max_new, jnp.int32)
+        cap = jnp.asarray(self._caps, jnp.int32)  # [B] per-request budgets
         if m.mparams is not None:
             states, counts = batch_mod.batched_medusa_rounds_chunk(
                 m.tparams, m.mparams, m.tcfg, m.spec, self.sampling,
@@ -404,7 +447,7 @@ class ServingEngine:
             list(self._active.items()))
         if on_tokens is not None:
             for slot, rid in self._active.items():
-                n = min(int(out_lens[slot]), self.max_new)
+                n = min(int(out_lens[slot]), self._req_cap[rid])
                 if n > self._emitted[rid]:
                     on_tokens(rid, outputs[slot][self._emitted[rid]:n])
                     self._emitted[rid] = n
@@ -417,7 +460,7 @@ class ServingEngine:
             if epos.size:
                 toks = toks[: epos[0] + 1]
             rid = self._active.pop(slot)  # slot stays latched-done until
-            self.results[rid] = toks[: self.max_new]  # refilled
+            self.results[rid] = toks[: self._req_cap[rid]]  # refilled
             completed.append(rid)
         self._guard += self.chunk_rounds
         self._chunks += 1
