@@ -5,7 +5,9 @@ rounds and one chunk of AR steps with jax.profiler, then parses the xplane
 proto directly (the tensorboard plugin's native converter is broken in this
 image — see CLAUDE.md) and prints the top fusions grouped per dispatch.
 
-Usage:  python scripts/profile_round.py [7B@2048|7B@1024|1B@1024]
+Usage:  python scripts/profile_round.py [7B@2048|7B@1024|1B@1024] [T] [quant]
+        T       sampling temperature for both paths (default 0.0 = greedy)
+        quant   draft quant mode (int8/int4/mixed/auto; default bf16)
 """
 
 import os
@@ -64,17 +66,22 @@ def show(title, table, top=40):
 
 def main():
     label = sys.argv[1] if len(sys.argv) > 1 else "7B@2048"
+    temperature = float(sys.argv[2]) if len(sys.argv) > 2 else 0.0
+    quant = sys.argv[3] if len(sys.argv) > 3 else ""
     cfg = next(c for c in bench.CONFIGS if c["label"] == label)
     model = bench.build(cfg)
+    if quant:
+        model.quantize_draft_inplace(quant)
     prompt = np.random.default_rng(0).integers(10, cfg["vocab_size"] - 10, 120).tolist()
 
     # compile + warm everything
-    model.specgenerate(prompt, max_new_tokens=8)
-    model.ar_generate(prompt, max_new_tokens=8)
+    model.specgenerate(prompt, max_new_tokens=8, temperature=temperature)
+    model.ar_generate(prompt, max_new_tokens=8, temperature=temperature)
 
     logdir = "/tmp/vispec_prof_spec"
     with jax.profiler.trace(logdir):
-        res = model.specgenerate(prompt, max_new_tokens=64)
+        res = model.specgenerate(prompt, max_new_tokens=64,
+                                 temperature=temperature)
     print(f"spec: {res.rounds} rounds, decode_time {res.decode_time * 1e3:.1f}ms "
           f"=> {res.decode_time / max(res.rounds, 1) * 1e3:.2f}ms/round")
     for plane, table in parse_xplane(logdir).items():
@@ -82,7 +89,8 @@ def main():
 
     logdir = "/tmp/vispec_prof_ar"
     with jax.profiler.trace(logdir):
-        res = model.ar_generate(prompt, max_new_tokens=64)
+        res = model.ar_generate(prompt, max_new_tokens=64,
+                                temperature=temperature)
     print(f"\nar: {res.new_tokens} tokens, decode_time {res.decode_time * 1e3:.1f}ms "
           f"=> {res.decode_time / max(res.new_tokens - 1, 1) * 1e3:.2f}ms/step")
     for plane, table in parse_xplane(logdir).items():
