@@ -76,6 +76,7 @@ class EngineLoop:
         self.eng.start_session()
         self.cv = threading.Condition()
         self.stop = False
+        self.dead = ""  # non-empty once the decode thread hit a fatal error
         self.thread = threading.Thread(target=self._run, daemon=True)
         self.thread.start()
 
@@ -85,7 +86,16 @@ class EngineLoop:
                 if not self.eng.pending():
                     self.cv.wait(timeout=0.05)
                     continue
-            done = self.eng.step()
+            try:
+                done = self.eng.step()
+            except Exception as e:  # device/engine failure: per-request
+                # errors never raise here (the engine records them), so this
+                # is fatal — unblock every waiting handler instead of hanging
+                # all clients on a silently dead thread
+                with self.cv:
+                    self.dead = f"{type(e).__name__}: {e}"
+                    self.cv.notify_all()
+                return
             if done:
                 with self.cv:
                     self.cv.notify_all()
@@ -96,8 +106,15 @@ class EngineLoop:
                                   max_new_tokens=max_new_tokens)
             self.cv.notify_all()
             while rid not in self.eng.results:
+                if self.dead:
+                    raise RuntimeError(f"decode thread died: {self.dead}")
                 self.cv.wait(timeout=1.0)
-        return rid, self.eng.results[rid]
+            err = self.eng.errors.get(rid)
+            out = self.eng.pop_result(rid)  # release per-request state — a
+            # long-lived server must not grow host memory per request served
+        if err:
+            raise ValueError(err)  # admission rejected this request (400)
+        return rid, out
 
     def cancel(self, rid):
         with self.cv:
@@ -139,7 +156,14 @@ def make_server(port, loop_):
             except Exception as e:  # malformed request
                 self.send_error(400, str(e))
                 return
-            rid, out = loop_.generate(ids, max_new_tokens=cap)
+            try:
+                rid, out = loop_.generate(ids, max_new_tokens=cap)
+            except ValueError as e:  # admission rejected (e.g. prompt too
+                self.send_error(400, str(e))  # long for every pad bucket)
+                return
+            except RuntimeError as e:  # decode thread is gone
+                self.send_error(503, str(e))
+                return
             resp = json.dumps({"request_id": rid,
                                "output_ids": np.asarray(out).tolist()})
             self.send_response(200)
@@ -219,6 +243,20 @@ def main():
         assert ref == out[:len(ref)], (i, out, ref)
         ok += 1
     assert len(results[0]) <= 8, results[0]  # per-request cap honored
+
+    # an over-long prompt must come back as HTTP 400 (admission rejects the
+    # request; the engine and every other client stay alive)
+    import urllib.error
+
+    bad = urllib.request.Request(
+        f"http://127.0.0.1:{args.port}/generate",
+        data=json.dumps({"input_ids": list(range(5, 400))}).encode(),
+        headers={"Content-Type": "application/json"})
+    try:
+        urllib.request.urlopen(bad, timeout=60)
+        raise AssertionError("over-long prompt was not rejected")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400, e.code
     srv.shutdown()
     loop_.shutdown()
     print(f"selftest: {ok}/{len(prompts)} concurrent HTTP requests match "

@@ -151,9 +151,9 @@ def test_multi_bucket_admission():
     """pad_bucket as a list: each admission pads to the smallest bucket that
     fits, so mixed-length workloads don't pay the longest prompt's prefill;
     outputs still match single-request specgenerate, and an over-long prompt
-    is rejected with the bucket list in the message."""
-    import pytest
-
+    fails as a PER-REQUEST admission error (empty result + message in
+    eng.errors) without taking the engine down — a live server must keep
+    serving the healthy slots."""
     model = _model()
     rng = np.random.default_rng(9)
     prompts = [rng.integers(5, 120, n).tolist()
@@ -167,8 +167,19 @@ def test_multi_bucket_admission():
         n = min(len(o), 12)
         assert n >= 10
         assert s[len(p):len(p) + n] == list(o[:n])
-    with pytest.raises(ValueError, match="largest pad bucket"):
-        eng.run_all([list(range(300))])
+    # over-long prompt + a healthy one in the SAME batch: the long one gets
+    # an empty result and a recorded error, the healthy one still decodes
+    bad = list(range(300))
+    outs2 = eng.run_all([bad, prompts[0]])
+    assert len(outs2[0]) == 0
+    (err,) = [e for r, e in eng.errors.items() if len(eng.results[r]) == 0]
+    assert "largest pad bucket" in err
+    n = min(len(outs2[1]), 12)
+    assert singles[0][len(prompts[0]):len(prompts[0]) + n] == list(outs2[1][:n])
+    # pop_result releases every per-request entry (long-lived server hygiene)
+    rid_bad = next(r for r in eng.errors)
+    assert len(eng.pop_result(rid_bad)) == 0
+    assert rid_bad not in eng.results and rid_bad not in eng.errors
 
 
 def test_engine_fewer_requests_than_slots():
@@ -411,3 +422,41 @@ def test_engine_topk1_sampling_equals_greedy():
         n = min(len(g), len(s))
         assert n >= 6
         np.testing.assert_array_equal(np.asarray(s)[:n], np.asarray(g)[:n])
+
+
+def test_admission_cache_rows_validated_at_construction():
+    """Padded admission-cache rows must fit the model's max_len buffers: a
+    prefix whose 128-padded rows overflow max_len fails at CONSTRUCTION with
+    a clear message, not at the first admission's trace (the unpadded
+    plen-based check alone passes this configuration: 357+128+27 == 512)."""
+    import pytest
+
+    model = _model()
+    with pytest.raises(ValueError, match="admission cache"):
+        ServingEngine(model, batch_size=2, max_new_tokens=8,
+                      prefix_ids=list(range(5, 50)) * 7 + [5] * 42)  # 357
+
+
+def test_deferred_cancel_applies_at_next_step():
+    """cancel() of an ACTIVE request defers the done latch to the next
+    step() (thread-safety with a donating in-flight chunk); the slot is
+    harvested with the tokens generated before the cancel took effect."""
+    model = _model()
+    rng = np.random.default_rng(21)
+    p = rng.integers(5, 120, 16).tolist()
+    eng = ServingEngine(model, batch_size=1, max_new_tokens=32,
+                        chunk_rounds=2)
+    eng.start_session()
+    rid = eng.submit(p)
+    eng.step()  # admit + one chunk (2 rounds)
+    assert eng.cancel(rid)
+    assert eng._cancel_req == [rid]  # deferred, not yet latched
+    while eng.pending():
+        eng.step()
+    out = eng.results[rid]
+    assert 0 < len(out) < 32
+    ref = model.specgenerate(p, max_new_tokens=32).sequences[len(p):]
+    assert list(ref[:len(out)]) == list(out)
+    assert eng.was_canceled(rid)
+    eng.pop_result(rid)
+    assert not eng.was_canceled(rid) and rid not in eng.results

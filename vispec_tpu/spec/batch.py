@@ -244,7 +244,9 @@ def text_requests(tparams, dcfg, prompts: Sequence[Sequence[int]],
                   max_len: int, slack: int) -> List[dict]:
     """Prepare plain-text requests with a shared pad bucket."""
     longest = max(len(p) for p in prompts)
-    pad = max(128, ((longest + 127) // 128) * 128)
+    from .spec_model import _bucket  # the one 128-row bucket rule
+
+    pad = _bucket(longest)
     if pad > max_len or longest + slack > max_len:
         raise ValueError(
             f"longest prompt {longest} (bucketed {pad}) too long for "

@@ -33,12 +33,8 @@ from jax import lax
 from ..ops import kv_cache as kv
 from . import batch as batch_mod
 from . import loop as spec_loop
-
-
-def _r128(n: int) -> int:
-    """Round up to the 128-row bucket granularity (spec_model._bucket
-    semantics; every cache/prompt bucket in the engine is 128-aligned)."""
-    return max(128, -(-n // 128) * 128)
+from .spec_model import _bucket as _r128  # 128-row bucket granularity — the
+# ONE bucket rule (spec_model._bucket); every cache/prompt bucket here uses it
 
 
 @functools.partial(jax.jit, donate_argnames=("states",))
@@ -164,6 +160,18 @@ class ServingEngine:
             # snapshots cap generation: prompt = prefix + suffix
             self.max_new = min(self.max_new,
                                model.max_len - plen - suffix_bucket - self.slack)
+        # admission caches admit() into buffers of exactly max_len rows, so
+        # every bucket's 128-padded row count must fit — the plen-based checks
+        # above use UNpadded sizes and can pass while the padded rows overflow
+        # (e.g. a prefix within slack of max_len, or a non-128-multiple
+        # max_len); fail at construction, not at the first admission's trace
+        for name, rows in (("target", self._t_rows), ("draft", self._d_rows)):
+            worst = max(rows.values())
+            if worst > model.max_len:
+                raise ValueError(
+                    f"{name} admission cache needs {worst} rows > "
+                    f"max_len={model.max_len}; use a smaller pad bucket / "
+                    f"prefix / suffix_bucket (row needs per bucket: {rows})")
 
     # ------------------------------------------------------------------
     def _fresh_caches(self, bucket: int):
@@ -258,7 +266,11 @@ class ServingEngine:
             sl = len(ids) - plen
             if (is_text and sl > 0 and sl < self.suffix_bucket
                     and np.array_equal(ids[:plen], self._prefix)):
-                # (an over-long suffix falls through to the full prefill path)
+                # An over-long suffix falls through to the FULL prefill path
+                # below — which needs a pad bucket sized for the whole
+                # prefix+suffix prompt; without one the request fails with a
+                # recorded per-request error (admission catches ValueError),
+                # it does not take down the engine.
                 suffix = ids[plen:]
                 sembeds = llama.embed(m.tparams, jnp.asarray(suffix, jnp.int32))
                 sembeds = jnp.pad(sembeds,
@@ -327,6 +339,11 @@ class ServingEngine:
         self._req_cap: Dict[int, int] = {}  # rid -> per-request token budget
         self._caps = np.full(self.b, self.max_new, np.int32)  # per-SLOT caps
         self._canceled: set = set()
+        self._cancel_req: List[int] = []  # active-request cancels, applied by
+        # step() between chunks (a cancel may arrive from another thread while
+        # step() holds buffers the decode graph is donating — serve_http)
+        self.errors: Dict[int, str] = {}  # rid -> admission-failure message
+        self._failed_now: List[int] = []  # failed admissions awaiting report
         self._prev = np.zeros(self.b, np.int64)
         self._next_rid = 0
         self._guard = 0
@@ -354,10 +371,12 @@ class ServingEngine:
             raise ValueError(f"max_new_tokens must be >= 1, got {cap}")
         rid = self._next_rid
         self._next_rid += 1
-        self._queue.append((rid, request))
+        # metadata BEFORE the queue append: a concurrent decode thread
+        # (serve_http) may admit the request the instant it is visible
         self.acceptance[rid] = []
         self._emitted[rid] = 0
         self._req_cap[rid] = min(cap, self.max_new)
+        self._queue.append((rid, request))
         return rid
 
     def cancel(self, rid: int) -> bool:
@@ -373,13 +392,30 @@ class ServingEngine:
                 self.results[rid] = np.zeros(0, np.int64)
                 self._canceled.add(rid)
                 return True
-        for slot, arid in self._active.items():
-            if arid == rid:
-                self._states = _force_done(
-                    self._states, jnp.asarray(slot, jnp.int32))
-                self._canceled.add(rid)
-                return True
+        if rid in self._active.values():
+            # deferred: step() applies the done latch between chunks, on the
+            # thread that owns the decode — calling _force_done here could
+            # hand it buffers the in-flight chunk has already donated, or
+            # have step()'s own state write clobber ours (serve_http threads)
+            self._cancel_req.append(rid)
+            self._canceled.add(rid)
+            return True
         return False
+
+    def was_canceled(self, rid: int) -> bool:
+        """True if the request was canceled (its result holds whatever was
+        generated before the cancel took effect)."""
+        return rid in getattr(self, "_canceled", ())
+
+    def pop_result(self, rid: int) -> np.ndarray:
+        """Return a finished request's output and RELEASE its per-request
+        state (results/acceptance/stream cursors) — a long-lived server that
+        never pops grows host memory with every request served."""
+        out = self.results.pop(rid)
+        for d in (self.acceptance, self._emitted, self._req_cap, self.errors):
+            d.pop(rid, None)
+        self._canceled.discard(rid)
+        return out
 
     def pending(self) -> bool:
         """True while any request is queued or decoding."""
@@ -395,7 +431,16 @@ class ServingEngine:
         while self._queue and free:
             rid, request = self._queue.popleft()
             t_adm = _time.perf_counter()
-            s1 = self._prefill_one(request)
+            try:
+                s1 = self._prefill_one(request)
+            except ValueError as e:
+                # a malformed REQUEST (over-long prompt / oversized image
+                # span) fails that request, not the engine: a live server
+                # must keep decoding the healthy slots (serve_http)
+                self.results[rid] = np.zeros(0, np.int64)
+                self.errors[rid] = str(e)
+                self._failed_now.append(rid)
+                continue
             if self._states is None:
                 self._states = self._empty_stacked(s1)
             slot = free.pop(0)
@@ -419,9 +464,17 @@ class ServingEngine:
         tokens once per chunk (may include up to one lookahead round's tokens
         past EOS; the final trim happens at completion)."""
         m = self.m
+        while self._cancel_req:  # deferred active-request cancels (see
+            rid = self._cancel_req.pop()  # cancel()): no chunk is in flight
+            for slot, arid in self._active.items():  # here, states are live
+                if arid == rid:
+                    self._states = _force_done(
+                        self._states, jnp.asarray(slot, jnp.int32))
         self._admit_from_queue()
+        failed = self._failed_now
+        self._failed_now = []
         if not self._active:
-            return []
+            return failed  # only failed admissions "completed" this step
         states = self._states
         eos = jnp.asarray(m.eos_token_id, jnp.int32)
         cap = jnp.asarray(self._caps, jnp.int32)  # [B] per-request budgets
@@ -462,6 +515,7 @@ class ServingEngine:
             rid = self._active.pop(slot)  # slot stays latched-done until
             self.results[rid] = toks[: self._req_cap[rid]]  # refilled
             completed.append(rid)
+        completed.extend(failed)
         self._guard += self.chunk_rounds
         self._chunks += 1
         if self._guard > (self._next_rid + self.b) * (self.max_new + 8):
