@@ -147,6 +147,57 @@ def test_cancel_queued_and_active():
     assert not eng.cancel(99)  # unknown rid: no-op
 
 
+def test_cancel_queued_is_deferred_and_rid_exact():
+    """A queued cancel must not mutate the queue on the caller's thread
+    (serve_http's decode thread pops it concurrently — a positional delete
+    there can drop a DIFFERENT client's request).  The cancel is deferred to
+    step(), removes exactly the requested rid even after the queue head was
+    admitted in between, and a second cancel of the same rid is a no-op."""
+    model = _model()
+    rng = np.random.default_rng(17)
+    prompts = [rng.integers(5, 120, 12).tolist() for _ in range(3)]
+    eng = ServingEngine(model, batch_size=1, max_new_tokens=8,
+                        chunk_rounds=2)
+    eng.start_session()
+    rids = [eng.submit(p) for p in prompts]
+    assert eng.cancel(rids[2])
+    assert not eng.cancel(rids[2])  # idempotent: second cancel is False
+    assert len(eng._queue) == 3  # NOT mutated by the calling thread
+    while eng.pending():
+        eng.step()
+    assert len(eng.results[rids[2]]) == 0 and eng.was_canceled(rids[2])
+    for r in rids[:2]:  # the other queued requests were untouched
+        assert len(eng.results[r]) == 8 and not eng.was_canceled(r)
+
+
+def test_malformed_request_fails_per_request():
+    """A dict request missing input_ids (KeyError) or with a junk field type
+    (TypeError) becomes a per-request error, not an engine-killing exception
+    — serve_http's decode thread must survive bad clients."""
+    model = _model()
+    rng = np.random.default_rng(19)
+    good = rng.integers(5, 120, 12).tolist()
+    eng = ServingEngine(model, batch_size=2, max_new_tokens=8,
+                        chunk_rounds=2)
+    eng.start_session()
+    r_bad = eng.submit({"not_input_ids": [1, 2, 3]})
+    r_typ = eng.submit({"input_ids": object()})
+    r_ok = eng.submit(good)
+    while eng.pending():
+        eng.step()
+    assert len(eng.results[r_bad]) == 0 and r_bad in eng.errors
+    assert len(eng.results[r_typ]) == 0 and r_typ in eng.errors
+    assert len(eng.results[r_ok]) == 8
+
+    import pytest
+
+    with pytest.raises(KeyError, match="unknown, unfinished"):
+        eng.pop_result(12345)
+    eng.pop_result(r_ok)
+    with pytest.raises(KeyError, match="already popped"):
+        eng.pop_result(r_ok)
+
+
 def test_multi_bucket_admission():
     """pad_bucket as a list: each admission pads to the smallest bucket that
     fits, so mixed-length workloads don't pay the longest prompt's prefill;

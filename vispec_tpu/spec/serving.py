@@ -383,24 +383,22 @@ class ServingEngine:
         """Cancel a request: a queued one is dropped (empty result); an
         active one has its slot's done latch forced — the next step()
         harvests whatever it generated so far and frees the slot.  Returns
-        False if the rid is unknown or already finished."""
+        False if the rid is unknown, already finished, or already canceled.
+
+        ALWAYS deferred to step(): the decode thread owns the queue and the
+        states (serve_http runs step() outside any lock), so mutating the
+        deque here races its popleft — index-based deletion could drop a
+        DIFFERENT client's request — and calling _force_done here could hand
+        it buffers the in-flight chunk has already donated."""
         if not hasattr(self, "_queue"):
             return False
-        for i, (qid, _) in enumerate(self._queue):
-            if qid == rid:
-                del self._queue[i]
-                self.results[rid] = np.zeros(0, np.int64)
-                self._canceled.add(rid)
-                return True
-        if rid in self._active.values():
-            # deferred: step() applies the done latch between chunks, on the
-            # thread that owns the decode — calling _force_done here could
-            # hand it buffers the in-flight chunk has already donated, or
-            # have step()'s own state write clobber ours (serve_http threads)
-            self._cancel_req.append(rid)
-            self._canceled.add(rid)
-            return True
-        return False
+        if rid in self._canceled:
+            return False  # idempotent: second cancel is a no-op
+        if rid in self.results or rid not in self._emitted:
+            return False  # already finished / unknown
+        self._canceled.add(rid)
+        self._cancel_req.append(rid)
+        return True
 
     def was_canceled(self, rid: int) -> bool:
         """True if the request was canceled (its result holds whatever was
@@ -410,8 +408,16 @@ class ServingEngine:
     def pop_result(self, rid: int) -> np.ndarray:
         """Return a finished request's output and RELEASE its per-request
         state (results/acceptance/stream cursors) — a long-lived server that
-        never pops grows host memory with every request served."""
-        out = self.results.pop(rid)
+        never pops grows host memory with every request served.  Call it
+        exactly once per finished rid; an unknown/unfinished/already-popped
+        rid raises a descriptive KeyError."""
+        try:
+            out = self.results.pop(rid)
+        except KeyError:
+            raise KeyError(
+                f"request {rid}: unknown, unfinished, or already popped "
+                "(pop_result must be called exactly once per finished rid)"
+            ) from None
         for d in (self.acceptance, self._emitted, self._req_cap, self.errors):
             d.pop(rid, None)
         self._canceled.discard(rid)
@@ -433,12 +439,13 @@ class ServingEngine:
             t_adm = _time.perf_counter()
             try:
                 s1 = self._prefill_one(request)
-            except ValueError as e:
+            except (ValueError, KeyError, TypeError) as e:
                 # a malformed REQUEST (over-long prompt / oversized image
-                # span) fails that request, not the engine: a live server
-                # must keep decoding the healthy slots (serve_http)
+                # span / missing dict key / wrong field type) fails that
+                # request, not the engine: a live server must keep decoding
+                # the healthy slots (serve_http)
                 self.results[rid] = np.zeros(0, np.int64)
-                self.errors[rid] = str(e)
+                self.errors[rid] = f"{type(e).__name__}: {e}"
                 self._failed_now.append(rid)
                 continue
             if self._states is None:
@@ -464,12 +471,29 @@ class ServingEngine:
         tokens once per chunk (may include up to one lookahead round's tokens
         past EOS; the final trim happens at completion)."""
         m = self.m
-        while self._cancel_req:  # deferred active-request cancels (see
-            rid = self._cancel_req.pop()  # cancel()): no chunk is in flight
-            for slot, arid in self._active.items():  # here, states are live
+        while self._cancel_req:  # deferred cancels (see cancel()): no chunk
+            rid = self._cancel_req.pop()  # is in flight here, states are
+            # live, and this thread owns the queue.  list() snapshots the
+            # deque atomically (submit() may append concurrently); remove()
+            # is by identity, so a concurrent append can't shift the target.
+            entry = next((e for e in list(self._queue) if e[0] == rid), None)
+            if entry is not None:
+                try:
+                    self._queue.remove(entry)
+                    self.results[rid] = np.zeros(0, np.int64)
+                    continue
+                except ValueError:
+                    pass  # vanished between snapshot and remove
+            latched = False
+            for slot, arid in self._active.items():
                 if arid == rid:
                     self._states = _force_done(
                         self._states, jnp.asarray(slot, jnp.int32))
+                    latched = True
+            if not latched:
+                # finished before the cancel could take effect: the full
+                # result stands, so the request was NOT canceled after all
+                self._canceled.discard(rid)
         self._admit_from_queue()
         failed = self._failed_now
         self._failed_now = []
