@@ -100,10 +100,12 @@ class EngineLoop:
                 with self.cv:
                     self.cv.notify_all()
 
-    def generate(self, input_ids, max_new_tokens=None):
+    def generate(self, request, max_new_tokens=None):
+        """``request``: token list, or a dict with ``input_ids`` plus
+        optional per-request sampling keys (temperature/top_p/
+        repetition_penalty — engine must be per_request_sampling)."""
         with self.cv:
-            rid = self.eng.submit(list(map(int, input_ids)),
-                                  max_new_tokens=max_new_tokens)
+            rid = self.eng.submit(request, max_new_tokens=max_new_tokens)
             self.cv.notify_all()
             while rid not in self.eng.results:
                 if self.dead:
@@ -151,13 +153,16 @@ def make_server(port, loop_):
             try:
                 body = json.loads(
                     self.rfile.read(int(self.headers["Content-Length"])))
-                ids = body["input_ids"]
+                req = {"input_ids": list(map(int, body["input_ids"]))}
+                for k in ("temperature", "top_p", "repetition_penalty"):
+                    if k in body:  # per-request sampling (engine must be
+                        req[k] = float(body[k])  # per_request_sampling)
                 cap = body.get("max_new_tokens")
             except Exception as e:  # malformed request
                 self.send_error(400, str(e))
                 return
             try:
-                rid, out = loop_.generate(ids, max_new_tokens=cap)
+                rid, out = loop_.generate(req, max_new_tokens=cap)
             except ValueError as e:  # admission rejected (e.g. prompt too
                 self.send_error(400, str(e))  # long for every pad bucket)
                 return
@@ -182,12 +187,20 @@ def main():
     p.add_argument("--port", type=int, default=8123)
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--max-new-tokens", type=int, default=24)
+    p.add_argument("--per-request-sampling", action="store_true",
+                   help="traced per-slot sampling: each request may carry its "
+                        "own temperature/top_p/repetition_penalty (top_k "
+                        "stays engine-wide; set to 1 here so the selftest's "
+                        "sampled requests are deterministic)")
     p.add_argument("--selftest", action="store_true")
     args = p.parse_args()
 
     model = build_model()
+    kw = {}
+    if args.per_request_sampling:
+        kw = dict(per_request_sampling=True, top_k=1)
     eng = model.serving_engine(batch_size=args.batch,
-                               max_new_tokens=args.max_new_tokens)
+                               max_new_tokens=args.max_new_tokens, **kw)
     # warm the stacked decode graphs before accepting traffic
     eng.run_all([[7, 8, 9]])
     loop_ = EngineLoop(eng)
@@ -219,6 +232,13 @@ def main():
         body = {"input_ids": prompts[i]}
         if i == 0:  # exercise the per-request token budget
             body["max_new_tokens"] = 8
+        if args.per_request_sampling and i in (1, 2):
+            # mixed batch: sampled requests next to greedy ones in the SAME
+            # engine; engine top_k=1 makes T=1 deterministic (== greedy), so
+            # the specgenerate comparison below still applies
+            body["temperature"] = 1.0
+            if i == 2:
+                body["repetition_penalty"] = 1.0
         req = urllib.request.Request(
             f"http://127.0.0.1:{args.port}/generate",
             data=json.dumps(body).encode(),

@@ -37,6 +37,24 @@ def test_serve_http_example_runs():
     assert "6/6 concurrent HTTP requests match" in r.stdout
 
 
+def test_serve_http_per_request_sampling_runs():
+    """The HTTP front end with per-request sampling: mixed greedy + sampled
+    clients in one engine (top_k=1 keeps the sampled responses deterministic
+    so the selftest's specgenerate comparison still applies)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "JAX_PLATFORMS": "cpu",
+           "PYTHONPATH": repo + ":" + os.environ.get("PYTHONPATH", "")}
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "examples", "serve_http.py"),
+         "--selftest", "--port", "8437", "--batch", "2",
+         "--per-request-sampling"],
+        capture_output=True, text=True, timeout=900, env=env, cwd=repo,
+    )
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-1000:])
+    assert "serve_http demo OK" in r.stdout
+    assert "6/6 concurrent HTTP requests match" in r.stdout
+
+
 def test_serving_example_runs():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = {**os.environ, "JAX_PLATFORMS": "cpu",

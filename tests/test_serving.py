@@ -147,6 +147,41 @@ def test_cancel_queued_and_active():
     assert not eng.cancel(99)  # unknown rid: no-op
 
 
+def test_per_request_sampling_mixed_batch():
+    """per_request_sampling: ONE engine and one compiled graph serve a mixed
+    batch of greedy / T=1 / penalized / top-p requests, each slot matching
+    the single-request specgenerate run with that request's own config
+    (engine top_k=1 makes every sampled config deterministic: warps are
+    monotonic, so top-1 == greedy and the comparison is exact)."""
+    model = _model()
+    rng = np.random.default_rng(23)
+    prompts = [rng.integers(5, 120, rng.integers(10, 25)).tolist()
+               for _ in range(4)]
+    cfgs = [dict(),  # greedy (engine default)
+            dict(temperature=1.0),
+            dict(temperature=1.0, repetition_penalty=1.3),
+            dict(temperature=0.7, top_p=0.9)]
+    singles = [model.specgenerate(p, max_new_tokens=24, top_k=1,
+                                  **c).sequences.tolist()
+               for p, c in zip(prompts, cfgs)]
+
+    eng = ServingEngine(model, batch_size=2, max_new_tokens=24, top_k=1,
+                        chunk_rounds=4, per_request_sampling=True)
+    reqs = [dict(input_ids=p, **c) for p, c in zip(prompts, cfgs)]
+    outs = eng.run_all(reqs)
+    for i, (p, o, s) in enumerate(zip(prompts, outs, singles)):
+        assert len(o) == 24, (i, len(o))
+        assert list(o) == s[len(p):len(p) + 24], i
+
+    # a STATIC engine must reject per-request sampling keys loudly
+    import pytest
+
+    eng2 = ServingEngine(model, batch_size=2, max_new_tokens=8)
+    eng2.start_session()
+    with pytest.raises(ValueError, match="per_request_sampling"):
+        eng2.submit({"input_ids": prompts[0], "temperature": 1.0})
+
+
 def test_cancel_queued_is_deferred_and_rid_exact():
     """A queued cancel must not mutate the queue on the caller's thread
     (serve_http's decode thread pops it concurrently — a positional delete

@@ -60,6 +60,45 @@ def process_logits(
     return logits
 
 
+def sample_probs_dyn(
+    logits: jax.Array,  # [..., vocab] float32
+    temperature: jax.Array,  # [] f32 TRACED (per-request)
+    top_p: jax.Array,  # [] f32 TRACED
+    repetition_penalty: jax.Array,  # [] f32 TRACED
+    seen: Optional[jax.Array] = None,  # [vocab+1] bool
+    top_k: int = 0,  # static engine-wide bucket (a traced k can't shape sort)
+) -> jax.Array:
+    """Per-request sampling transform -> PROBABILITIES, with every knob
+    except top_k traced: one compiled graph serves a mixed batch of greedy,
+    sampled, and penalized requests (the serving engine's per-slot mode —
+    a static SamplingParams would force one engine per sampling config).
+
+    Greedy slots (temperature <= 1e-5) get the one-hot argmax of the RAW
+    logits — warps and the penalty don't apply at T=0, matching the static
+    path (SpecModel._seen_mask disables the penalty when greedy).  With
+    one-hot probabilities the rejection-sampling acceptance walk reduces
+    exactly to the greedy walk, so greedy slots stay lossless vs AR.
+
+    Traced-identity notes vs the static ``process_logits`` path: division by
+    a traced 1.0 is bitwise exact; the top-p warp with effective top_p=1.0
+    masks only tokens whose softmax already underflowed to subnormals
+    (< f32 epsilon of any downstream sum); penalty 1.0 is an identity.
+    """
+    greedy = temperature <= 1e-5
+    x = logits / jnp.where(greedy, 1.0, temperature).astype(logits.dtype)
+    if seen is not None:
+        pen = jnp.where(x > 0, x / repetition_penalty, x * repetition_penalty)
+        x = jnp.where(seen[: x.shape[-1]], pen, x)
+    eff_p = jnp.where((top_p <= 1e-8) | (top_p >= 1.0), 1.0, top_p)
+    x = _top_p_warp(x, eff_p)  # comparison-only use of top_p: traced is fine
+    if top_k > 0:
+        x = _top_k_warp(x, int(top_k))
+    probs = jax.nn.softmax(x, axis=-1)
+    onehot = jax.nn.one_hot(jnp.argmax(logits, axis=-1), logits.shape[-1],
+                            dtype=probs.dtype)
+    return jnp.where(greedy, onehot, probs)
+
+
 def apply_repetition_penalty(
     logits: jax.Array,  # [..., vocab]
     seen: jax.Array,  # [vocab+1] bool — last row ignored

@@ -169,7 +169,12 @@ def sampling_accept(
         u = uniforms[d]
         # prefix mass of earlier children (node order == reference row order)
         before = jnp.cumsum(child_p) - child_p
-        accept = is_child & (u * jnp.maximum(1.0 - before, 1e-20) <= child_p)
+        # child_p > 0 guard: u can be exactly 0.0 (jax uniform is [0,1)),
+        # which would otherwise accept a zero-probability child — with
+        # one-hot probs (per-request greedy slots) that would break the
+        # greedy-equivalence of the walk
+        accept = is_child & (child_p > 0) & (
+            u * jnp.maximum(1.0 - before, 1e-20) <= child_p)
         any_accept = jnp.any(accept) & alive
         first = jnp.argmax(accept).astype(jnp.int32)  # first True in node order
         new_cur = jnp.where(any_accept, first, cur)

@@ -25,7 +25,8 @@ from ..models import draft as draft_mod
 from ..models import llama
 from ..ops import kv_cache as kv
 from ..ops.attention import causal_mask, tree_verify_mask
-from ..ops.sampling import process_logits, sample_categorical, update_seen
+from ..ops.sampling import (process_logits, sample_categorical,
+                            sample_probs_dyn, update_seen)
 from ..ops.tree import Tree, greedy_accept, path_to_root, sampling_accept
 
 
@@ -65,24 +66,51 @@ class SpecState(NamedTuple):
     # token target verify hiddens (keep_hiddens mode), indexed like ``output``;
     # lets a finished generation become a PrefixSnapshot at ANY committed cut
     # (multi-turn conversation reuse).  None => zero cost on the default path
+    samp: Optional[jax.Array] = None  # [3] f32 — per-request TRACED sampling
+    # knobs (temperature, top_p, repetition_penalty) when
+    # SamplingParams.per_request; lets one serving graph mix greedy and
+    # sampled slots.  None on the static paths => zero cost
 
 
 class SamplingParams(NamedTuple):
-    """Static sampling configuration (hashable; part of the jit key)."""
+    """Static sampling configuration (hashable; part of the jit key).
+
+    ``per_request=True`` switches the accept path to TRACED per-slot knobs
+    carried in ``SpecState.samp`` (temperature/top_p/repetition_penalty;
+    ops/sampling.sample_probs_dyn) — the serving engine's mixed-batch mode.
+    Only ``top_k`` stays static (a traced k can't shape the sort)."""
 
     temperature: float = 0.0
     top_p: float = 0.0
     top_k: int = 0
     repetition_penalty: float = 1.0  # >1 penalizes seen tokens (utils.py:41-50)
+    per_request: bool = False
 
     @property
     def greedy(self) -> bool:
-        return self.temperature <= 1e-5
+        return (not self.per_request) and self.temperature <= 1e-5
 
 
 # ---------------------------------------------------------------------------
 # Target prefill + first tree
 # ---------------------------------------------------------------------------
+
+
+def _first_token(last_logits, sampling: SamplingParams, samp, seen, k_sample):
+    """First-token draw shared by every prefill: greedy argmax, static
+    sampled, or per-request traced knobs (sample_categorical over a one-hot
+    is the argmax, so greedy slots stay exact in per_request mode)."""
+    if sampling.per_request:
+        p = sample_probs_dyn(last_logits, samp[0], samp[1], samp[2], seen,
+                             sampling.top_k)
+        return sample_categorical(k_sample, p).astype(jnp.int32)
+    if sampling.greedy:
+        return jnp.argmax(last_logits).astype(jnp.int32)
+    p = jax.nn.softmax(
+        process_logits(last_logits, sampling.temperature, sampling.top_p,
+                       sampling.top_k, sampling.repetition_penalty, seen)
+    )
+    return sample_categorical(k_sample, p).astype(jnp.int32)
 
 
 def spec_prefill(
@@ -103,6 +131,7 @@ def spec_prefill(
     rope_delta: Optional[jax.Array] = None,  # [] int32 (Qwen M-RoPE)
     seen: Optional[jax.Array] = None,  # [vocab+1] bool prompt-token mask
     keep_hiddens: bool = False,  # record committed-token verify hiddens
+    samp: Optional[jax.Array] = None,  # [3] f32 traced per-request knobs
 ) -> SpecState:
     """Target prompt prefill, first-token sample, draft prefill + first tree.
 
@@ -125,14 +154,7 @@ def spec_prefill(
 
     last_logits = llama.lm_head(tparams, jnp.take(hidden, real_len - 1, axis=0))
     key, k_sample = jax.random.split(key)
-    if sampling.greedy:
-        first_token = jnp.argmax(last_logits).astype(jnp.int32)
-    else:
-        p = jax.nn.softmax(
-            process_logits(last_logits, sampling.temperature, sampling.top_p,
-                           sampling.top_k, sampling.repetition_penalty, seen)
-        )
-        first_token = sample_categorical(k_sample, p).astype(jnp.int32)
+    first_token = _first_token(last_logits, sampling, samp, seen, k_sample)
     if seen is not None:
         seen = seen.at[first_token].set(True)
 
@@ -171,6 +193,7 @@ def spec_prefill(
         seen=seen,
         hiddens=(jnp.zeros((max_out, hidden.shape[-1]), hidden.dtype)
                  if keep_hiddens else None),
+        samp=samp,
     )
 
 
@@ -257,6 +280,7 @@ def spec_prefill_continue(
     max_out: int,
     seen: Optional[jax.Array] = None,  # [vocab+1] bool prompt-token mask
     keep_hiddens: bool = False,
+    samp: Optional[jax.Array] = None,  # [3] f32 traced per-request knobs
 ) -> SpecState:
     """spec_prefill for ``prefix + suffix`` that only computes the suffix:
     the snapshot's KV rows are written into the (donated) caches, the target
@@ -297,13 +321,7 @@ def spec_prefill_continue(
 
     last_logits = llama.lm_head(tparams, jnp.take(hidden_s, suffix_len - 1, axis=0))
     key, k_sample = jax.random.split(key)
-    if sampling.greedy:
-        first_token = jnp.argmax(last_logits).astype(jnp.int32)
-    else:
-        p = jax.nn.softmax(process_logits(
-            last_logits, sampling.temperature, sampling.top_p, sampling.top_k,
-            sampling.repetition_penalty, seen))
-        first_token = sample_categorical(k_sample, p).astype(jnp.int32)
+    first_token = _first_token(last_logits, sampling, samp, seen, k_sample)
     if seen is not None:
         seen = seen.at[first_token].set(True)
 
@@ -352,6 +370,7 @@ def spec_prefill_continue(
         seen=seen,
         hiddens=(jnp.zeros((max_out, hidden_s.shape[-1]), hidden_s.dtype)
                  if keep_hiddens else None),
+        samp=samp,
     )
 
 
@@ -420,7 +439,17 @@ def _verify_accept_commit(
 
     # ---- 2. acceptance (utils.py:415-493) ----
     key, k_accept, k_bonus = jax.random.split(state.key, 3)
-    if sampling.greedy:
+    if sampling.per_request:
+        # per-slot TRACED knobs: one graph serves a mixed batch (greedy
+        # slots reduce exactly to the greedy walk via one-hot probs)
+        probs = sample_probs_dyn(
+            logits, state.samp[0], state.samp[1], state.samp[2],
+            state.seen, sampling.top_k,
+        )
+        best, acc, resid = sampling_accept(tree, probs, k_accept,
+                                           max_accept_depth)
+        bonus = sample_categorical(k_bonus, resid).astype(jnp.int32)
+    elif sampling.greedy:
         argmax_toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         best, acc = greedy_accept(tree, argmax_toks, max_depth=max_accept_depth)
         bonus = argmax_toks[best]
@@ -529,6 +558,7 @@ def decode_round(
         fuse_b=state.fuse_b,
         seen=seen,
         hiddens=hiddens,
+        samp=state.samp,
     )
     # in-graph done latch: rounds dispatched after completion (the host
     # pipelines one read-batch ahead) are no-ops on every cursor — see
@@ -592,6 +622,7 @@ def medusa_prefill(
     target_cache: kv.KVCache,
     key: jax.Array,
     max_out: int,
+    samp: Optional[jax.Array] = None,  # [3] f32 traced per-request knobs
 ) -> SpecState:
     from ..models import medusa as medusa_mod
 
@@ -606,13 +637,7 @@ def medusa_prefill(
     last_hidden = jnp.take(hidden, real_len - 1, axis=0)
     last_logits = llama.lm_head(tparams, last_hidden)
     key, k_sample = jax.random.split(key)
-    if sampling.greedy:
-        first_token = jnp.argmax(last_logits).astype(jnp.int32)
-    else:
-        p = jax.nn.softmax(
-            process_logits(last_logits, sampling.temperature, sampling.top_p, sampling.top_k)
-        )
-        first_token = sample_categorical(k_sample, p).astype(jnp.int32)
+    first_token = _first_token(last_logits, sampling, samp, None, k_sample)
 
     tree = medusa_mod.expand_tree(
         mparams, spec, last_hidden, first_token, tparams["lm_head"]
@@ -630,6 +655,7 @@ def medusa_prefill(
         key=key,
         rope_delta=jnp.zeros((), jnp.int32),
         fuse_b=jnp.zeros((1,), jnp.float32),
+        samp=samp,
     )
 
 
@@ -687,6 +713,7 @@ def medusa_decode_round(
         key=key,
         rope_delta=state.rope_delta,
         fuse_b=state.fuse_b,
+        samp=state.samp,
     )
     return latch_done(state, new_state)  # see decode_round
 

@@ -81,6 +81,12 @@ class ServingEngine:
         max_span: int = 64,   # construction so admissions reuse one graph)
         prefix_ids: Optional[Sequence[int]] = None,  # shared TEXT prefix
         suffix_bucket: int = 128,  # pad bucket for prefix-cached suffixes
+        per_request_sampling: bool = False,  # per-slot TRACED sampling knobs:
+        # each request may carry its own temperature/top_p/repetition_penalty
+        # (submit() dict keys) and a mixed greedy+sampled batch shares ONE
+        # compiled graph — without this an online server needs a separate
+        # engine (and compiled graphs) per sampling config.  top_k stays an
+        # engine-wide static bucket (a traced k can't shape the sort).
     ):
         if model.mparams is not None and prefix_ids is not None:
             raise NotImplementedError(
@@ -88,7 +94,17 @@ class ServingEngine:
                 "draft transformer — construct the engine without prefix_ids")
         self.m = model
         self.b = batch_size
-        self.sampling = spec_loop.SamplingParams(temperature, top_p, int(top_k))
+        self.per_request = bool(per_request_sampling)
+        if self.per_request:
+            # the engine ctor's temperature/top_p become DEFAULTS for
+            # requests that don't specify their own; the static key pins
+            # everything but top_k at neutral so one graph serves all slots
+            self.sampling = spec_loop.SamplingParams(
+                0.0, 0.0, int(top_k), 1.0, per_request=True)
+            self._default_samp = (float(temperature), float(top_p), 1.0)
+        else:
+            self.sampling = spec_loop.SamplingParams(temperature, top_p,
+                                                     int(top_k))
         self.chunk_rounds = chunk_rounds
         self.seed = seed
         spec = model.spec
@@ -247,7 +263,7 @@ class ServingEngine:
         )
 
     # ------------------------------------------------------------------
-    def _prefill_one(self, request) -> spec_loop.SpecState:
+    def _prefill_one(self, request, rid=None) -> spec_loop.SpecState:
         """Prefill one request into the spare cache pair.  ``request`` is
         either a plain token list or a dict with ``input_ids`` and optional
         vision inputs (``pixel_values``/``image_size``/``pixel_values_videos``
@@ -256,6 +272,20 @@ class ServingEngine:
         from ..models import llama
 
         m = self.m
+        samp = None
+        if self.per_request:
+            samp = jnp.asarray(self._req_samp.get(rid, self._default_samp),
+                               jnp.float32)
+
+        def _seen(ids):
+            # per-request mode always carries the mask (any slot may be
+            # penalized; penalty 1.0 is an identity, greedy ignores probs)
+            if not self.per_request or m.mparams is not None:
+                return None
+            from ..ops.sampling import seen_mask
+
+            return jnp.asarray(seen_mask(m.tcfg.vocab_size, ids))
+
         if self._snap is not None:
             ids = np.asarray(request["input_ids"] if isinstance(request, dict)
                              else request, np.int64)
@@ -282,7 +312,7 @@ class ServingEngine:
                     self.sampling, self._snap, sembeds,
                     jnp.asarray(sl, jnp.int32), tc, dc,
                     jax.random.PRNGKey(self.seed + self._n_prefills),
-                    self.max_out,
+                    self.max_out, seen=_seen(ids), samp=samp,
                 )
         req = request if isinstance(request, dict) else {"input_ids": request}
         ids = np.asarray(req["input_ids"], np.int64)
@@ -304,6 +334,7 @@ class ServingEngine:
                 m.tparams, m.mparams, m.tcfg, m.spec, self.sampling, embeds,
                 jnp.asarray(l, jnp.int32), tc,
                 jax.random.PRNGKey(self.seed + self._n_prefills), self.max_out,
+                samp=samp,
             )
         plan, ms = draft_mod.make_prefill_plan(
             shifted, l, m.dcfg.num_q, bucket,
@@ -321,6 +352,7 @@ class ServingEngine:
             self.max_out, self.max_span,
             position_ids=position_ids,
             rope_delta=jnp.asarray(rope_delta, jnp.int32),
+            seen=_seen(ids), samp=samp,
         )
 
     # ------------------------------------------------------------------
@@ -337,6 +369,8 @@ class ServingEngine:
         self.acceptance: Dict[int, List[int]] = {}
         self._emitted: Dict[int, int] = {}  # rid -> streamed-token cursor
         self._req_cap: Dict[int, int] = {}  # rid -> per-request token budget
+        self._req_samp: Dict[int, tuple] = {}  # rid -> (T, top_p, rep_pen)
+        # when per_request_sampling
         self._caps = np.full(self.b, self.max_new, np.int32)  # per-SLOT caps
         self._canceled: set = set()
         self._cancel_req: List[int] = []  # active-request cancels, applied by
@@ -361,7 +395,12 @@ class ServingEngine:
         ``max_new_tokens`` (kwarg or request-dict key) caps THIS request's
         generation (clamped to the engine's budget); the cap rides the
         batched decode graph as a per-slot vector, so a short request frees
-        its slot as soon as its own budget is hit."""
+        its slot as soon as its own budget is hit.
+
+        With ``per_request_sampling``, dict keys ``temperature`` / ``top_p``
+        / ``repetition_penalty`` set THIS request's sampling (traced per-slot
+        — no recompile, mixed batches share one graph); unset keys fall back
+        to the engine ctor's values."""
         if not hasattr(self, "_queue"):
             self.start_session()
         if max_new_tokens is None and isinstance(request, dict):
@@ -369,8 +408,25 @@ class ServingEngine:
         cap = self.max_new if max_new_tokens is None else int(max_new_tokens)
         if cap < 1:
             raise ValueError(f"max_new_tokens must be >= 1, got {cap}")
+        if self.per_request:
+            d = request if isinstance(request, dict) else {}
+            samp = (float(d.get("temperature", self._default_samp[0])),
+                    float(d.get("top_p", self._default_samp[1])),
+                    float(d.get("repetition_penalty", self._default_samp[2])))
+            if samp[2] != 1.0 and self.m.mparams is not None:
+                raise ValueError("repetition_penalty is not supported with "
+                                 "the medusa drafter")
+        elif isinstance(request, dict) and any(
+                k in request for k in ("temperature", "top_p",
+                                       "repetition_penalty")):
+            raise ValueError(
+                "per-request sampling keys need "
+                "ServingEngine(per_request_sampling=True); this engine uses "
+                "one static sampling config for all slots")
         rid = self._next_rid
         self._next_rid += 1
+        if self.per_request:
+            self._req_samp[rid] = samp
         # metadata BEFORE the queue append: a concurrent decode thread
         # (serve_http) may admit the request the instant it is visible
         self.acceptance[rid] = []
@@ -418,7 +474,8 @@ class ServingEngine:
                 f"request {rid}: unknown, unfinished, or already popped "
                 "(pop_result must be called exactly once per finished rid)"
             ) from None
-        for d in (self.acceptance, self._emitted, self._req_cap, self.errors):
+        for d in (self.acceptance, self._emitted, self._req_cap,
+                  self._req_samp, self.errors):
             d.pop(rid, None)
         self._canceled.discard(rid)
         return out
@@ -438,7 +495,7 @@ class ServingEngine:
             rid, request = self._queue.popleft()
             t_adm = _time.perf_counter()
             try:
-                s1 = self._prefill_one(request)
+                s1 = self._prefill_one(request, rid)
             except (ValueError, KeyError, TypeError) as e:
                 # a malformed REQUEST (over-long prompt / oversized image
                 # span / missing dict key / wrong field type) fails that
