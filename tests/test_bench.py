@@ -21,10 +21,21 @@ def test_run_bench_tiny_contract(monkeypatch):
     t0_snapshots = []
     res = bench.run_bench(cfg, on_t0=t0_snapshots.append)
     # the headline callback fired after every T=0 mode and BEFORE the T=1
-    # legs (that ordering is what lets the parent salvage a timed-out child)
-    assert len(t0_snapshots) == 1
+    # legs, then again after T=1 and before the method legs (that ordering is
+    # what lets the parent salvage a timed-out child)
+    assert len(t0_snapshots) == 2
     assert "speedup_at_ref_tau_int8" in t0_snapshots[0]
     assert "ratio_T1" not in t0_snapshots[0]
+    assert "ratio_T1" in t0_snapshots[1]
+    assert "ratio_medusa" not in t0_snapshots[1]
+    # tau accounting: speedup counts the committed bonus token (tau + 1)
+    assert abs(res["speedup_at_ref_tau"] * res["ratio"]
+               - (bench.REF_TAU + 1.0)) < 1e-6
+    # three-method legs (the reference's headline comparison artifact)
+    assert "methods_error" not in res, res.get("methods_error")
+    assert res["ratio_eagle"] > 0 and res["ratio_medusa"] > 0
+    assert res["speedup_at_ref_tau_eagle"] > 0
+    assert res["speedup_at_ref_tau_medusa"] > 0
     for key in ("t_ar_ms", "t_round_ms", "ratio", "speedup_at_ref_tau",
                 "ratio_int8", "ratio_int4", "ratio_mixed", "ratio_auto",
                 "speedup_at_ref_tau_int8", "auto_choices"):

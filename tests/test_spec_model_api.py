@@ -111,7 +111,10 @@ def test_harness_and_speed_aggregation(tmp_path):
     assert len(recs) == 3
     rep = speed.speedup_report(spec_file, base_file)
     assert rep["n_spec"] == 3 and rep["n_baseline"] == 3
-    assert rep["tau"] >= 1.0
+    # tau is the reference's convention (accepted draft tokens, >= 0);
+    # committed tokens per round = tau + 1
+    assert rep["tau"] >= 0.0
+    assert rep["tokens_per_round"] == rep["tau"] + 1.0 >= 1.0
     assert rep["spec_tokens_per_s"] > 0 and rep["baseline_tokens_per_s"] > 0
 
     # dedup: re-running appends then reorg keeps one record per question

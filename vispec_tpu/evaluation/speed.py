@@ -46,10 +46,18 @@ def tokens_per_second(
 
 
 def mean_acceptance_length(records: List[dict]) -> float:
+    """Mean accepted DRAFT tokens per round — the reference's τ convention.
+
+    The reference records ``int(accept_length)`` per round
+    (spec_model_ours.py:509-510) and its aggregator prints the raw mean
+    (speed.py:70); each round COMMITS ``accept_length + 1`` tokens (the
+    accepted chain + the bonus/root, utils.py:582 ``new_token +=
+    accept_length + 1``), so tokens-per-round = τ + 1.  We report both —
+    ``tau`` here matches the reference README's τ column (e.g. 2.98 for
+    LLaVA-1.6-7B at T=0 means 3.98 committed tokens per round)."""
     accs: List[int] = []
     for rec in records:
-        # tau counts tokens per round = accept_length + 1 (spec_model_ours.py:509)
-        accs.extend(a + 1 for a in rec.get("acceptance_length", []))
+        accs.extend(rec.get("acceptance_length", []))
     return sum(accs) / max(len(accs), 1)
 
 
@@ -63,11 +71,13 @@ def speedup_report(
     base = load_records(baseline_file)
     spec_tps = tokens_per_second(spec, None, use_decode_time)
     base_tps = tokens_per_second(base, retokenize, use_decode_time)
+    tau = mean_acceptance_length(spec)
     return {
         "spec_tokens_per_s": spec_tps,
         "baseline_tokens_per_s": base_tps,
         "speedup": spec_tps / max(base_tps, 1e-9),
-        "tau": mean_acceptance_length(spec),
+        "tau": tau,  # reference convention: accepted draft tokens per round
+        "tokens_per_round": tau + 1.0,  # committed incl. bonus (utils.py:582)
         "n_spec": len(spec),
         "n_baseline": len(base),
     }
