@@ -1,0 +1,150 @@
+"""First on-chip TRAINING numbers: stage-2 MTP step + getkacc at real geometry.
+
+VERDICT r3 weak #1: the trainer stack (MTP recursion, frozen [4096, 32000]
+head, prefix-plan batching) was CPU-proven only.  This drive runs the REAL
+train_step (vispec_tpu/train/step.py, reference main_mtp.py:624-718) on the
+chip at the reference's stage-2 geometry — draft hidden 4096 / inter 11008,
+frozen Vicuna-7B lm_head, max_len 1024, mtp_steps=2, AdamW — with fabricated
+f32 hidden/embed samples (step cost is content-independent), plus one
+device-side getkacc pass (trainer.getkacc: one dispatch per prefix, one
+batched readback — the tunnel-RTT discipline data-gen uses).
+
+Timing discipline: steps chain through donated params, so dispatching N
+steps and fencing ONCE on the last step's loss readback measures true
+device throughput (no per-step host sync — CLAUDE.md's 25 ms RTT rule).
+
+Run (on the chip):
+    PYTHONPATH=/root/repo:$PYTHONPATH python scripts/bench_train.py
+Prints one JSON line (train_step ms, tokens/s, getkacc wall, HBM).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+if os.environ.get("JAX_PLATFORMS", "") not in ("cpu",):
+    _CACHE = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    os.makedirs(_CACHE, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _CACHE)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from vispec_tpu.configs import DraftConfig
+from vispec_tpu.models import draft as draft_mod
+from vispec_tpu.train import trainer as trainer_mod
+from vispec_tpu.train.step import make_optimizer, train_step
+from vispec_tpu.train.trainer import TrainConfig, batch_examples, getkacc, prepare_example
+
+
+def fabricate_sample(rng, seq, d):
+    """Random stage-2 sample (data_gen.save_sample schema): content does not
+    change step cost, only which gather rows the plan selects."""
+    return {
+        "hidden_state": rng.standard_normal((seq, d)).astype(np.float32),
+        "inputs_embeds": rng.standard_normal((seq, d)).astype(np.float32),
+        "loss_mask": np.ones(seq, np.float32),
+        "image_mask": np.zeros(seq, bool),
+    }
+
+
+def main():
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--bs", type=int, default=1)  # reference asserts bs=1
+    p.add_argument("--max-len", type=int, default=1024)
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--seq", type=int, default=900)  # ~1k-token sequences
+    args = p.parse_args()
+
+    d, v = 4096, 32000
+    dcfg = DraftConfig(
+        vocab_size=v, hidden_size=d, intermediate_size=11008,
+        num_attention_heads=32, num_key_value_heads=32,
+        max_position_embeddings=2 * args.max_len,
+    )
+    cfg = TrainConfig(bs=args.bs, max_len=args.max_len, mtp_steps=2)
+    rng = np.random.default_rng(0)
+
+    dparams = draft_mod.init_params(dcfg, jax.random.PRNGKey(0), jnp.float32)
+    head_w = (jax.random.normal(jax.random.PRNGKey(1), (d, v), jnp.float32)
+              * 0.02)  # frozen target lm_head
+    optimizer = make_optimizer(cfg.lr, cfg.warmup_steps, cfg.total_steps,
+                               cfg.grad_clip)
+    opt_state = jax.jit(optimizer.init)(dparams)
+
+    def make_batch():
+        exs = []
+        while len(exs) < cfg.bs:
+            ex = prepare_example(fabricate_sample(rng, args.seq, d), cfg,
+                                 dcfg, rng)
+            if ex is not None:
+                exs.append(ex)
+        return batch_examples(exs)
+
+    batch, max_span = make_batch()
+    ms_bucket = cfg.max_span_bucket if max_span > 1 else 1
+
+    # compile + first step
+    t0 = time.perf_counter()
+    dparams, opt_state, metrics = train_step(
+        dparams, opt_state, dcfg, head_w, batch, optimizer,
+        mtp_steps=cfg.mtp_steps, max_span=ms_bucket)
+    first_loss = float(metrics["loss"])  # fence
+    compile_s = time.perf_counter() - t0
+
+    # timed run: host prep included (the real epoch loop pays it), ONE fence
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        batch, _ = make_batch()
+        dparams, opt_state, metrics = train_step(
+            dparams, opt_state, dcfg, head_w, batch, optimizer,
+            mtp_steps=cfg.mtp_steps, max_span=ms_bucket)
+    last_loss = float(metrics["loss"])  # single readback fences the chain
+    wall = time.perf_counter() - t0
+    step_ms = wall / args.steps * 1e3
+    toks_per_s = args.bs * (args.seq - 1) / (wall / args.steps)
+
+    # device-side getkacc (one dispatch per prefix, one batched readback)
+    sample = fabricate_sample(rng, min(args.seq, 512), d)
+    getkacc(dparams, dcfg, head_w, sample, max_len=512)  # compile
+    t0 = time.perf_counter()
+    accs = getkacc(dparams, dcfg, head_w, sample, max_len=512)
+    kacc_s = time.perf_counter() - t0
+
+    detail = {
+        "geometry": f"draft-7B d={d} v={v} bs={args.bs} seq={args.seq} "
+                    f"max_len={args.max_len} mtp_steps={cfg.mtp_steps}",
+        "compile_s": round(compile_s, 1),
+        "step_ms": round(step_ms, 2),
+        "tokens_per_s": round(toks_per_s, 1),
+        "first_loss": round(first_loss, 4),
+        "last_loss": round(last_loss, 4),
+        "getkacc_s_per_sample": round(kacc_s, 3),
+        "getkacc": [round(a, 4) for a in accs],
+        "platform": jax.devices()[0].platform,
+    }
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        detail["hbm_gb"] = round(stats.get("bytes_in_use", 0) / 2**30, 2)
+        detail["hbm_peak_gb"] = round(stats.get("peak_bytes_in_use", 0) / 2**30, 2)
+    except Exception:
+        pass
+    print(json.dumps({
+        "metric": "train_step_tokens_per_s",
+        "value": round(toks_per_s, 1),
+        "unit": "tok/s",
+        "detail": detail,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
