@@ -254,7 +254,10 @@ def load_vicuna(root, begin, end):
 
     The 80 LMSYS MT-bench questions are vendored (vispec_tpu/data/mt_bench/
     question.jsonl, as the reference vendors vispec/data/mt_bench/) so the
-    bench runs out of the box; a copy under ``root`` takes precedence."""
+    bench runs out of the box; a copy under ``root`` takes precedence.
+    The judge data the reference ships alongside (reference_answer/gpt-4.jsonl,
+    model_judgment/gpt-4_single.jsonl) is vendored too for data-directory
+    parity — the speed harness never judges, so nothing reads it here."""
     path = os.path.join(root, "mt_bench", "question.jsonl")
     if not os.path.exists(path):
         path = os.path.join(os.path.dirname(os.path.dirname(
