@@ -7,7 +7,13 @@ prompts through SpecModel.specgenerate_batch, and reports tokens/s per batch
 size plus the scaling factor vs bs=1.  Weights are read once per round for the
 whole batch, so throughput scales with B until HBM is bandwidth-saturated —
 the structural reason batching beats the reference's single-request design.
-"""
+
+Arrival mode (``--arrival-rates 0.5,1,2``): instead of saturating the slots
+up-front, requests arrive by a SEEDED Poisson process through the online
+submit()/step() API — the number a serving engine is actually judged by.
+Reports, per offered load: achieved tokens/s, p50/p99 per-request latency
+(completion − scheduled arrival, so queueing waits count), and the share of
+wall time spent stalled on mid-flight admission prefills."""
 
 from __future__ import annotations
 
@@ -25,6 +31,53 @@ MODELS = {
 }
 
 
+def arrival_bench(model, b, new_tokens, rate, n_requests, seed=0):
+    """Poisson open-loop serving benchmark through the ONLINE API.
+
+    Requests arrive at ``rate``/s (seeded exponential interarrivals); the
+    loop submits each request at its scheduled wall-clock time and steps the
+    engine whenever work is pending.  Latency is completion − SCHEDULED
+    arrival (queueing and admission stalls count against the engine, as a
+    client would experience them)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    prompts = [rng.integers(10, 31990, 100).tolist() for _ in range(n_requests)]
+    arrivals = np.cumsum(rng.exponential(1.0 / rate, n_requests))
+
+    eng = model.serving_engine(batch_size=b, max_new_tokens=new_tokens)
+    eng.run_all(prompts[:2 * b])  # warm every graph incl. mid-flight admit
+    eng.start_session()
+
+    done_at = {}
+    rids = {}
+    t0 = time.perf_counter()
+    nxt = 0
+    while len(done_at) < n_requests:
+        now = time.perf_counter() - t0
+        while nxt < n_requests and arrivals[nxt] <= now:
+            rids[eng.submit(prompts[nxt])] = nxt
+            nxt += 1
+        if eng.pending():
+            for rid in eng.step():
+                done_at[rid] = time.perf_counter() - t0
+        elif nxt < n_requests:
+            time.sleep(min(0.002, max(arrivals[nxt] - (time.perf_counter() - t0), 0)))
+    wall = time.perf_counter() - t0
+
+    lats = np.array([done_at[r] - arrivals[rids[r]] for r in rids])
+    toks = sum(len(eng.results[r]) for r in rids)
+    return dict(
+        offered_rate_per_s=rate, n_requests=n_requests, batch=b,
+        tokens_per_s=round(toks / wall, 1), wall_s=round(wall, 2),
+        latency_p50_s=round(float(np.percentile(lats, 50)), 3),
+        latency_p99_s=round(float(np.percentile(lats, 99)), 3),
+        latency_mean_s=round(float(lats.mean()), 3),
+        admissions=eng.stats["admissions"],
+        admit_stall_share=round(eng.stats["admit_dispatch_s"] / wall, 4),
+    )
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="1B", choices=sorted(MODELS))
@@ -35,6 +88,13 @@ def main():
     p.add_argument("--engine", action="store_true",
                    help="continuous-batching engine (2x requests over the "
                         "slots, admission mid-flight) instead of a fixed batch")
+    p.add_argument("--arrival-rates", default="",
+                   help="Poisson open-loop mode: comma-separated offered "
+                        "loads in requests/s (e.g. 0.5,1,2); implies the "
+                        "online engine, uses the first --sizes entry as the "
+                        "slot count")
+    p.add_argument("--requests", type=int, default=24,
+                   help="requests per arrival-mode leg")
     args = p.parse_args()
 
     import jax
@@ -66,6 +126,17 @@ def main():
                       tparams, dparams, max_len=args.max_len,
                       dtype=jnp.bfloat16, eos_token_id=10**6,
                       quantize_draft=args.int8)
+
+    if args.arrival_rates:
+        b = int(args.sizes.split(",")[0])
+        rows = []
+        for rate in [float(x) for x in args.arrival_rates.split(",")]:
+            row = arrival_bench(model, b, args.new_tokens, rate,
+                                args.requests)
+            row["mode"] = "arrival" + ("+int8" if args.int8 else "")
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+        return rows
 
     rng = np.random.default_rng(0)
     rows = []
