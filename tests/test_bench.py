@@ -51,3 +51,23 @@ def test_run_bench_tiny_contract(monkeypatch):
         "wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down", "rank_head"}
     assert all(v in ("bf16", "int8", "int4")
                for v in res["auto_choices"].values())
+
+
+def test_tree_sweep_depth_model():
+    """sweep_tree_t1's truncated-geometric depth factor: identity at the
+    default depth, anchored so tau(depth=3) == the reference's tau_T1, and
+    strictly decreasing as the tree gets shallower."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts"))
+    from sweep_tree_t1 import REF_TAU_T1, depth_factor
+
+    assert abs(depth_factor(3) - 1.0) < 1e-9
+    f2, f1 = depth_factor(2), depth_factor(1)
+    assert 0 < f1 < f2 < 1.0
+    # anchored: reconstructing tau(3) from the solved p reproduces 2.09
+    assert abs(REF_TAU_T1 * depth_factor(3) - 2.09) < 1e-6
+    # depth=2 loses the 4th chain level: at p~0.757 that is ~16% of tau
+    assert 0.78 < f2 < 0.90
