@@ -288,6 +288,10 @@ def run_bench(cfg_d, on_t0=None):
                           dparams_e, max_len=cfg_d["max_len"],
                           dtype=model.dtype, eos_token_id=10**6)
         t_round_eagle = _time_spec(eagle, prompt)
+        # int8 draft composes with the EAGLE drafter exactly like vispec
+        # (lossless: verification stays bf16) — the recommended serving mode
+        eagle.quantize_draft_inplace("int8")
+        t_round_eagle_q8 = _time_spec(eagle, prompt)
         eagle._target_cache = eagle._draft_cache = None
         del eagle, dparams_e
 
@@ -303,13 +307,18 @@ def run_bench(cfg_d, on_t0=None):
         del med, mparams
 
         r_e, r_m = t_round_eagle / t_ar, t_round_medusa / t_ar
+        r_e8 = t_round_eagle_q8 / t_ar
         out.update(
             t_round_eagle_ms=t_round_eagle * 1e3,
+            t_round_eagle_int8_ms=t_round_eagle_q8 * 1e3,
             t_round_medusa_ms=t_round_medusa * 1e3,
-            ratio_eagle=r_e, ratio_medusa=r_m,
+            ratio_eagle=r_e, ratio_eagle_int8=r_e8, ratio_medusa=r_m,
             speedup_at_ref_tau_eagle=(REF_TAU_EAGLE + 1.0) / r_e,
+            speedup_at_ref_tau_eagle_int8=(REF_TAU_EAGLE + 1.0) / r_e8,
             speedup_at_ref_tau_medusa=(REF_TAU_MEDUSA + 1.0) / r_m,
             vs_baseline_eagle=((REF_TAU_EAGLE + 1.0) / r_e)
+            / REF_SPEEDUP_EAGLE,
+            vs_baseline_eagle_int8=((REF_TAU_EAGLE + 1.0) / r_e8)
             / REF_SPEEDUP_EAGLE,
             vs_baseline_medusa=((REF_TAU_MEDUSA + 1.0) / r_m)
             / REF_SPEEDUP_MEDUSA,

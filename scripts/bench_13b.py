@@ -57,7 +57,9 @@ def fabricate_q8_target(cfg: LlamaConfig, key: jax.Array, dtype=jnp.bfloat16):
     hq = cfg.num_attention_heads * cfg.head_dim
     hkv = cfg.num_key_value_heads * cfg.head_dim
 
-    @jax.jit
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=(1, 2))
     def _stacked_rows(ks, a, b):
         return jax.lax.map(
             lambda k: jax.random.randint(k, (a, b), -127, 128, jnp.int8), ks)

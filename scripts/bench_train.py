@@ -63,12 +63,22 @@ def main():
     p.add_argument("--max-len", type=int, default=1024)
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--seq", type=int, default=900)  # ~1k-token sequences
+    p.add_argument("--hidden", type=int, default=4096)
+    p.add_argument("--inter", type=int, default=11008)
+    p.add_argument("--vocab", type=int, default=32000)
+    p.add_argument("--heads", type=int, default=32)
+    p.add_argument("--platform", default=None,
+                   help="e.g. cpu for a smoke run (the site hook pins the "
+                   "axon backend; JAX_PLATFORMS env is ignored — only "
+                   "jax.config.update works, see CLAUDE.md)")
     args = p.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
-    d, v = 4096, 32000
+    d, v = args.hidden, args.vocab
     dcfg = DraftConfig(
-        vocab_size=v, hidden_size=d, intermediate_size=11008,
-        num_attention_heads=32, num_key_value_heads=32,
+        vocab_size=v, hidden_size=d, intermediate_size=args.inter,
+        num_attention_heads=args.heads, num_key_value_heads=args.heads,
         max_position_embeddings=2 * args.max_len,
     )
     cfg = TrainConfig(bs=args.bs, max_len=args.max_len, mtp_steps=2)
@@ -113,6 +123,23 @@ def main():
     step_ms = wall / args.steps * 1e3
     toks_per_s = args.bs * (args.seq - 1) / (wall / args.steps)
 
+    # device-resident leg: re-dispatch one already-transferred batch (step
+    # cost is content-independent), separating the pure device step from the
+    # host prep + batch upload above.  Through this container's axon tunnel
+    # the upload (~30 MB of f32 hiddens/step at bs=1) dominates the e2e
+    # number; a real TPU host feeds over local PCIe and sits near this leg.
+    batch = jax.device_put(batch)
+    jax.block_until_ready(batch)
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        dparams, opt_state, metrics = train_step(
+            dparams, opt_state, dcfg, head_w, batch, optimizer,
+            mtp_steps=cfg.mtp_steps, max_span=ms_bucket)
+    float(metrics["loss"])  # fence
+    dev_wall = time.perf_counter() - t0
+    dev_step_ms = dev_wall / args.steps * 1e3
+    dev_toks_per_s = args.bs * (args.seq - 1) / (dev_wall / args.steps)
+
     # device-side getkacc (one dispatch per prefix, one batched readback)
     sample = fabricate_sample(rng, min(args.seq, 512), d)
     getkacc(dparams, dcfg, head_w, sample, max_len=512)  # compile
@@ -121,11 +148,13 @@ def main():
     kacc_s = time.perf_counter() - t0
 
     detail = {
-        "geometry": f"draft-7B d={d} v={v} bs={args.bs} seq={args.seq} "
+        "geometry": f"draft d={d} v={v} bs={args.bs} seq={args.seq} "
                     f"max_len={args.max_len} mtp_steps={cfg.mtp_steps}",
         "compile_s": round(compile_s, 1),
         "step_ms": round(step_ms, 2),
         "tokens_per_s": round(toks_per_s, 1),
+        "device_step_ms": round(dev_step_ms, 2),
+        "device_tokens_per_s": round(dev_toks_per_s, 1),
         "first_loss": round(first_loss, 4),
         "last_loss": round(last_loss, 4),
         "getkacc_s_per_sample": round(kacc_s, 3),

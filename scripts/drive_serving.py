@@ -79,6 +79,23 @@ for p_, g, o in zip(prompts[:4], outs[:4], outs_s):
 print(f"T>0 top_k=1 engine outputs matching greedy: {oks}/4")
 assert oks >= 3
 
+# Per-request sampling on-chip: ONE engine (one compiled graph) serves a
+# mixed batch — a greedy slot next to a T=0.7/top_k=1 slot — and each must
+# match its single-config reference (top_k=1 one-hots the warped target, so
+# both rows reproduce the greedy outputs).
+eng_pr = model.serving_engine(batch_size=2, max_new_tokens=20, top_k=1,
+                              chunk_rounds=4, per_request_sampling=True)
+outs_pr = eng_pr.run_all([
+    {"input_ids": prompts[0]},                      # greedy slot (defaults)
+    {"input_ids": prompts[1], "temperature": 0.7},  # sampled slot
+])
+okp = 0
+for g, o in zip(outs[:2], outs_pr):
+    n = min(len(o), len(g))
+    okp += list(o[:n]) == list(g[:n])
+print(f"per-request mixed-sampling engine outputs matching greedy: {okp}/2")
+assert okp >= 2
+
 # Online API on-chip (the live-server path examples/serve_http.py wraps):
 # submit 2, decode a couple of chunks, submit 4 more MID-FLIGHT, drain.
 eng_o = model.serving_engine(batch_size=2, max_new_tokens=20, chunk_rounds=4)

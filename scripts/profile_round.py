@@ -6,8 +6,10 @@ proto directly (the tensorboard plugin's native converter is broken in this
 image — see CLAUDE.md) and prints the top fusions grouped per dispatch.
 
 Usage:  python scripts/profile_round.py [7B@2048|7B@1024|1B@1024] [T] [quant]
+                                        [method]
         T       sampling temperature for both paths (default 0.0 = greedy)
         quant   draft quant mode (int8/int4/mixed/auto; default bf16)
+        method  drafter (vispec default / eagle / medusa)
 """
 
 import os
@@ -68,8 +70,38 @@ def main():
     label = sys.argv[1] if len(sys.argv) > 1 else "7B@2048"
     temperature = float(sys.argv[2]) if len(sys.argv) > 2 else 0.0
     quant = sys.argv[3] if len(sys.argv) > 3 else ""
+    method = sys.argv[4] if len(sys.argv) > 4 else "vispec"
     cfg = next(c for c in bench.CONFIGS if c["label"] == label)
     model = bench.build(cfg)
+    if method == "medusa":
+        from vispec_tpu.models import medusa as medusa_mod
+        from vispec_tpu.spec.spec_model import SpecModel
+
+        mparams = medusa_mod.init_params(model.tcfg.hidden_size,
+                                         jax.random.PRNGKey(8), model.dtype)
+        model = SpecModel(model.tcfg, model.dcfg, model.spec, model.tparams,
+                          model.dparams, max_len=cfg["max_len"],
+                          dtype=model.dtype, eos_token_id=10**6,
+                          mparams=mparams)
+    elif method == "eagle":
+        from vispec_tpu.configs import DraftConfig
+        from vispec_tpu.models import draft as draft_mod
+        from vispec_tpu.spec.spec_model import SpecModel
+
+        dcfg_e = DraftConfig(
+            vocab_size=model.tcfg.vocab_size,
+            hidden_size=model.tcfg.hidden_size,
+            intermediate_size=model.tcfg.intermediate_size,
+            num_attention_heads=model.tcfg.num_attention_heads,
+            num_key_value_heads=model.tcfg.num_key_value_heads,
+            max_position_embeddings=cfg["max_len"], vision=False,
+        )
+        dparams_e = draft_mod.init_params(dcfg_e, jax.random.PRNGKey(7),
+                                          model.dtype)
+        dparams_e["embed"] = model.tparams["embed"]
+        model = SpecModel(model.tcfg, dcfg_e, model.spec, model.tparams,
+                          dparams_e, max_len=cfg["max_len"],
+                          dtype=model.dtype, eos_token_id=10**6)
     if quant:
         model.quantize_draft_inplace(quant)
     prompt = np.random.default_rng(0).integers(10, cfg["vocab_size"] - 10, 120).tolist()

@@ -34,7 +34,9 @@ def test_run_bench_tiny_contract(monkeypatch):
     # three-method legs (the reference's headline comparison artifact)
     assert "methods_error" not in res, res.get("methods_error")
     assert res["ratio_eagle"] > 0 and res["ratio_medusa"] > 0
+    assert res["ratio_eagle_int8"] > 0
     assert res["speedup_at_ref_tau_eagle"] > 0
+    assert res["speedup_at_ref_tau_eagle_int8"] > 0
     assert res["speedup_at_ref_tau_medusa"] > 0
     for key in ("t_ar_ms", "t_round_ms", "ratio", "speedup_at_ref_tau",
                 "ratio_int8", "ratio_int4", "ratio_mixed", "ratio_auto",

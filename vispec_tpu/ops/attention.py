@@ -15,8 +15,11 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-NEG_INF = jnp.float32(-1e9)
+# np scalar, not jnp: a module-level jnp constant would initialize the jax
+# backend at import time, locking the platform before CLIs can pick cpu.
+NEG_INF = np.float32(-1e9)
 
 _PALLAS_OK: Optional[bool] = None
 _KERNEL_DISABLED = False  # trace-time scope flag (no_kernel_scope)

@@ -32,7 +32,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-NEG_INF = jnp.float32(-1e9)
+# np scalar, not jnp: a module-level jnp constant would initialize the jax
+# backend at import time, locking the platform before CLIs can pick cpu.
+NEG_INF = np.float32(-1e9)
 
 
 def process_logits(
