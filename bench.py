@@ -295,9 +295,20 @@ def run_bench(cfg_d, on_t0=None):
         eagle._target_cache = eagle._draft_cache = None
         del eagle, dparams_e
 
-        # Medusa: per-offset heads on the target hidden, no draft transformer
-        mparams = medusa_mod.init_params(model.tcfg.hidden_size,
-                                         jax.random.PRNGKey(8), model.dtype)
+        # Medusa: per-offset heads on the target hidden, no draft transformer.
+        # Heads must be noise-perturbed: zero-init heads are the identity
+        # (x + silu(0)), so every head re-proposes the root's own argmax and
+        # random-weight runs get SPURIOUS acceptances — the loop then ends in
+        # ~33 rounds for 96 tokens and the trailing latched (dispatched but
+        # done) rounds, which still execute full verifies by design, inflate
+        # decode_time/rounds from the true 22.8 to ~27-30 ms.  Noised heads
+        # propose junk (tau~0), matching the vispec/eagle legs' accounting.
+        km = jax.random.PRNGKey(8)
+        mparams = medusa_mod.init_params(model.tcfg.hidden_size, km,
+                                         model.dtype)
+        mparams = jax.tree.map(
+            lambda x: x + 0.05 * jax.random.normal(km, x.shape, x.dtype),
+            mparams)
         med = SpecModel(model.tcfg, model.dcfg, model.spec, model.tparams,
                         model.dparams, max_len=cfg_d["max_len"],
                         dtype=model.dtype, eos_token_id=10**6,

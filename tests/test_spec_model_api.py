@@ -232,3 +232,49 @@ def test_eagle_draft_int8_losslessness():
     assert n >= 8
     assert spec.sequences[: len(prompt) + n].tolist() == \
         ar.sequences[: len(prompt) + n].tolist()
+
+
+def test_adaptive_tail_caps_dispatches():
+    """The pipelined loops must not dispatch (and pay full verifies for)
+    lookahead rounds past the point where generation is provably done: every
+    live round commits >= 1 token, so dispatched spec rounds are bounded by
+    budget + 1, and AR steps (exactly 1 token each) by the step budget.
+    Outputs must be byte-identical to the untrimmed loop's."""
+    from vispec_tpu.spec import loop as spec_loop
+
+    model = make_model()
+    prompt = list(range(30, 60))
+    budget = 12
+    baseline = model.specgenerate(prompt, max_new_tokens=budget)
+    baseline_ar = model.ar_generate(prompt, max_new_tokens=budget)
+
+    calls = {"round": 0, "step": 0}
+    orig_round, orig_step = spec_loop.decode_round, spec_loop.ar_step
+
+    def counting_round(*a, **k):
+        calls["round"] += 1
+        return orig_round(*a, **k)
+
+    def counting_step(*a, **k):
+        calls["step"] += 1
+        return orig_step(*a, **k)
+
+    spec_loop.decode_round = counting_round
+    spec_loop.ar_step = counting_step
+    try:
+        spec = model.specgenerate(prompt, max_new_tokens=budget)
+        ar = model.ar_generate(prompt, max_new_tokens=budget)
+    finally:
+        spec_loop.decode_round = orig_round
+        spec_loop.ar_step = orig_step
+
+    assert spec.sequences.tolist() == baseline.sequences.tolist()
+    assert ar.sequences.tolist() == baseline_ar.sequences.tolist()
+    # random draft => ~1 token/round => ~budget real rounds; the adaptive
+    # tail may add at most the +1 latch detector (old loop: up to
+    # 2*chunk_rounds = 16 extra)
+    assert calls["round"] <= budget + 1, calls
+    assert calls["step"] <= budget - 1, calls
+    # and the loops still produced the requested tokens
+    assert spec.new_tokens >= budget
+    assert len(ar.sequences) - len(prompt) >= budget - 1

@@ -920,16 +920,26 @@ class SpecModel:
             )
 
         if self.chunk_rounds > 1:
-            # Pipelined decoding: dispatch ``chunk_rounds`` rounds
-            # asynchronously, stack their device-side counters, and read the
-            # PREVIOUS batch's counters while the current batch executes —
-            # the host↔TPU read round-trip (~25 ms over the tunnel) fully
-            # overlaps execution instead of serializing after every round.
-            # The in-graph done latch (decode_round caps new_token) makes the
-            # one-batch dispatch lookahead safe.
+            # Pipelined decoding: dispatch a chunk of rounds asynchronously,
+            # stack their device-side counters, and read the PREVIOUS batch's
+            # counters while the current batch executes — the host↔TPU read
+            # round-trip (~25 ms over the tunnel) fully overlaps execution
+            # instead of serializing after every round.  The in-graph done
+            # latch (decode_round caps new_token) makes the dispatch
+            # lookahead safe.
+            #
+            # Adaptive tail: chunks start at ``chunk_rounds`` but shrink as
+            # the running tokens-per-round estimate says generation is about
+            # to finish — a latched (done) round still executes a FULL ~20 ms
+            # verify by design (latch_done only freezes cursors), so blindly
+            # dispatching whole chunks wastes up to 2·chunk_rounds verifies
+            # per request; at τ≈3 that was ~60% of a 96-token generation.
+            # Each live round commits ≥ 1 token, so ``budget + 1`` dispatched
+            # rounds is also a hard upper bound (the +1 latch detector).
             prev = 0
             pending = None
             stop = False
+            dispatched = 0
 
             def process(vals) -> bool:
                 nonlocal prev, rounds
@@ -941,13 +951,28 @@ class SpecModel:
                     rounds += 1
                 return False
 
-            while rounds < budget and not stop:
+            while not stop:
+                remaining = budget - prev
+                if remaining <= 0 and pending is None:
+                    break
+                in_flight = dispatched - rounds
+                toks_per_round = (prev / rounds) if rounds else 1.0
+                est = -(-max(remaining, 0) // max(int(toks_per_round), 1))
+                n = min(self.chunk_rounds, est + 1 - in_flight,
+                        budget + 1 - dispatched)
+                if n <= 0:
+                    if pending is None:
+                        break
+                    stop = process(pending)
+                    pending = None
+                    continue
                 counters = []
-                for _ in range(self.chunk_rounds):
+                for _ in range(n):
                     state = one_round(state)
                     # .copy(): the next round DONATES state, deleting the
                     # buffer this counter aliases
                     counters.append(state.new_token.copy())
+                dispatched += n
                 batch_dev = jnp.stack(counters)
                 if pending is not None:
                     stop = process(pending)
@@ -1221,8 +1246,14 @@ class SpecModel:
         # Pipelined AR baseline: dispatch ``chunk`` solo steps asynchronously
         # (dispatch ~1 ms each overlaps the ~20 ms execution), stack the
         # device tokens, and read the PREVIOUS batch while this one executes.
+        # Each step emits exactly one token, so total dispatches are capped
+        # at the step budget — blindly dispatching whole lookahead chunks
+        # past it wasted up to 2·chunk full ~20 ms forwards per generation
+        # (eos early-exit still over-runs by the in-flight chunk; that part
+        # is the price of pipelining).
         pending = None
         stop = out[-1] == self.eos_token_id
+        dispatched = 0
 
         def process(vals) -> bool:
             for t in np.asarray(vals):
@@ -1231,14 +1262,22 @@ class SpecModel:
                     return True
             return False
 
-        while len(out) < budget and not stop:
+        while not stop:
+            n = min(chunk, (budget - 1) - dispatched)
+            if n <= 0:
+                if pending is None:
+                    break
+                stop = process(pending)
+                pending = None
+                continue
             toks = []
-            for _ in range(chunk):
+            for _ in range(n):
                 tok, cache, key, seen = spec_loop.ar_step(
                     self.tparams, self.tcfg, sampling, tok, cache, key,
                     rope_delta=delta, seen=seen,
                 )
                 toks.append(tok)
+            dispatched += n
             batch_dev = jnp.stack(toks)
             if pending is not None:
                 stop = process(pending)
