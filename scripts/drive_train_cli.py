@@ -4,7 +4,11 @@ import sys, os, subprocess, glob, json
 sys.path.insert(0, __file__.rsplit("/scripts", 1)[0])
 sys.path.insert(0, __file__.rsplit("/scripts", 1)[0] + "/tests")
 import numpy as np, jax
-jax.config.update("jax_platforms", "cpu")
+# cpu by default: the tiny-geometry CLI e2e is host-bound and the real-chip
+# training numbers live in scripts/bench_train.py (real geometry, fenced
+# device leg).  DRIVE_TRAIN_PLATFORM=axon runs this same e2e on the chip.
+jax.config.update("jax_platforms",
+                  os.environ.get("DRIVE_TRAIN_PLATFORM", "cpu"))
 import jax.numpy as jnp
 from test_from_pretrained import write_llama_ckpt, V
 from vispec_tpu.configs import LlamaConfig

@@ -196,7 +196,18 @@ def verify_attention(
     nb = max_len // block
     if quantized:
         # lay the per-row scales out as [nb, block] so each loop step reads
-        # one dynamically-indexed SUBLANE row (lane offsets stay static)
+        # one dynamically-indexed SUBLANE row (lane offsets stay static).
+        # CRITICAL: slice the CURRENT LAYER first — the [nb, block] reshape
+        # re-tiles, so XLA materializes a layout copy of whatever it is given,
+        # per layer, per step (the value derives from the scan-carried cache
+        # and cannot be hoisted).  Reshaping the full stacked [L, H, max_len]
+        # table cost 2 x 33.5 MB of copy per layer per step at 7B@8192
+        # (~3 ms/step, measured); the per-layer [H, max_len] slice costs 1 MB.
+        if k_scale.ndim == 3:
+            k_scale = jax.lax.dynamic_index_in_dim(
+                k_scale, layer_idx, 0, keepdims=False)
+            v_scale = jax.lax.dynamic_index_in_dim(
+                v_scale, layer_idx, 0, keepdims=False)
         scale_ops = (
             k_scale.reshape(*k_scale.shape[:-1], nb, block).astype(jnp.float32),
             v_scale.reshape(*v_scale.shape[:-1], nb, block).astype(jnp.float32),
