@@ -190,3 +190,27 @@ def test_batched_topk1_sampling_equals_greedy():
         n = min(len(g), len(s))
         assert n >= 8
         np.testing.assert_array_equal(s[:n], g[:n])
+
+
+def test_arrival_bench_contract():
+    """Seeded Poisson arrival benchmark (bench_batch.arrival_bench): runs
+    through the online submit/step API, completes every request, and reports
+    the latency/throughput/stall fields the README table is built from."""
+    from vispec_tpu.evaluation.bench_batch import arrival_bench
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(2))
+    tparams = llama.init_params(TCFG, k1, jnp.float32)
+    dparams = draft_mod.init_params(DCFG, k2, jnp.float32)
+    dparams["embed"] = tparams["embed"]
+    model = SpecModel(TCFG, DCFG, SPEC, tparams, dparams, max_len=512,
+                      dtype=jnp.float32, eos_token_id=99999)
+    row = arrival_bench(model, b=2, new_tokens=8, rate=50.0, n_requests=5,
+                        seed=3, vocab=TCFG.vocab_size)
+    assert row["n_requests"] == 5 and row["batch"] == 2
+    for key in ("tokens_per_s", "latency_p50_s", "latency_p99_s",
+                "latency_mean_s", "admit_stall_share", "wall_s"):
+        assert key in row, key
+    assert row["tokens_per_s"] > 0
+    assert 0 <= row["latency_p50_s"] <= row["latency_p99_s"]
+    assert 0 <= row["admit_stall_share"] < 1
+    assert row["admissions"] >= 1  # 5 requests on 2 slots => mid-flight admits

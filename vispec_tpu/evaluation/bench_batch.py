@@ -31,7 +31,8 @@ MODELS = {
 }
 
 
-def arrival_bench(model, b, new_tokens, rate, n_requests, seed=0):
+def arrival_bench(model, b, new_tokens, rate, n_requests, seed=0,
+                  vocab=32000):
     """Poisson open-loop serving benchmark through the ONLINE API.
 
     Requests arrive at ``rate``/s (seeded exponential interarrivals); the
@@ -42,7 +43,8 @@ def arrival_bench(model, b, new_tokens, rate, n_requests, seed=0):
     import numpy as np
 
     rng = np.random.default_rng(seed)
-    prompts = [rng.integers(10, 31990, 100).tolist() for _ in range(n_requests)]
+    prompts = [rng.integers(10, vocab - 10, 100).tolist()
+               for _ in range(n_requests)]
     arrivals = np.cumsum(rng.exponential(1.0 / rate, n_requests))
 
     eng = model.serving_engine(batch_size=b, max_new_tokens=new_tokens)
