@@ -37,6 +37,26 @@ from ..ops import kv_cache as kv
 from . import loop as spec_loop
 
 
+def _batched_kernel_ctx(states: spec_loop.SpecState):
+    """Attention-kernel scope for the vmapped (B>=2) decode graphs: always
+    force the XLA attention path.
+
+    Measured negative results, do not re-enable without re-measuring:
+    - bf16 caches: the vmapped Mosaic kernel is slower than plain XLA
+      attention (1B bench: 43.9 vs 49.9 tok/s at B=1, 141 vs 179 at B=4).
+    - int8 caches looked like they should reverse this (the XLA fallback
+      dequantizes each layer's full [Hkv, max_len, D] table every step,
+      ~3x the kernel's KV bytes) — but on-chip at 7B@4096 B=2 int8
+      target+KV+draft the vmapped kernel served 7.6 tok/s vs 45.9 for the
+      XLA path (6x WORSE; engine run_all, round 4).  vmap's pallas batching
+      rule is pathological here; a hand-written batch-grid kernel would be
+      the way to beat the XLA path, not vmap.
+    """
+    from ..ops.attention import no_kernel_scope
+
+    return no_kernel_scope()
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("tcfg", "dcfg", "spec", "sampling"),
@@ -74,9 +94,7 @@ def batched_decode_round(
         out = one(jax.tree.map(lambda x: x[0], states), caps[0])
         return jax.tree.map(lambda x: x[None], out)
 
-    from ..ops.attention import no_kernel_scope
-
-    with no_kernel_scope():  # the vmapped Mosaic kernel is slower than XLA
+    with _batched_kernel_ctx(states):
         return jax.vmap(one)(states, caps)
 
 
@@ -127,9 +145,7 @@ def batched_decode_rounds_chunk(
         states = jax.vmap(one)(states, caps)
         return states, states.new_token  # [B] cumulative counters per round
 
-    from ..ops.attention import no_kernel_scope
-
-    with no_kernel_scope():  # the vmapped Mosaic kernel is slower than XLA
+    with _batched_kernel_ctx(states):
         states, counts = lax.scan(body, states, None, length=n_rounds)
     return states, counts
 
@@ -179,9 +195,7 @@ def batched_medusa_rounds_chunk(
         states = jax.vmap(one)(states, caps)
         return states, states.new_token
 
-    from ..ops.attention import no_kernel_scope
-
-    with no_kernel_scope():  # the vmapped Mosaic kernel is slower than XLA
+    with _batched_kernel_ctx(states):
         states, counts = lax.scan(body, states, None, length=n_rounds)
     return states, counts
 
