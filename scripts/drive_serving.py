@@ -96,6 +96,25 @@ for g, o in zip(outs[:2], outs_pr):
 print(f"per-request mixed-sampling engine outputs matching greedy: {okp}/2")
 assert okp >= 2
 
+# Batched Mosaic attention on-chip: head_dim must be 128 to exercise the
+# batch-grid kernel (pallas_attention._build_call batched=True; the default
+# tiny model's head_dim=32 falls back to XLA).  int8 KV so the quantized
+# scale DMAs run too; outputs must match single-request specgenerate (which
+# uses the SINGLE-request kernel graph).
+model_k, *_ = tiny_model(hidden=512, quantize_kv=True)
+k_prompts = prompts[:4]
+k_refs = [model_k.specgenerate(p, max_new_tokens=16) for p in k_prompts]
+eng_k = model_k.serving_engine(batch_size=2, max_new_tokens=16,
+                               chunk_rounds=4)
+outs_k = eng_k.run_all(k_prompts)
+okk = 0
+for p, ref, o in zip(k_prompts, k_refs, outs_k):
+    ref_new = list(ref.sequences[len(p):])
+    n = min(len(o), len(ref_new))
+    okk += list(o[:n]) == ref_new[:n]
+print(f"batched int8-KV kernel engine outputs matching specgenerate: {okk}/4")
+assert okk >= 3
+
 # Online API on-chip (the live-server path examples/serve_http.py wraps):
 # submit 2, decode a couple of chunks, submit 4 more MID-FLIGHT, drain.
 eng_o = model.serving_engine(batch_size=2, max_new_tokens=20, chunk_rounds=4)

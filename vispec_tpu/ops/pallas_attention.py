@@ -30,10 +30,12 @@ NEG_INF = -1e30  # python float: a jnp constant would be a captured array in pal
 
 
 def _kernel(
-    start_ref,  # [2] int32 scalar prefetch — (tree_start, layer_idx)
+    start_ref,  # int32 scalar prefetch — [2] (tree_start, layer_idx), or
+    # [2B] per-slot (start_b, layer_b) pairs when ``batched``
     q_ref,  # [1, GS, D] VMEM — this kv-head's query group
     tm_ref,  # [GS, S] VMEM f32 — per-query-row tree mask (group-expanded)
-    k_hbm,  # [L?, Hkv, max_len, D] ANY/HBM (leading layer dim optional)
+    k_hbm,  # [L?, Hkv, max_len, D] ANY/HBM (leading layer dim optional;
+    # one more leading batch dim when ``batched``)
     v_hbm,
     *rest,  # quantized: (ks_hbm, vs_hbm) [L?, Hkv, nb, block] f32, then the
     # shared refs below, then (ks_all, vs_all) [nb, block] f32 scratch + ssem
@@ -44,21 +46,33 @@ def _kernel(
     t_reg: int,  # width of the masked tree region appended at tree_start
     scale: float,
     quantized: bool = False,
+    batched: bool = False,  # grid (B, Hkv) with per-slot starts/layers
 ):
     if quantized:
         (ks_hbm, vs_hbm, out_ref, k_buf, v_buf, acc_ref, ml_ref,
          ks_all, vs_all, sem, ssem) = rest
     else:
         out_ref, k_buf, v_buf, acc_ref, ml_ref, sem = rest
-    head = pl.program_id(0)
+    if batched:
+        slot_b = pl.program_id(0)
+        head = pl.program_id(1)
+        start = start_ref[2 * slot_b]
+        layer = start_ref[2 * slot_b + 1]
+    else:
+        head = pl.program_id(0)
+        start = start_ref[0]
+        layer = start_ref[1]
     gs = q_ref.shape[1]
-    start = start_ref[0]
-    layer = start_ref[1]
     total = start + t_reg  # live rows incl. the appended tree region
     nb = pl.cdiv(total, block)
 
     def dma(slot, j, buf, hbm, s):
-        if hbm.ndim == 4:  # full stacked cache: index (layer, head)
+        if batched:  # leading batch dim; layer dim present iff ndim == 5
+            if hbm.ndim == 5:
+                src = hbm.at[slot_b, layer, head, pl.ds(j * block, block)]
+            else:
+                src = hbm.at[slot_b, head, pl.ds(j * block, block)]
+        elif hbm.ndim == 4:  # full stacked cache: index (layer, head)
             src = hbm.at[layer, head, pl.ds(j * block, block)]
         else:
             src = hbm.at[head, pl.ds(j * block, block)]
@@ -71,7 +85,10 @@ def _kernel(
         # (max_len * 4B ≈ 8 KB at 2048): one DMA each up front, reused by
         # every block iteration as a [1, block] sublane row
         def sdma(hbm, dst, s):
-            src = hbm.at[layer, head] if hbm.ndim == 4 else hbm.at[head]
+            if batched:  # scales are layer-sliced by the caller: [B, Hkv, ..]
+                src = hbm.at[slot_b, head]
+            else:
+                src = hbm.at[layer, head] if hbm.ndim == 4 else hbm.at[head]
             return pltpu.make_async_copy(src, dst, s)
 
         sdma(ks_hbm, ks_all, ssem.at[0]).start()
@@ -84,7 +101,9 @@ def _kernel(
     ml_ref[:, 128:] = jnp.zeros((gs, 128), jnp.float32)
 
     q = q_ref[0].astype(jnp.float32) * scale  # [GS, D]
-    tmask = tm_ref[:]  # [GS, S] f32 (1.0 = attend)
+    # batched: tm block is (1, GS, S) — a [B, GS, S] leading-dim slice (the
+    # flattened [B*GS, S] layout would need GS % 8 == 0 for Mosaic tiling)
+    tmask = tm_ref[0] if batched else tm_ref[:]  # [GS, S] f32 (1.0 = attend)
 
     def body(j, _):
         slot = jax.lax.rem(j, 2)
@@ -159,6 +178,110 @@ def _kernel(
     out_ref[0] = out.astype(out_ref.dtype)
 
 
+def _build_call(scalars, qg, tm_g, k_cache, v_cache, scale_ops, *,
+                block, t_reg, quantized, batched, nslots):
+    """Construct and invoke the pallas_call for one static geometry.
+
+    ``qg`` is [(B*)Hkv, GS, D] (kv-head rows, batch-major when batched),
+    ``tm_g`` [(B*)GS, T_reg], ``scalars`` [2] or [2B] int32.  The batched
+    variant grids over (B, Hkv) — ONE Mosaic launch for the whole batch,
+    unlike vmap-of-pallas_call whose batching rule was measured 6x slower
+    than plain XLA attention at 7B@4096 B=2 (see spec/batch.py).
+    """
+    p, gs, d = qg.shape
+    hkv = p // nslots
+    cache_specs = [pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)]
+    scale_specs = [pl.BlockSpec(memory_space=pl.ANY) for _ in scale_ops]
+    scale_scratch = []
+    if quantized:
+        nb, blk = scale_ops[0].shape[-2], scale_ops[0].shape[-1]
+        scale_scratch = [pltpu.VMEM((nb, blk), jnp.float32),
+                         pltpu.VMEM((nb, blk), jnp.float32)]
+
+    if batched:
+        grid = (nslots, hkv)
+
+        def q_idx(b, i, *_):
+            return (b * hkv + i, 0, 0)
+
+        tm_spec = pl.BlockSpec((1, gs, t_reg), lambda b, i, *_: (b, 0, 0),
+                               memory_space=pltpu.VMEM)
+    else:
+        grid = (hkv,)
+
+        def q_idx(i, *_):
+            return (i, 0, 0)
+
+        tm_spec = pl.BlockSpec((gs, t_reg), lambda i, *_: (0, 0),
+                               memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, gs, d), q_idx, memory_space=pltpu.VMEM),
+            tm_spec,
+            *cache_specs,
+            *scale_specs,
+        ],
+        out_specs=pl.BlockSpec((1, gs, d), q_idx, memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, block, d), k_cache.dtype),
+            pltpu.VMEM((2, block, d), v_cache.dtype),
+            pltpu.VMEM((gs, d), jnp.float32),
+            pltpu.VMEM((gs, 256), jnp.float32),
+            *scale_scratch,
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ] + ([pltpu.SemaphoreType.DMA((2,))] if quantized else []),
+    )
+    wrapped = functools.partial(_kernel, block=block, t_reg=t_reg,
+                                scale=d**-0.5, quantized=quantized,
+                                batched=batched)
+    return pl.pallas_call(
+        wrapped,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((p, gs, d), qg.dtype),
+    )(scalars, qg, tm_g, k_cache, v_cache, *scale_ops)
+
+
+@functools.lru_cache(maxsize=None)
+def _invoke_fn(block: int, t_reg: int, quantized: bool):
+    """custom_vmap wrapper: a direct call runs the single-request kernel; a
+    `jax.vmap` over it (the batched/serving decode graphs, spec/batch.py)
+    lowers to the hand-batched (B, Hkv) grid instead of vmap's generic
+    pallas batching rule."""
+    from jax import custom_batching
+
+    @custom_batching.custom_vmap
+    def invoke(scalars, qg, tm_g, k_cache, v_cache, *scale_ops):
+        return _build_call(scalars, qg, tm_g, k_cache, v_cache,
+                           tuple(scale_ops), block=block, t_reg=t_reg,
+                           quantized=quantized, batched=False, nslots=1)
+
+    @invoke.def_vmap
+    def _rule(axis_size, in_batched, scalars, qg, tm_g, k_cache, v_cache,
+              *scale_ops):
+        b = axis_size
+        args = []
+        for x, bt in zip(
+                (scalars, qg, tm_g, k_cache, v_cache) + tuple(scale_ops),
+                tuple(in_batched)):
+            # broadcast rare unbatched operands (e.g. a shared tree mask);
+            # caches are always per-slot in the batched decode graphs
+            args.append(x if bt else jnp.broadcast_to(x[None], (b,) + x.shape))
+        scalars, qg, tm_g, k_cache, v_cache, *scale_ops = args
+        hkv, gs, d = qg.shape[1:]
+        out = _build_call(
+            scalars.reshape(-1), qg.reshape(b * hkv, gs, d),
+            tm_g, k_cache, v_cache, tuple(scale_ops),
+            block=block, t_reg=t_reg, quantized=quantized,
+            batched=True, nslots=b)
+        return out.reshape(b, hkv, gs, d), True
+
+    return invoke
+
+
 @functools.partial(jax.jit, static_argnames=("block",))
 def verify_attention(
     q: jax.Array,  # [H, S, D]
@@ -190,9 +313,7 @@ def verify_attention(
     qg = q.reshape(hkv, gs, d)
     tm_g = jnp.tile(tree_mask.astype(jnp.float32), (groups, 1))  # [GS, T_reg]
 
-    cache_specs = [pl.BlockSpec(memory_space=pl.ANY),
-                   pl.BlockSpec(memory_space=pl.ANY)]
-    scale_ops, scale_specs, scale_scratch = (), [], []
+    scale_ops = ()
     nb = max_len // block
     if quantized:
         # lay the per-row scales out as [nb, block] so each loop step reads
@@ -212,41 +333,10 @@ def verify_attention(
             k_scale.reshape(*k_scale.shape[:-1], nb, block).astype(jnp.float32),
             v_scale.reshape(*v_scale.shape[:-1], nb, block).astype(jnp.float32),
         )
-        scale_specs = [pl.BlockSpec(memory_space=pl.ANY),
-                       pl.BlockSpec(memory_space=pl.ANY)]
-        scale_scratch = [pltpu.VMEM((nb, block), jnp.float32),
-                         pltpu.VMEM((nb, block), jnp.float32)]
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(hkv,),
-        in_specs=[
-            pl.BlockSpec((1, gs, d), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((gs, t_reg), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
-            *cache_specs,
-            *scale_specs,
-        ],
-        out_specs=pl.BlockSpec((1, gs, d), lambda i, *_: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2, block, d), k_cache.dtype),
-            pltpu.VMEM((2, block, d), v_cache.dtype),
-            pltpu.VMEM((gs, d), jnp.float32),
-            pltpu.VMEM((gs, 256), jnp.float32),
-            *scale_scratch,
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ] + ([pltpu.SemaphoreType.DMA((2,))] if quantized else []),
-    )
-
-    wrapped = functools.partial(_kernel, block=block, t_reg=t_reg,
-                                scale=d**-0.5, quantized=quantized)
     scalars = jnp.stack([
         jnp.asarray(tree_start, jnp.int32), jnp.asarray(layer_idx, jnp.int32)
     ])
-    out = pl.pallas_call(
-        wrapped,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((hkv, gs, d), q.dtype),
-    )(scalars, qg, tm_g, k_cache, v_cache, *scale_ops)
+    out = _invoke_fn(block, t_reg, quantized)(
+        scalars, qg, tm_g, k_cache, v_cache, *scale_ops)
     return out.reshape(h, s, d)

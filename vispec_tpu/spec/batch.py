@@ -38,23 +38,31 @@ from . import loop as spec_loop
 
 
 def _batched_kernel_ctx(states: spec_loop.SpecState):
-    """Attention-kernel scope for the vmapped (B>=2) decode graphs: always
-    force the XLA attention path.
+    """Attention-kernel scope for the vmapped (B>=2) decode graphs.
 
-    Measured negative results, do not re-enable without re-measuring:
-    - bf16 caches: the vmapped Mosaic kernel is slower than plain XLA
-      attention (1B bench: 43.9 vs 49.9 tok/s at B=1, 141 vs 179 at B=4).
-    - int8 caches looked like they should reverse this (the XLA fallback
-      dequantizes each layer's full [Hkv, max_len, D] table every step,
-      ~3x the kernel's KV bytes) — but on-chip at 7B@4096 B=2 int8
-      target+KV+draft the vmapped kernel served 7.6 tok/s vs 45.9 for the
-      XLA path (6x WORSE; engine run_all, round 4).  vmap's pallas batching
-      rule is pathological here; a hand-written batch-grid kernel would be
-      the way to beat the XLA path, not vmap.
+    Default: kernel ELIGIBLE — `jax.vmap` over `verify_attention` lowers to
+    the hand-batched (B, Hkv)-grid Mosaic kernel via its custom_vmap rule
+    (pallas_attention._invoke_fn), ONE launch for the whole batch.  Measured
+    on-chip (7B engine run_all, round 4):
+    - int8 target+KV+draft @4096 B=2: 73.1 tok/s vs 45.9 XLA (1.59x — the
+      XLA fallback dequantizes each layer's full [Hkv, max_len, D] table
+      every step; the kernel DMAs only live int8 rows and folds scales);
+    - bf16 @1024 B=2: 52.1 vs 52.0 (wash; weights-dominated);
+    - vmap's GENERIC pallas batching rule (pre-custom_vmap): 7.6 tok/s at
+      the int8 config — 6x WORSE than XLA.  Never remove the custom_vmap
+      rule and re-enable the kernel under plain vmap.
+
+    VISPEC_BATCH_KERNEL=0 forces the XLA attention path (escape hatch).
     """
+    import os
+
     from ..ops.attention import no_kernel_scope
 
-    return no_kernel_scope()
+    if os.environ.get("VISPEC_BATCH_KERNEL") == "0":
+        return no_kernel_scope()
+    import contextlib
+
+    return contextlib.nullcontext()
 
 
 @functools.partial(
