@@ -192,6 +192,25 @@ def test_batched_topk1_sampling_equals_greedy():
         np.testing.assert_array_equal(s[:n], g[:n])
 
 
+def test_bench_batch_cli_quant_flags(monkeypatch):
+    """bench_batch CLI composes the engine with int8 draft+target+KV (the
+    config behind the SCALING.md serving sweep) — smoke on a toy model."""
+    import sys
+
+    from vispec_tpu.evaluation import bench_batch
+
+    monkeypatch.setitem(bench_batch.MODELS, "toy", dict(
+        num_hidden_layers=2, hidden_size=128, intermediate_size=256,
+        num_attention_heads=4, num_key_value_heads=2))
+    monkeypatch.setattr(sys, "argv", [
+        "bench_batch", "--model", "toy", "--sizes", "2", "--max-len", "256",
+        "--new-tokens", "8", "--engine", "--int8", "--int8-target",
+        "--int8-kv"])
+    rows = bench_batch.main()
+    assert rows[0]["mode"] == "engine+int8+int8t+int8kv"
+    assert rows[0]["tokens_per_s"] > 0 and rows[0]["tokens"] > 0
+
+
 def test_arrival_bench_contract():
     """Seeded Poisson arrival benchmark (bench_batch.arrival_bench): runs
     through the online submit/step API, completes every request, and reports

@@ -87,6 +87,11 @@ def main():
     p.add_argument("--max-len", type=int, default=512)
     p.add_argument("--new-tokens", type=int, default=64)
     p.add_argument("--int8", action="store_true", help="int8 draft mode")
+    p.add_argument("--int8-target", action="store_true",
+                   help="int8 target weights (quantize_target_inplace)")
+    p.add_argument("--int8-kv", action="store_true",
+                   help="int8 KV caches (quantize_kv; batched decode uses "
+                        "the batch-grid Mosaic kernel on TPU)")
     p.add_argument("--engine", action="store_true",
                    help="continuous-batching engine (2x requests over the "
                         "slots, admission mid-flight) instead of a fixed batch")
@@ -127,7 +132,15 @@ def main():
     model = SpecModel(tcfg, dcfg, SpecConfig(total_tokens=30, depth=3, top_k=8),
                       tparams, dparams, max_len=args.max_len,
                       dtype=jnp.bfloat16, eos_token_id=10**6,
-                      quantize_draft=args.int8)
+                      quantize_draft=args.int8, quantize_kv=args.int8_kv)
+    if args.int8_target:
+        model.quantize_target_inplace("int8")
+
+    quant_tag = "".join([
+        "+int8" if args.int8 else "",
+        "+int8t" if args.int8_target else "",
+        "+int8kv" if args.int8_kv else "",
+    ])
 
     if args.arrival_rates:
         b = int(args.sizes.split(",")[0])
@@ -135,7 +148,7 @@ def main():
         for rate in [float(x) for x in args.arrival_rates.split(",")]:
             row = arrival_bench(model, b, args.new_tokens, rate,
                                 args.requests)
-            row["mode"] = "arrival" + ("+int8" if args.int8 else "")
+            row["mode"] = "arrival" + quant_tag
             rows.append(row)
             print(json.dumps(row), flush=True)
         return rows
@@ -172,7 +185,7 @@ def main():
                          scaling_vs_b1=round(tps / base_tps, 2),
                          wall_s=round(dt, 3), tokens=toks,
                          mode=("engine" if args.engine else "fixed")
-                              + ("+int8" if args.int8 else "")))
+                              + quant_tag))
         if args.engine:
             rows[-1]["admissions"] = eng.stats["admissions"]
             rows[-1]["admit_dispatch_s"] = round(
