@@ -67,14 +67,15 @@ def test_vmapped_matches_xla():
                                rtol=2e-4, atol=2e-4)
 
 
-def test_vmapped_quantized_matches_dequant():
+@pytest.mark.parametrize("groups", [1, 2])
+def test_vmapped_quantized_matches_dequant(groups):
     """Batched int8-KV kernel (stacked layer dim + per-slot layer indices)
-    vs dequantize-then-attend."""
+    vs dequantize-then-attend; GQA group expansion included."""
     from vispec_tpu.ops.kv_cache import dequantize_rows, quantize_rows
 
     b, L, hkv, s, d, max_len = 2, 2, 2, 4, 128, 256
     rng = np.random.default_rng(2)
-    q = jnp.asarray(rng.normal(0, 1, (b, hkv, s, d)), jnp.float32)
+    q = jnp.asarray(rng.normal(0, 1, (b, hkv * groups, s, d)), jnp.float32)
     kf = jnp.asarray(rng.normal(0, 1, (b, L, hkv, max_len, d)), jnp.float32)
     vf = jnp.asarray(rng.normal(0, 1, (b, L, hkv, max_len, d)), jnp.float32)
     kq, ks = jax.vmap(jax.vmap(quantize_rows))(kf)
