@@ -159,6 +159,32 @@ def test_compose_all_three_quant_modes():
         ar.sequences.tolist()[:len(prompt) + n]
 
 
+def test_medusa_quantized_kv_losslessness():
+    """Medusa drafting over an int8 target cache: spec == AR exactly (the
+    heads propose from the target's hidden; both loops attend through the
+    same quantized cache)."""
+    from vispec_tpu.models import medusa as medusa_mod
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(4), 3)
+    tparams = llama.init_params(T, k1, jnp.float32)
+    dparams = draft_mod.init_params(D, k2, jnp.float32)
+    dparams["embed"] = tparams["embed"]
+    mparams = medusa_mod.init_params(T.hidden_size, k3, jnp.float32)
+    mparams = jax.tree.map(
+        lambda x: x + 0.02 * jax.random.normal(k3, x.shape, x.dtype), mparams)
+    model = SpecModel(T, D, SpecConfig(total_tokens=12, depth=3, top_k=4),
+                      tparams, dparams, max_len=512, dtype=jnp.float32,
+                      eos_token_id=10**6, mparams=mparams, quantize_kv=True)
+    assert model.target_cache.k.dtype == jnp.int8
+    prompt = list(range(25, 55))
+    spec = model.specgenerate(prompt, max_new_tokens=16)
+    ar = model.ar_generate(prompt, max_new_tokens=16)
+    n = min(spec.new_tokens, ar.new_tokens)
+    assert n >= 8
+    assert spec.sequences.tolist()[:len(prompt) + n] == \
+        ar.sequences.tolist()[:len(prompt) + n]
+
+
 def test_serving_engine_quantized_kv():
     model = _model(quantize_kv=True)
     rng = np.random.default_rng(3)
