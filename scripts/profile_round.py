@@ -6,10 +6,13 @@ proto directly (the tensorboard plugin's native converter is broken in this
 image — see CLAUDE.md) and prints the top fusions grouped per dispatch.
 
 Usage:  python scripts/profile_round.py [7B@2048|7B@1024|1B@1024] [T] [quant]
-                                        [method]
+                                        [method] [batch]
         T       sampling temperature for both paths (default 0.0 = greedy)
         quant   draft quant mode (int8/int4/mixed/auto; default bf16)
         method  drafter (vispec default / eagle / medusa)
+        batch   >1 profiles the BATCHED serving engine instead (int8
+                target+KV+draft — the SCALING.md serving config; shows the
+                batch-grid Mosaic kernel and any vmap-induced relayouts)
 """
 
 import os
@@ -71,7 +74,30 @@ def main():
     temperature = float(sys.argv[2]) if len(sys.argv) > 2 else 0.0
     quant = sys.argv[3] if len(sys.argv) > 3 else ""
     method = sys.argv[4] if len(sys.argv) > 4 else "vispec"
+    batch = int(sys.argv[5]) if len(sys.argv) > 5 else 1
     cfg = next(c for c in bench.CONFIGS if c["label"] == label)
+    if batch > 1:
+        import time
+
+        model = bench.build(cfg, quantize_kv=True)
+        model.quantize_target_inplace("int8")
+        model.quantize_draft_inplace("int8")
+        rng = np.random.default_rng(0)
+        prompts = [rng.integers(10, cfg["vocab_size"] - 10, 100).tolist()
+                   for _ in range(batch)]
+        eng = model.serving_engine(batch_size=batch, max_new_tokens=48)
+        eng.run_all(prompts)  # warm every graph
+        logdir = "/tmp/vispec_prof_batch"
+        t0 = time.perf_counter()
+        with jax.profiler.trace(logdir):
+            outs = eng.run_all(prompts)
+        wall = time.perf_counter() - t0
+        toks = sum(len(o) for o in outs)
+        print(f"batched engine B={batch} {label}: {toks} toks in {wall:.2f}s "
+              f"=> {toks / wall:.1f} tok/s (profiler-inflated; see CLAUDE.md)")
+        for plane, table in parse_xplane(logdir).items():
+            show(f"BATCH{batch} {plane}", table)
+        return
     model = bench.build(cfg)
     if method == "medusa":
         from vispec_tpu.models import medusa as medusa_mod
