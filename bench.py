@@ -306,9 +306,13 @@ def run_bench(cfg_d, on_t0=None):
         km = jax.random.PRNGKey(8)
         mparams = medusa_mod.init_params(model.tcfg.hidden_size, km,
                                          model.dtype)
-        mparams = jax.tree.map(
-            lambda x: x + 0.05 * jax.random.normal(km, x.shape, x.dtype),
-            mparams)
+        # independent noise per leaf (fold_in): same-key noise would make
+        # every head the same function (degenerate tree)
+        leaves, treedef = jax.tree.flatten(mparams)
+        mparams = jax.tree.unflatten(treedef, [
+            x + 0.05 * jax.random.normal(jax.random.fold_in(km, i),
+                                         x.shape, x.dtype)
+            for i, x in enumerate(leaves)])
         med = SpecModel(model.tcfg, model.dcfg, model.spec, model.tparams,
                         model.dparams, max_len=cfg_d["max_len"],
                         dtype=model.dtype, eos_token_id=10**6,

@@ -103,7 +103,7 @@ class EngineLoop:
     def generate(self, request, max_new_tokens=None):
         """``request``: token list, or a dict with ``input_ids`` plus
         optional per-request sampling keys (temperature/top_p/
-        repetition_penalty — engine must be per_request_sampling)."""
+        repetition_penalty/top_k — engine must be per_request_sampling)."""
         with self.cv:
             rid = self.eng.submit(request, max_new_tokens=max_new_tokens)
             self.cv.notify_all()
@@ -157,6 +157,8 @@ def make_server(port, loop_):
                 for k in ("temperature", "top_p", "repetition_penalty"):
                     if k in body:  # per-request sampling (engine must be
                         req[k] = float(body[k])  # per_request_sampling)
+                if "top_k" in body:  # traced mask over the engine's static
+                    req["top_k"] = int(body["top_k"])  # max-k sort bucket
                 cap = body.get("max_new_tokens")
             except Exception as e:  # malformed request
                 self.send_error(400, str(e))
@@ -189,9 +191,10 @@ def main():
     p.add_argument("--max-new-tokens", type=int, default=24)
     p.add_argument("--per-request-sampling", action="store_true",
                    help="traced per-slot sampling: each request may carry its "
-                        "own temperature/top_p/repetition_penalty (top_k "
-                        "stays engine-wide; set to 1 here so the selftest's "
-                        "sampled requests are deterministic)")
+                        "own temperature/top_p/repetition_penalty/top_k "
+                        "(top_k masks the engine's static max-k bucket; set "
+                        "to 1 here so the selftest's sampled requests are "
+                        "deterministic)")
     p.add_argument("--selftest", action="store_true")
     args = p.parse_args()
 

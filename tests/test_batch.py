@@ -233,3 +233,34 @@ def test_arrival_bench_contract():
     assert 0 <= row["latency_p50_s"] <= row["latency_p99_s"]
     assert 0 <= row["admit_stall_share"] < 1
     assert row["admissions"] >= 1  # 5 requests on 2 slots => mid-flight admits
+
+
+def test_pick_chunk_rounds_ladder():
+    """Chunk ladder selection (spec/batch.pick_chunk_rounds): the largest
+    static ladder value not expected to overshoot any LIVE slot's remaining
+    budget; dead slots are ignored; tpr floors at 1 so the estimate never
+    exceeds the cap-driven truth."""
+    import numpy as np
+
+    from vispec_tpu.spec.batch import pick_chunk_rounds
+
+    live = np.array([True, True])
+    # fresh slots (no rounds yet): horizon = remaining budget
+    assert pick_chunk_rounds(8, np.zeros(2), np.zeros(2),
+                             np.array([24, 24]), live) == 8
+    assert pick_chunk_rounds(8, np.zeros(2), np.zeros(2),
+                             np.array([3, 24]), live) == 2
+    assert pick_chunk_rounds(8, np.zeros(2), np.zeros(2),
+                             np.array([1, 24]), live) == 1
+    # a fast slot (4 tokens/round) with 8 left finishes in ~2 rounds
+    assert pick_chunk_rounds(8, np.array([16, 0]), np.array([4, 0]),
+                             np.array([24, 24]), live) == 2
+    # dead slots don't constrain the chunk
+    assert pick_chunk_rounds(8, np.array([3, 0]), np.array([4, 0]),
+                             np.array([4, 24]), np.array([False, True])) == 8
+    # the floor is the smallest ladder rung
+    assert pick_chunk_rounds(8, np.array([23, 0]), np.array([6, 0]),
+                             np.array([24, 24]), live) == 1
+    # max_chunk below the ladder degenerates gracefully
+    assert pick_chunk_rounds(2, np.zeros(1), np.zeros(1),
+                             np.array([24]), np.array([True])) == 2

@@ -546,3 +546,102 @@ def test_deferred_cancel_applies_at_next_step():
     assert eng.was_canceled(rid)
     eng.pop_result(rid)
     assert not eng.was_canceled(rid) and rid not in eng.results
+
+
+def test_per_request_top_k_mixed_batch():
+    """Per-request top_k (VERDICT r4 weak #2): the engine ctor's top_k is a
+    static max-k sort bucket; each request's k is a traced mask over it, so
+    a mixed-top_k batch shares ONE engine and one compiled graph.  Exactness
+    anchors: greedy slots ignore warps (one-hot probs); a T=1 slot with
+    top_k=1 is deterministic (warps are monotonic => top-1 == greedy) and
+    must match single-request specgenerate(top_k=1)."""
+    model = _model()
+    rng = np.random.default_rng(29)
+    prompts = [rng.integers(5, 120, rng.integers(10, 25)).tolist()
+               for _ in range(4)]
+    cfgs = [dict(),                            # greedy, default k = bucket
+            dict(temperature=1.0, top_k=1),    # deterministic sampled
+            dict(top_k=0),                     # warp disabled (greedy T)
+            dict(temperature=1.0, top_k=3)]    # genuinely sampled
+    singles = [model.specgenerate(p, max_new_tokens=16).sequences.tolist()
+               for p in prompts[:3]]
+    single_k1 = model.specgenerate(
+        prompts[1], max_new_tokens=16, temperature=1.0,
+        top_k=1).sequences.tolist()
+
+    eng = ServingEngine(model, batch_size=2, max_new_tokens=16, top_k=4,
+                        chunk_rounds=4, per_request_sampling=True)
+    reqs = [dict(input_ids=p, **c) for p, c in zip(prompts, cfgs)]
+    outs = eng.run_all(reqs)
+    assert all(len(o) == 16 for o in outs)
+    # greedy slots (0, 2) match greedy singles regardless of their k
+    for i in (0, 2):
+        assert list(outs[i]) == singles[i][len(prompts[i]):len(prompts[i]) + 16]
+    # the deterministic sampled slot matches its own single-request run
+    assert list(outs[1]) == single_k1[len(prompts[1]):len(prompts[1]) + 16]
+
+    # a request asking for k beyond the static bucket is rejected loudly
+    import pytest
+
+    eng.start_session()
+    with pytest.raises(ValueError, match="top_k bucket"):
+        eng.submit({"input_ids": prompts[0], "top_k": 9})
+
+
+def test_chunk_ladder_trims_dead_rounds():
+    """The chunk-size ladder (VERDICT r4 weak #1): a slot expected to finish
+    in r rounds gets a chunk <= r (no dead full-cost verify rounds to a
+    distant static boundary), and queued admissions cap the chunk at 2 so a
+    surprise EOS finish frees its slot quickly.  Outputs stay exact."""
+    model = _model()
+    rng = np.random.default_rng(31)
+    p0 = rng.integers(5, 120, 14).tolist()
+    single = model.specgenerate(p0, max_new_tokens=24).sequences.tolist()
+
+    # cap=4: the first _pick_chunk sees remaining=4 at tpr>=1 => chunk 4,
+    # not the static chunk_rounds=8 (old behavior burned 8 rounds).  The
+    # done latch is evaluated at the NEXT round's start, so a cap hit mid-
+    # chunk surfaces one ladder-floor round later: <= 5 dispatched total
+    eng = ServingEngine(model, batch_size=2, max_new_tokens=24,
+                        chunk_rounds=8)
+    eng.start_session()
+    rid = eng.submit(p0, max_new_tokens=4)
+    while eng.pending():
+        eng.step()
+    assert eng._guard <= 5, eng._guard  # dispatched rounds, not 8
+    assert list(eng.results[rid]) == single[len(p0):len(p0) + 4]
+
+    # queued request behind a full engine => per-step chunk capped at 2
+    eng2 = ServingEngine(model, batch_size=1, max_new_tokens=24,
+                         chunk_rounds=8)
+    eng2.start_session()
+    r0 = eng2.submit(p0)
+    p1 = rng.integers(5, 120, 10).tolist()
+    r1 = eng2.submit(p1)
+    eng2.step()  # admits r0; r1 queued => chunk <= 2
+    assert eng2._guard <= 2, eng2._guard
+    while eng2.pending():
+        eng2.step()
+    assert list(eng2.results[r0]) == single[len(p0):len(p0) + 24]
+    single1 = model.specgenerate(p1, max_new_tokens=24).sequences.tolist()
+    assert list(eng2.results[r1]) == single1[len(p1):len(p1) + 24]
+
+
+def test_queued_cancel_completes_through_step_return():
+    """A queued cancel drained by step() must be observable through step()'s
+    returned rid list (ADVICE r4): a caller waiting on return values rather
+    than polling .results sees the canceled request complete."""
+    model = _model()
+    rng = np.random.default_rng(37)
+    prompts = [rng.integers(5, 120, 12).tolist() for _ in range(2)]
+    eng = ServingEngine(model, batch_size=1, max_new_tokens=8,
+                        chunk_rounds=2)
+    eng.start_session()
+    rids = [eng.submit(p) for p in prompts]
+    assert eng.cancel(rids[1])  # still queued
+    finished = []
+    while eng.pending():
+        finished.extend(eng.step())
+    assert rids[1] in finished, finished
+    assert sorted(finished) == sorted(rids)
+    assert len(eng.results[rids[1]]) == 0

@@ -263,12 +263,19 @@ def _invoke_fn(block: int, t_reg: int, quantized: bool):
     def _rule(axis_size, in_batched, scalars, qg, tm_g, k_cache, v_cache,
               *scale_ops):
         b = axis_size
+        # caches and scale tables must arrive batched (per-slot): silently
+        # broadcasting a multi-GB cache B times into HBM would be a disaster
+        # masquerading as a convenience — only small operands (the shared
+        # tree mask, scalars) get the broadcast fallback
+        cache_batched = tuple(in_batched)[3:]
+        assert all(cache_batched), (
+            "verify_attention vmap: k_cache/v_cache (and int8 scale tables) "
+            f"must be batched per-slot, got in_batched[3:]={cache_batched}")
         args = []
         for x, bt in zip(
                 (scalars, qg, tm_g, k_cache, v_cache) + tuple(scale_ops),
                 tuple(in_batched)):
-            # broadcast rare unbatched operands (e.g. a shared tree mask);
-            # caches are always per-slot in the batched decode graphs
+            # broadcast rare unbatched operands (e.g. a shared tree mask)
             args.append(x if bt else jnp.broadcast_to(x[None], (b,) + x.shape))
         scalars, qg, tm_g, k_cache, v_cache, *scale_ops = args
         hkv, gs, d = qg.shape[1:]

@@ -69,6 +69,10 @@ def sample_probs_dyn(
     repetition_penalty: jax.Array,  # [] f32 TRACED
     seen: Optional[jax.Array] = None,  # [vocab+1] bool
     top_k: int = 0,  # static engine-wide bucket (a traced k can't shape sort)
+    top_k_dyn: Optional[jax.Array] = None,  # [] i32 TRACED per-request k:
+    # sorts once to the static ``top_k`` bucket (max_k) and masks by the
+    # traced k — a mixed-top_k batch shares one compiled graph.  0 disables
+    # the warp for that slot; values clamp to the bucket.
 ) -> jax.Array:
     """Per-request sampling transform -> PROBABILITIES, with every knob
     except top_k traced: one compiled graph serves a mixed batch of greedy,
@@ -82,18 +86,24 @@ def sample_probs_dyn(
     exactly to the greedy walk, so greedy slots stay lossless vs AR.
 
     Traced-identity notes vs the static ``process_logits`` path: division by
-    a traced 1.0 is bitwise exact; the top-p warp with effective top_p=1.0
-    masks only tokens whose softmax already underflowed to subnormals
-    (< f32 epsilon of any downstream sum); penalty 1.0 is an identity.
+    a traced 1.0 is bitwise exact; slots with no top_p (<=0 or >=1) take the
+    UNWARPED logits — bitwise identical to the static path, which skips the
+    warp entirely (an eff_p=1.0 warp is only almost-exact: f32 cumsum
+    rounding can reach 1.0 with ~1e-7 of tail mass left, clipping real
+    tokens); penalty 1.0 is an identity.
     """
     greedy = temperature <= 1e-5
     x = logits / jnp.where(greedy, 1.0, temperature).astype(logits.dtype)
     if seen is not None:
         pen = jnp.where(x > 0, x / repetition_penalty, x * repetition_penalty)
         x = jnp.where(seen[: x.shape[-1]], pen, x)
-    eff_p = jnp.where((top_p <= 1e-8) | (top_p >= 1.0), 1.0, top_p)
-    x = _top_p_warp(x, eff_p)  # comparison-only use of top_p: traced is fine
-    if top_k > 0:
+    no_p = (top_p <= 1e-8) | (top_p >= 1.0)
+    eff_p = jnp.where(no_p, 1.0, top_p)
+    # comparison-only use of top_p: traced is fine
+    x = jnp.where(no_p, x, _top_p_warp(x, eff_p))
+    if top_k_dyn is not None and top_k > 0:
+        x = _top_k_warp_dyn(x, top_k_dyn, int(top_k))
+    elif top_k > 0:
         x = _top_k_warp(x, int(top_k))
     probs = jax.nn.softmax(x, axis=-1)
     onehot = jax.nn.one_hot(jnp.argmax(logits, axis=-1), logits.shape[-1],
@@ -148,6 +158,20 @@ def _top_k_warp(logits: jax.Array, top_k: int) -> jax.Array:
     top_k = min(top_k, logits.shape[-1])  # HF clamps (TopKLogitsWarper)
     kth = jnp.sort(logits, axis=-1)[..., -top_k][..., None]
     return jnp.where(logits >= kth, logits, NEG_INF)
+
+
+def _top_k_warp_dyn(logits: jax.Array, k: jax.Array, max_k: int) -> jax.Array:
+    """Traced-k top-k over a STATIC max_k bucket: one lax.top_k to the bucket
+    (the only shape-bearing step), then the per-request threshold is the
+    k-th sorted value, gathered with a traced index.  k<=0 disables the warp
+    (that slot keeps all logits); k clamps to the bucket.  Threshold
+    semantics match _top_k_warp: every logit >= the k-th value survives."""
+    max_k = min(max_k, logits.shape[-1])
+    vals = jax.lax.top_k(logits, max_k)[0]  # [..., max_k] descending
+    idx = jnp.clip(k, 1, max_k).astype(jnp.int32) - 1
+    kth = jnp.take_along_axis(
+        vals, jnp.broadcast_to(idx, vals.shape[:-1])[..., None], axis=-1)
+    return jnp.where((k <= 0) | (logits >= kth), logits, NEG_INF)
 
 
 def sample_categorical(key: jax.Array, probs: jax.Array) -> jax.Array:

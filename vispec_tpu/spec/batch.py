@@ -298,34 +298,66 @@ def apply_count_diffs(counts_np, prev, accepts, slot_keys) -> None:
                 prev[slot] = c
 
 
+def pick_chunk_rounds(max_chunk: int, prev, rounds_in, caps, live) -> int:
+    """Chunk-size ladder: the largest of {1, 2, 4, max_chunk} (each a static
+    scan length => one compiled graph apiece) not expected to overshoot any
+    live slot's remaining budget, so early finishers stop paying dead
+    full-cost verify rounds to a distant chunk boundary.  Per-slot
+    rounds-to-finish = remaining / tokens-per-round (floored at 1: every
+    live round commits at least the bonus token, so the estimate never
+    exceeds the cap-driven truth)."""
+    ladder = sorted({v for v in (1, 2, 4) if v < max_chunk} | {max_chunk})
+    horizon = max_chunk
+    for j in range(len(prev)):
+        if not live[j]:
+            continue
+        tpr = max(1.0, int(prev[j]) / max(1, int(rounds_in[j])))
+        rem = max(1, int(caps[j]) - int(prev[j]))
+        horizon = min(horizon, int(np.ceil(rem / tpr)))
+    best = ladder[0]
+    for v in ladder:
+        if v <= max(1, horizon):
+            best = v
+    return best
+
+
 def drain_batch(
     tparams, dparams, tcfg, dcfg, spec, sampling, states,
     budget: int, eos_id: int, chunk_rounds: int = 8,
     mparams: Optional[dict] = None,
 ):
-    """Run batched rounds until every request is done or the budget is hit.
+    """Run batched rounds until every request is done or the budget is hit,
+    selecting each dispatch's size from the chunk ladder (tail rounds past a
+    slot's expected completion are not dispatched).
     Returns (states, per-request acceptance-length lists)."""
     eos = jnp.asarray(eos_id, jnp.int32)
     cap = jnp.asarray(budget, jnp.int32)
     b = int(states.done.shape[0])
     prev = np.zeros(b, np.int64)
+    rounds_in = np.zeros(b, np.int64)
+    live = np.ones(b, bool)
+    caps = np.full(b, budget, np.int64)
     accepts: List[List[int]] = [[] for _ in range(b)]
     slot_keys = [(j, j) for j in range(b)]
     rounds = 0
     while rounds < budget:
+        ch = pick_chunk_rounds(chunk_rounds, prev, rounds_in, caps, live)
         if mparams is not None:
             states, counts = batched_medusa_rounds_chunk(
                 tparams, mparams, tcfg, spec, sampling, states, eos, cap,
-                n_rounds=chunk_rounds,
+                n_rounds=ch,
             )
         else:
             states, counts = batched_decode_rounds_chunk(
                 tparams, dparams, tcfg, dcfg, spec, sampling, states, eos, cap,
-                n_rounds=chunk_rounds,
+                n_rounds=ch,
             )
         apply_count_diffs(np.asarray(counts), prev, accepts, slot_keys)
-        rounds += chunk_rounds
-        if bool(jnp.all(states.done)):
+        rounds += ch
+        rounds_in += ch
+        done = np.asarray(states.done)
+        live = ~done
+        if done.all():
             break
     return states, accepts
 

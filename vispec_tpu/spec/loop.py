@@ -66,10 +66,12 @@ class SpecState(NamedTuple):
     # token target verify hiddens (keep_hiddens mode), indexed like ``output``;
     # lets a finished generation become a PrefixSnapshot at ANY committed cut
     # (multi-turn conversation reuse).  None => zero cost on the default path
-    samp: Optional[jax.Array] = None  # [3] f32 — per-request TRACED sampling
-    # knobs (temperature, top_p, repetition_penalty) when
+    samp: Optional[jax.Array] = None  # [3] or [4] f32 — per-request TRACED
+    # sampling knobs (temperature, top_p, repetition_penalty[, top_k]) when
     # SamplingParams.per_request; lets one serving graph mix greedy and
-    # sampled slots.  None on the static paths => zero cost
+    # sampled slots.  samp[3] (f32, used as int) masks the static
+    # SamplingParams.top_k bucket per slot — the sort shape stays static.
+    # None on the static paths => zero cost
 
 
 class SamplingParams(NamedTuple):
@@ -96,13 +98,20 @@ class SamplingParams(NamedTuple):
 # ---------------------------------------------------------------------------
 
 
+def _samp_k(samp):
+    """Per-request traced top_k (samp[3]) when present; a 3-knob samp vector
+    (older callers) falls back to the static bucket applying to every slot.
+    The shape test is trace-time Python — no graph cost either way."""
+    return samp[3] if samp is not None and samp.shape[0] > 3 else None
+
+
 def _first_token(last_logits, sampling: SamplingParams, samp, seen, k_sample):
     """First-token draw shared by every prefill: greedy argmax, static
     sampled, or per-request traced knobs (sample_categorical over a one-hot
     is the argmax, so greedy slots stay exact in per_request mode)."""
     if sampling.per_request:
         p = sample_probs_dyn(last_logits, samp[0], samp[1], samp[2], seen,
-                             sampling.top_k)
+                             sampling.top_k, top_k_dyn=_samp_k(samp))
         return sample_categorical(k_sample, p).astype(jnp.int32)
     if sampling.greedy:
         return jnp.argmax(last_logits).astype(jnp.int32)
@@ -444,7 +453,7 @@ def _verify_accept_commit(
         # slots reduce exactly to the greedy walk via one-hot probs)
         probs = sample_probs_dyn(
             logits, state.samp[0], state.samp[1], state.samp[2],
-            state.seen, sampling.top_k,
+            state.seen, sampling.top_k, top_k_dyn=_samp_k(state.samp),
         )
         best, acc, resid = sampling_accept(tree, probs, k_accept,
                                            max_accept_depth)
