@@ -1,0 +1,177 @@
+"""First Mixtral-MoE on-chip datapoint (VERDICT r4 item 6).
+
+The reference supports Mixtral as a target (modeling_mixtral_kv.py:488-571,
+1021: dense-computed top-2 routing over 8 experts) but publishes no results
+row for it; this repo's MoE path (models/mixtral.py + expert-parallel specs)
+was CPU-tested + ep=2 dryrun only.  This drive puts MoE routing/top-k gather
+on the real Mosaic/XLA:TPU stack.
+
+Geometry: the real Mixtral-8x7B PER-LAYER shapes (hidden 4096, inter 14336,
+32q/8kv heads at head_dim 128, 8 experts, top-2 routing, vocab 32000) at a
+REDUCED layer count (default 4 of 32) so the bf16 expert stacks fit one
+16 GB chip: experts are ~2.82 GB/layer bf16, and int8 target quantization
+deliberately excludes the expert stack (ops/quant.py:448-451), so bf16 at
+4 layers (~12.9 GB with the draft) is the honest chip-sized slice.  Per-step
+cost scales ~linearly in layers (byte-streaming bound: B=1 decode reads every
+expert's weights each step regardless of routing), so the labeled reduced
+row is extrapolable; correctness (spec == AR through MoE routing) is scale-
+independent.
+
+Run (on the chip):
+    PYTHONPATH=/root/repo:$PYTHONPATH python scripts/bench_mixtral.py
+Prints one JSON line (bench.py tau+1 accounting; "at ref tau" uses the
+LLaVA-7B tau=2.98 label — the reference has no Mixtral tau to borrow).
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+import bench
+from vispec_tpu.configs import DraftConfig, SpecConfig
+from vispec_tpu.models import draft as draft_mod
+from vispec_tpu.models import mixtral
+from vispec_tpu.spec.spec_model import SpecModel
+
+
+def fabricate_mixtral(cfg: mixtral.MixtralConfig, key, dtype=jnp.bfloat16):
+    """Random bf16 Mixtral params in models/mixtral.init_params' pytree.
+
+    Memory discipline: jax.random.normal's f32 transient is 2x the bf16
+    output — a full (l, e, d, i) expert stack would spike 2x3.76 GB at l=4.
+    Expert stacks generate one LAYER per lax.map step inside jit (the f32
+    transient is bounded by one layer's (8, 4096, 14336) = 1.88 GB)."""
+    from functools import partial
+
+    keys = iter(jax.random.split(key, 12))
+    l, d, i = cfg.num_hidden_layers, cfg.hidden_size, cfg.intermediate_size
+    e = cfg.num_local_experts
+    hq = cfg.num_attention_heads * cfg.head_dim
+    hkv = cfg.num_key_value_heads * cfg.head_dim
+
+    @partial(jax.jit, static_argnums=(1,))
+    def _stacked(ks, shape):
+        return jax.lax.map(
+            lambda k: jax.random.normal(k, shape, dtype)
+            * jnp.asarray(0.02, dtype), ks)
+
+    def w(shape):
+        return _stacked(jax.random.split(next(keys), shape[0]), shape[1:])
+
+    layers = {
+        "input_norm": jnp.ones((l, d), jnp.float32),
+        "post_norm": jnp.ones((l, d), jnp.float32),
+        "wq": w((l, d, hq)), "wk": w((l, d, hkv)), "wv": w((l, d, hkv)),
+        "wo": w((l, hq, d)),
+        "router": w((l, d, e)),
+        "we_gate": w((l, e, d, i)), "we_up": w((l, e, d, i)),
+        "we_down": w((l, e, i, d)),
+    }
+    embed = (jax.random.normal(next(keys), (cfg.vocab_size, d), dtype)
+             * jnp.asarray(0.02, dtype))
+    return {
+        "embed": embed, "layers": layers,
+        "final_norm": jnp.ones((d,), jnp.float32),
+        "lm_head": (jax.random.normal(next(keys), (d, cfg.vocab_size), dtype)
+                    * jnp.asarray(0.02, dtype)),
+    }
+
+
+def main():
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--layers", type=int, default=4,
+                   help="reduced layer count (8x7B has 32; 4 fits bf16)")
+    p.add_argument("--max-len", type=int, default=1024)
+    p.add_argument("--check-lossless", action="store_true",
+                   help="also assert spec tokens == AR tokens on-chip")
+    args = p.parse_args()
+
+    mcfg = mixtral.MixtralConfig(
+        vocab_size=32000, hidden_size=4096, intermediate_size=14336,
+        num_hidden_layers=args.layers, num_attention_heads=32,
+        num_key_value_heads=8, max_position_embeddings=args.max_len,
+        rope_theta=1e6, num_local_experts=8, num_experts_per_tok=2,
+    )
+    dcfg = DraftConfig(
+        vocab_size=32000, hidden_size=4096, intermediate_size=14336,
+        num_attention_heads=32, num_key_value_heads=8,
+        max_position_embeddings=args.max_len, rope_theta=1e6,
+    )
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    tparams = fabricate_mixtral(mcfg, k1)
+    dparams = draft_mod.init_params(dcfg, k2, jnp.bfloat16)
+    dparams["embed"] = tparams["embed"]
+
+    model = SpecModel(mcfg, dcfg,
+                      SpecConfig(total_tokens=30, depth=3, top_k=8),
+                      tparams, dparams, max_len=args.max_len,
+                      dtype=jnp.bfloat16, eos_token_id=10**6,
+                      quantize_kv=True)
+    prompt = np.random.default_rng(0).integers(10, 31990, 120).tolist()
+
+    detail = {
+        "model": f"mixtral-8x7B-geometry {args.layers}-of-32 layers"
+                 f"@{args.max_len}",
+        "experts": "8 local, top-2 routed", "gqa": "32q/8kv",
+        "target": "bf16 (fabricated)", "kv": "int8",
+    }
+
+    if args.check_lossless:
+        spec = model.specgenerate(prompt, max_new_tokens=48)
+        ar = model.ar_generate(prompt, max_new_tokens=48)
+        n = min(spec.new_tokens, ar.new_tokens, 48)
+        same = (spec.sequences[: len(prompt) + n].tolist()
+                == ar.sequences[: len(prompt) + n].tolist())
+        detail["lossless_48tok"] = bool(same and n >= 40)
+        assert detail["lossless_48tok"], (n, same)
+
+    model.ar_generate(prompt, max_new_tokens=8)
+    t_ar = 1e9
+    for _ in range(bench.REPEATS):
+        res = model.ar_generate(prompt, max_new_tokens=bench.N_TOKENS)
+        t_ar = min(t_ar, res.decode_time / max(res.new_tokens - 1, 1))
+    detail["t_ar_ms"] = round(t_ar * 1e3, 3)
+    detail["ar_toks_per_s"] = round(1.0 / t_ar, 1)
+
+    t_round = bench._time_spec(model, prompt)
+    detail["t_round_ms"] = round(t_round * 1e3, 3)
+    detail["ratio"] = round(t_round / t_ar, 4)
+
+    model.quantize_draft_inplace("int8")
+    t_round_q8 = bench._time_spec(model, prompt)
+    r_q8 = t_round_q8 / t_ar
+    detail.update(
+        t_round_int8draft_ms=round(t_round_q8 * 1e3, 3),
+        ratio_int8draft=round(r_q8, 4),
+        ref_tau_label=bench.REF_TAU,  # LLaVA-7B tau: a LABEL, not Mixtral's
+        spec_toks_per_s_at_ref_tau=round((bench.REF_TAU + 1.0) / t_round_q8, 1),
+    )
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        detail["hbm_gb"] = round(stats.get("bytes_in_use", 0) / 2**30, 2)
+        detail["hbm_peak_gb"] = round(
+            stats.get("peak_bytes_in_use", 0) / 2**30, 2)
+    except Exception:
+        pass
+
+    value = (bench.REF_TAU + 1.0) / r_q8
+    print(json.dumps({
+        "metric": "mixtral_reduced_spec_speedup_at_ref_tau_T0",
+        "value": round(value, 3),
+        "unit": "x",
+        "vs_baseline": None,  # the reference publishes no Mixtral row
+        "detail": detail,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -140,6 +140,22 @@ def main():
     dev_step_ms = dev_wall / args.steps * 1e3
     dev_toks_per_s = args.bs * (args.seq - 1) / (dev_wall / args.steps)
 
+    # ---- FLOP accounting / MFU (VERDICT r4 weak #4) ----
+    # Matmul FLOPs per token per MTP step, from the actual stage-2 shapes:
+    #   draft layer: fc fold [2d,d] + qkvo 4x[d,d] + mlp gate/up/down (3 d*i)
+    #   attention scores+values: 2 matmuls of [*,d]x[d,seq-ish] ~ 2*seq*d
+    #   frozen head [d,v]: forward 2dv + input-grad 2dv (NO weight grad)
+    # Trainable matmuls cost 6*W (fwd 2W + input-grad 2W + weight-grad 2W).
+    w_draft = (2 * d * d) + 4 * d * d + 3 * d * args.inter
+    attn = 2 * 2 * args.seq * d  # scores + values, causal avg ~seq/2 each
+    tokens = args.bs * (args.seq - 1)
+    step_flops = cfg.mtp_steps * tokens * (
+        6 * w_draft + 3 * attn + 4 * d * v)
+    peak_bf16 = 197e12  # v5e MXU peak (bf16); params here are f32, so the
+    # MXU runs f32-precision passes — MFU vs bf16 peak is a lower bound on
+    # how well the step uses the chip relative to its best case
+    mfu = step_flops / (dev_wall / args.steps) / peak_bf16
+
     # device-side getkacc (one dispatch per prefix, one batched readback)
     sample = fabricate_sample(rng, min(args.seq, 512), d)
     getkacc(dparams, dcfg, head_w, sample, max_len=512)  # compile
@@ -155,6 +171,8 @@ def main():
         "tokens_per_s": round(toks_per_s, 1),
         "device_step_ms": round(dev_step_ms, 2),
         "device_tokens_per_s": round(dev_toks_per_s, 1),
+        "step_tflops": round(step_flops / 1e12, 2),
+        "mfu_vs_bf16_peak": round(mfu, 4),
         "first_loss": round(first_loss, 4),
         "last_loss": round(last_loss, 4),
         "getkacc_s_per_sample": round(kacc_s, 3),

@@ -6,6 +6,7 @@ otherwise surface as a silent 0.0 headline at round end.
 """
 
 import json
+import os
 import subprocess
 import sys
 
@@ -73,3 +74,29 @@ def test_tree_sweep_depth_model():
     assert abs(REF_TAU_T1 * depth_factor(3) - 2.09) < 1e-6
     # depth=2 loses the 4th chain level: at p~0.757 that is ~16% of tau
     assert 0.78 < f2 < 0.90
+
+
+def test_bench_qwen_tiny_contract():
+    """bench_qwen --tiny (subprocess: it mutates bench globals and pins the
+    cpu platform): the Qwen2.5-VL bench path — windowed ViT prefill, M-RoPE
+    rope_delta decode, GQA, qkv_bias, TTFT, all three method legs — traces
+    end-to-end and emits the one-JSON-line contract."""
+    out = subprocess.run(
+        [sys.executable, "scripts/bench_qwen.py", "--model", "3b", "--tiny",
+         "--skip-t1"],
+        capture_output=True, text=True, timeout=1200,
+        cwd=os.path.dirname(os.path.abspath(bench.__file__)))
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    res = json.loads(line)
+    assert res["metric"] == "qwen3b_spec_speedup_at_ref_tau_T0"
+    d = res["detail"]
+    assert d["gqa"] == "4q/1kv" and d["qkv_bias"] and d["mrope"]
+    assert d["image"] is not None and d["prompt_len"] > 16
+    for key in ("ttft_ms", "t_ar_ms", "t_round_ms", "ratio",
+                "t_round_int8draft_ms", "ratio_int8draft",
+                "speedup_at_ref_tau_int8", "t_round_eagle_int8_ms",
+                "ratio_eagle", "t_round_medusa_ms", "ratio_medusa"):
+        assert d.get(key, 0) > 0, (key, d.get(key))
+    # tau+1 accounting on the headline
+    assert abs(res["value"] * d["ratio_int8draft"] - (d["ref_tau"] + 1)) < 1e-2
