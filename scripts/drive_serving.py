@@ -96,6 +96,23 @@ for g, o in zip(outs[:2], outs_pr):
 print(f"per-request mixed-sampling engine outputs matching greedy: {okp}/2")
 assert okp >= 2
 
+# Per-request TOP_K on-chip: ctor top_k=4 is the static max-k sort bucket;
+# each request's k rides SpecState.samp[3] as a traced scalar.  A T=1 slot
+# with k=1 (top-1 == argmax through monotonic warps) and a greedy slot with
+# the default k share one graph and must both reproduce the greedy outputs.
+eng_k4 = model.serving_engine(batch_size=2, max_new_tokens=20, top_k=4,
+                              chunk_rounds=4, per_request_sampling=True)
+outs_k4 = eng_k4.run_all([
+    {"input_ids": prompts[0]},                      # greedy, default k=4
+    {"input_ids": prompts[1], "temperature": 1.0, "top_k": 1},
+])
+okk4 = 0
+for g, o in zip(outs[:2], outs_k4):
+    n = min(len(o), len(g))
+    okk4 += list(o[:n]) == list(g[:n])
+print(f"per-request traced top_k engine outputs matching greedy: {okk4}/2")
+assert okk4 >= 2
+
 # Batched Mosaic attention on-chip: head_dim must be 128 to exercise the
 # batch-grid kernel (pallas_attention._build_call batched=True; the default
 # tiny model's head_dim=32 falls back to XLA).  int8 KV so the quantized
