@@ -234,6 +234,12 @@ def test_arrival_bench_contract():
     assert 0 <= row["admit_stall_share"] < 1
     assert row["admissions"] >= 1  # 5 requests on 2 slots => mid-flight admits
 
+    # --no-ladder A/B control (round-4 behavior: full-chunk dispatches only)
+    # completes the same workload through the same contract.
+    row2 = arrival_bench(model, b=2, new_tokens=8, rate=50.0, n_requests=5,
+                         seed=3, vocab=TCFG.vocab_size, no_ladder=True)
+    assert row2["n_requests"] == 5 and row2["tokens_per_s"] > 0
+
 
 def test_pick_chunk_rounds_ladder():
     """Chunk ladder selection (spec/batch.pick_chunk_rounds): the largest

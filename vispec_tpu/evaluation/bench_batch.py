@@ -32,7 +32,7 @@ MODELS = {
 
 
 def arrival_bench(model, b, new_tokens, rate, n_requests, seed=0,
-                  vocab=32000):
+                  vocab=32000, no_ladder=False):
     """Poisson open-loop serving benchmark through the ONLINE API.
 
     Requests arrive at ``rate``/s (seeded exponential interarrivals); the
@@ -48,6 +48,10 @@ def arrival_bench(model, b, new_tokens, rate, n_requests, seed=0,
     arrivals = np.cumsum(rng.exponential(1.0 / rate, n_requests))
 
     eng = model.serving_engine(batch_size=b, max_new_tokens=new_tokens)
+    if no_ladder:
+        # A/B control: round-4 behavior — every dispatch is a full
+        # chunk_rounds scan, slots freed only at chunk boundaries
+        eng.chunk_ladder = (eng.chunk_rounds,)
     eng.run_all(prompts[:2 * b])  # warm every graph incl. mid-flight admit
     eng.start_session()
 
@@ -102,6 +106,10 @@ def main():
                         "slot count")
     p.add_argument("--requests", type=int, default=24,
                    help="requests per arrival-mode leg")
+    p.add_argument("--no-ladder", action="store_true",
+                   help="arrival-mode A/B control: disable the chunk-size "
+                        "ladder (every dispatch a full chunk_rounds scan, "
+                        "round-4 behavior) for a same-session comparison")
     args = p.parse_args()
 
     import jax
@@ -147,8 +155,9 @@ def main():
         rows = []
         for rate in [float(x) for x in args.arrival_rates.split(",")]:
             row = arrival_bench(model, b, args.new_tokens, rate,
-                                args.requests)
-            row["mode"] = "arrival" + quant_tag
+                                args.requests, no_ladder=args.no_ladder)
+            row["mode"] = ("arrival" + quant_tag
+                           + ("+noladder" if args.no_ladder else ""))
             rows.append(row)
             print(json.dumps(row), flush=True)
         return rows
