@@ -211,6 +211,11 @@ def main():
     p.add_argument("--no-image", action="store_true",
                    help="text-only prompt (skips the ViT; M-RoPE trivial)")
     p.add_argument("--skip-t1", action="store_true")
+    p.add_argument("--capacity", action="store_true",
+                   help="lean capacity probe: TTFT + AR + int8-draft round "
+                        "only (skips bf16-draft/T=1/eagle/medusa legs) — for "
+                        "long-context rows where each leg is a fresh "
+                        "multi-minute 32k compile")
     p.add_argument("--tiny", action="store_true",
                    help="CPU smoke: shrink the geometry (keeps GQA ratios + "
                         "head_dim 128 so the same code paths trace)")
@@ -302,11 +307,12 @@ def main():
     detail["ar_toks_per_s"] = round(1.0 / t_ar, 1)
 
     # ViSpec rounds: exact bf16 draft, then the int8-draft serving mode
-    t_round = time_spec(model, prompt, img)
-    r = t_round / t_ar
-    detail.update(t_round_ms=round(t_round * 1e3, 3), ratio=round(r, 4),
-                  speedup_at_ref_tau=round((ref["tau"] + 1) / r, 3))
     orig_dparams = model.dparams
+    if not args.capacity:
+        t_round = time_spec(model, prompt, img)
+        r = t_round / t_ar
+        detail.update(t_round_ms=round(t_round * 1e3, 3), ratio=round(r, 4),
+                      speedup_at_ref_tau=round((ref["tau"] + 1) / r, 3))
     model.quantize_draft_inplace("int8")
     t_round_q8 = time_spec(model, prompt, img)
     r_q8 = t_round_q8 / t_ar
@@ -319,7 +325,7 @@ def main():
     )
 
     # T=1 sampling legs (reference README.md:202-207)
-    if not args.skip_t1:
+    if not args.skip_t1 and not args.capacity:
         t_round_t1 = time_spec(model, prompt, img, temperature=1.0)
         t_ar_t1 = time_ar(model, prompt, img, temperature=1.0)
         r_t1 = t_round_t1 / t_ar_t1
@@ -331,62 +337,66 @@ def main():
             vs_ref_T1=round(((ref["tau_t1"] + 1) / r_t1) / ref["speedup_t1"], 3),
         )
 
-    # EAGLE-2 leg: same 1-layer draft, no vision adaptor (cnets.py)
-    model.dparams = orig_dparams
-    model._target_cache = model._draft_cache = None
-    import dataclasses
+    if not args.capacity:
+        # EAGLE-2 leg: same 1-layer draft, no vision adaptor (cnets.py)
+        model.dparams = orig_dparams
+        model._target_cache = model._draft_cache = None
+        import dataclasses
 
-    dcfg_e = dataclasses.replace(dcfg, vision=False)
-    dparams_e = draft_mod.init_params(dcfg_e, jax.random.PRNGKey(7), jnp.bfloat16)
-    dparams_e["embed"] = tparams["embed"]
-    eagle = SpecModel(
-        tcfg, dcfg_e, model.spec, tparams, dparams_e, max_len=args.max_len,
-        dtype=jnp.bfloat16, eos_token_id=10**6, qwen_cfg=qcfg, vparams=vparams,
-        image_token_index=IMG_TOKEN, video_token_index=VIDEO_TOKEN,
-        vision_start_token_id=VSTART, quantize_kv=int8_target,
-        min_pixels=min_pixels,
-    )
-    eagle.quantize_target = model.quantize_target
-    eagle.quantize_draft_inplace("int8")
-    t_round_eagle = time_spec(eagle, prompt, img)
-    r_e = t_round_eagle / t_ar
-    detail.update(
-        t_round_eagle_int8_ms=round(t_round_eagle * 1e3, 3),
-        ratio_eagle=round(r_e, 4),
-        speedup_at_ref_tau_eagle=round((ref["tau_eagle"] + 1) / r_e, 3),
-        vs_ref_eagle=round(((ref["tau_eagle"] + 1) / r_e)
-                           / ref["speedup_eagle"], 3),
-    )
-    eagle._target_cache = eagle._draft_cache = None
-    del eagle, dparams_e
+        dcfg_e = dataclasses.replace(dcfg, vision=False)
+        dparams_e = draft_mod.init_params(dcfg_e, jax.random.PRNGKey(7),
+                                          jnp.bfloat16)
+        dparams_e["embed"] = tparams["embed"]
+        eagle = SpecModel(
+            tcfg, dcfg_e, model.spec, tparams, dparams_e,
+            max_len=args.max_len, dtype=jnp.bfloat16, eos_token_id=10**6,
+            qwen_cfg=qcfg, vparams=vparams,
+            image_token_index=IMG_TOKEN, video_token_index=VIDEO_TOKEN,
+            vision_start_token_id=VSTART, quantize_kv=int8_target,
+            min_pixels=min_pixels,
+        )
+        eagle.quantize_target = model.quantize_target
+        eagle.quantize_draft_inplace("int8")
+        t_round_eagle = time_spec(eagle, prompt, img)
+        r_e = t_round_eagle / t_ar
+        detail.update(
+            t_round_eagle_int8_ms=round(t_round_eagle * 1e3, 3),
+            ratio_eagle=round(r_e, 4),
+            speedup_at_ref_tau_eagle=round((ref["tau_eagle"] + 1) / r_e, 3),
+            vs_ref_eagle=round(((ref["tau_eagle"] + 1) / r_e)
+                               / ref["speedup_eagle"], 3),
+        )
+        eagle._target_cache = eagle._draft_cache = None
+        del eagle, dparams_e
 
-    # Medusa leg: per-offset heads, no draft transformer.  Heads get
-    # per-leaf independent noise (zero-init heads are the identity and
-    # cause spurious acceptances — bench.py medusa note).
-    km = jax.random.PRNGKey(8)
-    mparams = medusa_mod.init_params(tcfg.hidden_size, km, jnp.bfloat16)
-    leaves, treedef = jax.tree.flatten(mparams)
-    leaves = [x + 0.05 * jax.random.normal(jax.random.fold_in(km, i),
-                                           x.shape, x.dtype)
-              for i, x in enumerate(leaves)]
-    mparams = jax.tree.unflatten(treedef, leaves)
-    med = SpecModel(
-        tcfg, dcfg, model.spec, tparams, orig_dparams, max_len=args.max_len,
-        dtype=jnp.bfloat16, eos_token_id=10**6, qwen_cfg=qcfg, vparams=vparams,
-        image_token_index=IMG_TOKEN, video_token_index=VIDEO_TOKEN,
-        vision_start_token_id=VSTART, quantize_kv=int8_target,
-        mparams=mparams, min_pixels=min_pixels,
-    )
-    med.quantize_target = model.quantize_target
-    t_round_med = time_spec(med, prompt, img)
-    r_m = t_round_med / t_ar
-    detail.update(
-        t_round_medusa_ms=round(t_round_med * 1e3, 3),
-        ratio_medusa=round(r_m, 4),
-        speedup_at_ref_tau_medusa=round((ref["tau_medusa"] + 1) / r_m, 3),
-        vs_ref_medusa=round(((ref["tau_medusa"] + 1) / r_m)
-                            / ref["speedup_medusa"], 3),
-    )
+        # Medusa leg: per-offset heads, no draft transformer.  Heads get
+        # per-leaf independent noise (zero-init heads are the identity and
+        # cause spurious acceptances — bench.py medusa note).
+        km = jax.random.PRNGKey(8)
+        mparams = medusa_mod.init_params(tcfg.hidden_size, km, jnp.bfloat16)
+        leaves, treedef = jax.tree.flatten(mparams)
+        leaves = [x + 0.05 * jax.random.normal(jax.random.fold_in(km, i),
+                                               x.shape, x.dtype)
+                  for i, x in enumerate(leaves)]
+        mparams = jax.tree.unflatten(treedef, leaves)
+        med = SpecModel(
+            tcfg, dcfg, model.spec, tparams, orig_dparams,
+            max_len=args.max_len, dtype=jnp.bfloat16, eos_token_id=10**6,
+            qwen_cfg=qcfg, vparams=vparams,
+            image_token_index=IMG_TOKEN, video_token_index=VIDEO_TOKEN,
+            vision_start_token_id=VSTART, quantize_kv=int8_target,
+            mparams=mparams, min_pixels=min_pixels,
+        )
+        med.quantize_target = model.quantize_target
+        t_round_med = time_spec(med, prompt, img)
+        r_m = t_round_med / t_ar
+        detail.update(
+            t_round_medusa_ms=round(t_round_med * 1e3, 3),
+            ratio_medusa=round(r_m, 4),
+            speedup_at_ref_tau_medusa=round((ref["tau_medusa"] + 1) / r_m, 3),
+            vs_ref_medusa=round(((ref["tau_medusa"] + 1) / r_m)
+                                / ref["speedup_medusa"], 3),
+        )
 
     try:
         stats = jax.local_devices()[0].memory_stats() or {}
