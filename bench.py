@@ -142,6 +142,17 @@ def run_bench(cfg_d, on_t0=None):
     # ---- spec path, exact bf16 draft (specgenerate end-to-end) ----
     t_round = _time_spec(model, prompt)
 
+    # ---- TTFT (prefill + first round + committed-token readback; the
+    # reference's wall_time metric includes prefill — gen_spec_answer_sqa.py:
+    # 264-276.  Graphs are warm from _time_spec; text prompt, no tower —
+    # scripts/bench_ttft.py measures the vision towers' TTFT.) ----
+    model.specgenerate(prompt, max_new_tokens=1)
+    ttft = 1e9
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        model.specgenerate(prompt, max_new_tokens=1)
+        ttft = min(ttft, time.perf_counter() - t0)
+
     # ---- AR path (ar_generate end-to-end) ----
     model.ar_generate(prompt, max_new_tokens=8)
     t_ar = 1e9
@@ -193,6 +204,7 @@ def run_bench(cfg_d, on_t0=None):
     tpr = REF_TAU + 1.0  # committed tokens per round at the reference's tau
     out = dict(
         t_ar_ms=t_ar * 1e3, t_round_ms=t_round * 1e3,
+        ttft_ms=ttft * 1e3,
         t_round_int8_ms=t_round_q8 * 1e3, t_round_int4_ms=t_round_q4 * 1e3,
         t_round_mixed_ms=t_round_mixed * 1e3,
         t_round_auto_ms=t_round_auto * 1e3,

@@ -39,7 +39,8 @@ def test_run_bench_tiny_contract(monkeypatch):
     assert res["speedup_at_ref_tau_eagle"] > 0
     assert res["speedup_at_ref_tau_eagle_int8"] > 0
     assert res["speedup_at_ref_tau_medusa"] > 0
-    for key in ("t_ar_ms", "t_round_ms", "ratio", "speedup_at_ref_tau",
+    for key in ("t_ar_ms", "t_round_ms", "ttft_ms", "ratio",
+                "speedup_at_ref_tau",
                 "ratio_int8", "ratio_int4", "ratio_mixed", "ratio_auto",
                 "speedup_at_ref_tau_int8", "auto_choices"):
         assert key in res, key
