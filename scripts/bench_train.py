@@ -67,6 +67,9 @@ def main():
     p.add_argument("--inter", type=int, default=11008)
     p.add_argument("--vocab", type=int, default=32000)
     p.add_argument("--heads", type=int, default=32)
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 matmul compute (reference parity: accelerate "
+                   "--mixed_precision=bf16); master weights/losses stay f32")
     p.add_argument("--platform", default=None,
                    help="e.g. cpu for a smoke run (the site hook pins the "
                    "axon backend; JAX_PLATFORMS env is ignored — only "
@@ -107,7 +110,7 @@ def main():
     t0 = time.perf_counter()
     dparams, opt_state, metrics = train_step(
         dparams, opt_state, dcfg, head_w, batch, optimizer,
-        mtp_steps=cfg.mtp_steps, max_span=ms_bucket)
+        mtp_steps=cfg.mtp_steps, max_span=ms_bucket, bf16=args.bf16)
     first_loss = float(metrics["loss"])  # fence
     compile_s = time.perf_counter() - t0
 
@@ -117,7 +120,7 @@ def main():
         batch, _ = make_batch()
         dparams, opt_state, metrics = train_step(
             dparams, opt_state, dcfg, head_w, batch, optimizer,
-            mtp_steps=cfg.mtp_steps, max_span=ms_bucket)
+            mtp_steps=cfg.mtp_steps, max_span=ms_bucket, bf16=args.bf16)
     last_loss = float(metrics["loss"])  # single readback fences the chain
     wall = time.perf_counter() - t0
     step_ms = wall / args.steps * 1e3
@@ -134,7 +137,7 @@ def main():
     for _ in range(args.steps):
         dparams, opt_state, metrics = train_step(
             dparams, opt_state, dcfg, head_w, batch, optimizer,
-            mtp_steps=cfg.mtp_steps, max_span=ms_bucket)
+            mtp_steps=cfg.mtp_steps, max_span=ms_bucket, bf16=args.bf16)
     float(metrics["loss"])  # fence
     dev_wall = time.perf_counter() - t0
     dev_step_ms = dev_wall / args.steps * 1e3
@@ -149,8 +152,12 @@ def main():
     w_draft = (2 * d * d) + 4 * d * d + 3 * d * args.inter
     attn = 2 * 2 * args.seq * d  # scores + values, causal avg ~seq/2 each
     tokens = args.bs * (args.seq - 1)
-    step_flops = cfg.mtp_steps * tokens * (
-        6 * w_draft + 3 * attn + 4 * d * v)
+    # mtp_forward runs mtp_steps+1 draft passes (the base pass + the MTP
+    # recursion) and the student head over all stacked passes; the target
+    # head (stop_gradient) is one forward-only 2dv
+    n_pass = cfg.mtp_steps + 1
+    step_flops = tokens * (
+        n_pass * (6 * w_draft + 3 * attn + 4 * d * v) + 2 * d * v)
     peak_bf16 = 197e12  # v5e MXU peak (bf16); params here are f32, so the
     # MXU runs f32-precision passes — MFU vs bf16 peak is a lower bound on
     # how well the step uses the chip relative to its best case
@@ -166,6 +173,7 @@ def main():
     detail = {
         "geometry": f"draft d={d} v={v} bs={args.bs} seq={args.seq} "
                     f"max_len={args.max_len} mtp_steps={cfg.mtp_steps}",
+        "compute": "bf16" if args.bf16 else "f32",
         "compile_s": round(compile_s, 1),
         "step_ms": round(step_ms, 2),
         "tokens_per_s": round(toks_per_s, 1),

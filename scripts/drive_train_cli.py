@@ -54,7 +54,8 @@ r2 = subprocess.run([sys.executable, "-m", "vispec_tpu.train.main_mtp",
                      "--cpdir", "/tmp/drive_train/cp",
                      "--bs", "2", "--max-len", "64", "--num-epochs", "1",
                      "--use-ours"],
-                    env=env, capture_output=True, text=True, timeout=560)
+                    env=env, capture_output=True, text=True,
+                    timeout=int(os.environ.get("DRIVE_TRAIN_TIMEOUT", 1100)))
 print("main_mtp rc:", r2.returncode)
 print("\n".join((r2.stdout + r2.stderr).strip().splitlines()[-4:]))
 assert r2.returncode == 0 and glob.glob("/tmp/drive_train/cp/state_*"), "no ckpt"

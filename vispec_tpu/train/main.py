@@ -27,6 +27,9 @@ def main():
     p.add_argument("--num-epochs", type=int, default=20)
     p.add_argument("--ckpt-backend", choices=["pickle", "orbax"],
                    default="pickle")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 matmul compute, f32 master weights/losses "
+                   "(the reference's accelerate --mixed_precision=bf16)")
     # mesh axes — same GSPMD step as main_mtp (the reference trains stage 1
     # with the identical accelerate/DDP launch, README.md:85-87)
     p.add_argument("--dp", type=int, default=1)
@@ -49,6 +52,7 @@ def main():
     cfg = TrainConfig(
         lr=args.lr, bs=args.bs, num_epochs=args.num_epochs,
         max_len=args.max_len, mtp_steps=0, ckpt_backend=args.ckpt_backend,
+        bf16=args.bf16,
     )
     from ..parallel.mesh import mesh_from_args
 

@@ -23,6 +23,8 @@ def main():
     # replicate; only the batch shards, like the reference's DDP launch)
     p.add_argument("--dp", type=int, default=1)
     p.add_argument("--sp", type=int, default=1)
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 matmul compute, f32 master weights/losses")
     args = p.parse_args()
 
     import jax
@@ -82,7 +84,7 @@ def main():
         for batch, _ in data_iterator(args.tmpdir, cfg, dcfg, seed=epoch):
             batch = shard_batch(batch)
             mparams, opt_state, metrics = train_step_medusa(
-                mparams, opt_state, head_w, batch, optimizer,
+                mparams, opt_state, head_w, batch, optimizer, bf16=args.bf16,
             )
             if step % 20 == 0:
                 print(f"[medusa] epoch {epoch} step {step} "

@@ -68,6 +68,9 @@ def main():
     p.add_argument("--ckpt-backend", choices=["pickle", "orbax"],
                    default="pickle", help="orbax = sharded-aware tensorstore "
                    "saves (no host gather of tp-sharded params)")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 matmul compute with f32 master weights/losses "
+                   "(the reference's accelerate --mixed_precision=bf16)")
     # mesh axes (multi-chip GSPMD step — the accelerate/DDP replacement);
     # --bs must be a multiple of dp, --max-len a multiple of sp
     p.add_argument("--dp", type=int, default=1)
@@ -105,7 +108,7 @@ def main():
     cfg = TrainConfig(
         lr=args.lr, bs=args.bs, num_epochs=args.num_epochs,
         max_len=args.max_len, mtp_steps=args.mtp_steps,
-        ckpt_backend=args.ckpt_backend,
+        ckpt_backend=args.ckpt_backend, bf16=args.bf16,
     )
     from ..parallel.mesh import mesh_from_args
 

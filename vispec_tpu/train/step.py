@@ -38,6 +38,21 @@ class TrainBatch(NamedTuple):
     plans: draft_mod.PrefillPlan
 
 
+def bf16_compute(tree):
+    """Mixed-precision compute cast (the reference trains under
+    ``accelerate launch --mixed_precision=bf16``, README.md:85-87): f32
+    leaves become bf16 for the forward/backward matmuls while the MASTER
+    params, optimizer state, and losses stay f32 — the head einsums force
+    f32 logits via ``preferred_element_type`` so every softmax/CE/L1 term
+    is computed in f32, and the cast is differentiable (cotangents land
+    back in f32 on the master leaves)."""
+    return jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+        tree,
+    )
+
+
 def make_optimizer(
     lr: float = 3e-5,
     warmup_steps: int = 2000,
@@ -96,7 +111,7 @@ def mtp_forward(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("dcfg", "max_span", "optimizer", "v_w", "p_w"),
+    static_argnames=("dcfg", "max_span", "optimizer", "v_w", "p_w", "bf16"),
     donate_argnames=("dparams", "opt_state"),
 )
 def train_step_stage1(
@@ -109,26 +124,35 @@ def train_step_stage1(
     v_w: float = 1.0,
     p_w: float = 0.1,
     max_span: int = 1,
+    bf16: bool = False,
 ):
     """Stage-1 text-only distillation step (reference main.py:313-333, 541):
     SmoothL1 on predicted hidden states + soft-CE + ranking loss."""
     from .losses import stage1_loss
 
     def loss_fn(p):
+        if bf16:
+            p, batch_c, head_c = (bf16_compute(p), bf16_compute(batch),
+                                  bf16_compute(head_w))
+        else:
+            batch_c, head_c = batch, head_w
+
         def single(hidden, embeds, plan):
             return draft_mod.forward_train(p, dcfg, hidden, embeds, plan, max_span)
 
-        predict = jax.vmap(single)(batch.hidden_states, batch.embeds, batch.plans)
+        predict = jax.vmap(single)(batch_c.hidden_states, batch_c.embeds,
+                                   batch_c.plans)
         student_logits = jnp.einsum(
-            "bsd,dv->bsv", predict, head_w, preferred_element_type=jnp.float32
+            "bsd,dv->bsv", predict, head_c, preferred_element_type=jnp.float32
         )
         target_logits = jnp.einsum(
-            "bsd,dv->bsv", batch.target, head_w, preferred_element_type=jnp.float32
+            "bsd,dv->bsv", batch_c.target, head_c,
+            preferred_element_type=jnp.float32
         )
         target_p = jax.lax.stop_gradient(jax.nn.softmax(target_logits, axis=-1))
         loss, metrics = stage1_loss(
             predict.reshape(-1, predict.shape[-1]),
-            batch.target.reshape(-1, batch.target.shape[-1]),
+            batch_c.target.reshape(-1, batch_c.target.shape[-1]),
             student_logits.reshape(-1, student_logits.shape[-1]),
             target_p.reshape(-1, target_p.shape[-1]),
             batch.loss_mask.reshape(-1),
@@ -146,7 +170,7 @@ def train_step_stage1(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("optimizer", "v_w", "p_w"),
+    static_argnames=("optimizer", "v_w", "p_w", "bf16"),
     donate_argnames=("mparams", "opt_state"),
 )
 def train_step_medusa(
@@ -157,6 +181,7 @@ def train_step_medusa(
     optimizer: optax.GradientTransformation,
     v_w: float = 1.0,
     p_w: float = 0.1,
+    bf16: bool = False,
 ):
     """Medusa heads training (reference main_medusa.py:498-540): head i's
     target is the target hidden shifted left by i (zeros-prefixed); loss =
@@ -165,13 +190,18 @@ def train_step_medusa(
     from .losses import smooth_l1
 
     def loss_fn(p):
+        if bf16:
+            p, b, head_c = (bf16_compute(p), bf16_compute(batch),
+                            bf16_compute(head_w))
+        else:
+            b, head_c = batch, head_w
         # [H, B, S, D] predictions from every head on the same trunk hiddens
         predict = jax.vmap(
             lambda h: heads_forward(p, h), in_axes=0, out_axes=1
-        )(batch.hidden_states)
+        )(b.hidden_states)
         tgt = jnp.stack([
             jnp.concatenate(
-                [jnp.zeros_like(batch.target[:, :i]), batch.target[:, i:]],
+                [jnp.zeros_like(b.target[:, :i]), b.target[:, i:]],
                 axis=1,
             )
             for i in range(NUM_HEADS)
@@ -182,9 +212,9 @@ def train_step_medusa(
         vloss = (smooth_l1(predict.astype(jnp.float32),
                            tgt.astype(jnp.float32)).mean(-1) * mask).sum() / denom
 
-        s_logits = jnp.einsum("hbsd,dv->hbsv", predict, head_w,
+        s_logits = jnp.einsum("hbsd,dv->hbsv", predict, head_c,
                               preferred_element_type=jnp.float32)
-        t_logits = jnp.einsum("hbsd,dv->hbsv", tgt, head_w,
+        t_logits = jnp.einsum("hbsd,dv->hbsv", tgt, head_c,
                               preferred_element_type=jnp.float32)
         t_p = jax.lax.stop_gradient(jax.nn.softmax(t_logits, axis=-1))
         ploss = -((t_p * jax.nn.log_softmax(s_logits, axis=-1)).sum(-1)
@@ -201,7 +231,7 @@ def train_step_medusa(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("dcfg", "mtp_steps", "max_span", "optimizer"),
+    static_argnames=("dcfg", "mtp_steps", "max_span", "optimizer", "bf16"),
     donate_argnames=("dparams", "opt_state"),
 )
 def train_step(
@@ -213,12 +243,19 @@ def train_step(
     optimizer: optax.GradientTransformation,
     mtp_steps: int = 2,
     max_span: int = 1,
+    bf16: bool = False,
 ):
     """One optimization step; under a mesh context with sharded inputs this is
-    the full dp x tp distributed training step."""
+    the full dp x tp distributed training step.  ``bf16=True`` runs the
+    forward/backward matmuls in bf16 (see ``bf16_compute``) — the MXU's
+    native precision, ~4x the f32 matmul rate on v5e."""
 
     def loss_fn(p):
-        loss, metrics = mtp_forward(p, dcfg, head_w, batch, mtp_steps, max_span)
+        if bf16:
+            p, b, hw = bf16_compute(p), bf16_compute(batch), bf16_compute(head_w)
+        else:
+            b, hw = batch, head_w
+        loss, metrics = mtp_forward(p, dcfg, hw, b, mtp_steps, max_span)
         return loss, metrics
 
     (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(dparams)

@@ -46,6 +46,8 @@ class TrainConfig:
     max_images: int = 4
     max_span_bucket: int = 64
     save_freq: int = 1  # epochs
+    bf16: bool = False  # bf16 matmul compute, f32 master weights/losses
+    # (the reference's accelerate --mixed_precision=bf16, README.md:85-87)
     ckpt_backend: str = "pickle"  # "pickle" (host-gathered blob, the
     # reference's accelerator.save_state analog) or "orbax" (TPU-idiomatic:
     # sharded-aware tensorstore save — no host gather of tp-sharded params)
@@ -439,12 +441,13 @@ def train(
                 if stage1:
                     dparams, opt_state, metrics = train_step_stage1(
                         dparams, opt_state, dcfg, head_w, batch, optimizer,
-                        max_span=cfg.max_span_bucket,
+                        max_span=cfg.max_span_bucket, bf16=cfg.bf16,
                     )
                 else:
                     dparams, opt_state, metrics = train_step(
                         dparams, opt_state, dcfg, head_w, batch, optimizer,
                         mtp_steps=cfg.mtp_steps, max_span=cfg.max_span_bucket,
+                        bf16=cfg.bf16,
                     )
                 if step % log_every == 0:
                     scalars = {k: float(v) for k, v in metrics.items()}
