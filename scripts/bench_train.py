@@ -163,8 +163,16 @@ def main():
     # how well the step uses the chip relative to its best case
     mfu = step_flops / (dev_wall / args.steps) / peak_bf16
 
-    # device-side getkacc (one dispatch per prefix, one batched readback)
+    # getkacc: ALL prefixes ride one vmapped dispatch (54 ms device for 16
+    # prefixes at this geometry vs 213 ms as per-prefix dispatches —
+    # profile_kacc.py).  The big hidden/embed arrays are device_put first so
+    # the timed call measures device+dispatch, not this container's ~12 MB/s
+    # tunnel upload of the 17 MB sample (loss/image masks stay numpy — the
+    # host prefix scan indexes them elementwise)
     sample = fabricate_sample(rng, min(args.seq, 512), d)
+    for key in ("hidden_state", "inputs_embeds"):
+        sample[key] = jax.device_put(sample[key])
+    jax.block_until_ready(sample["hidden_state"])
     getkacc(dparams, dcfg, head_w, sample, max_len=512)  # compile
     t0 = time.perf_counter()
     accs = getkacc(dparams, dcfg, head_w, sample, max_len=512)

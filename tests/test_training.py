@@ -349,3 +349,49 @@ def test_bf16_compute_step_tracks_f32(tmp_path):
     # frozen embed stays frozen in bf16 mode too
     np.testing.assert_array_equal(np.asarray(p16["embed"]),
                                   np.asarray(dparams["embed"]))
+
+
+def test_kacc_batched_rollout_matches_sequential(tmp_path):
+    """getkacc's one-dispatch vmapped rollout must predict the same tokens as
+    per-prefix _kacc_rollout dispatches (the round-4 implementation) — the
+    batching is a bandwidth optimization, not a semantic change."""
+    from vispec_tpu.ops.kv_cache import init_cache
+
+    gen_dataset(tmp_path, n=1)
+    sample = data_gen.load_sample(os.path.join(str(tmp_path), "data_0.npz"))
+    dparams = draft_mod.init_params(DCFG, jax.random.PRNGKey(3), jnp.float32)
+    head_w = jax.random.normal(jax.random.PRNGKey(4),
+                               (DCFG.hidden_size, DCFG.vocab_size),
+                               jnp.float32) * 0.05
+    max_len, k, ms = 64, 3, 1
+    s = min(sample["hidden_state"].shape[0], max_len)
+    hidden = jnp.asarray(sample["hidden_state"][:s], jnp.float32)
+    embeds = jnp.asarray(sample["inputs_embeds"][:s], jnp.float32)
+    image_mask = sample["image_mask"][:s]
+    prefixes = [2, 4, max(2, s - k - 2)]
+
+    plans, h_pads, e_pads, seq_toks = [], [], [], []
+    for pre_len in prefixes:
+        plan, _ = draft_mod.make_prefill_plan(
+            image_mask[1:pre_len], pre_len - 1, DCFG.num_q, max_len,
+            max_images=8, max_span=8)
+        h_pad = jnp.pad(hidden[: pre_len - 1],
+                        ((0, max_len - pre_len + 1), (0, 0)))
+        e_pad = jnp.pad(embeds[1:pre_len],
+                        ((0, max_len - pre_len + 1), (0, 0)))
+        cache = init_cache(1, DCFG.num_key_value_heads, max_len + k + 2,
+                           DCFG.head_dim, jnp.float32)
+        seq_toks.append(np.asarray(trainer._kacc_rollout(
+            dparams, DCFG, head_w, h_pad, e_pad, plan, cache, k, ms)))
+        plans.append(plan)
+        h_pads.append(h_pad)
+        e_pads.append(e_pad)
+
+    cache = init_cache(1, DCFG.num_key_value_heads, max_len + k + 2,
+                       DCFG.head_dim, jnp.float32)
+    caches = jax.tree.map(
+        lambda x: jnp.zeros((len(prefixes),) + x.shape, x.dtype), cache)
+    batched = np.asarray(trainer._kacc_rollout_batched(
+        dparams, DCFG, head_w, jnp.stack(h_pads), jnp.stack(e_pads),
+        jax.tree.map(lambda *xs: jnp.stack(xs), *plans), caches, k, ms))
+    np.testing.assert_array_equal(batched, np.stack(seq_toks))
