@@ -611,20 +611,51 @@ def test_chunk_ladder_trims_dead_rounds():
     assert eng._guard <= 5, eng._guard  # dispatched rounds, not 8
     assert list(eng.results[rid]) == single[len(p0):len(p0) + 4]
 
-    # queued request behind a full engine => per-step chunk capped at 2
+    # queued request behind a full engine: the chunk-2 cap is gated on the
+    # workload actually producing surprise EOS finishes (_eos_ewma) — an
+    # EOS-free (budget-bound) workload keeps full chunks (capping it cost
+    # 22% saturated throughput in the on-chip Poisson A/B)
     eng2 = ServingEngine(model, batch_size=1, max_new_tokens=24,
                          chunk_rounds=8)
     eng2.start_session()
     r0 = eng2.submit(p0)
     p1 = rng.integers(5, 120, 10).tolist()
     r1 = eng2.submit(p1)
-    eng2.step()  # admits r0; r1 queued => chunk <= 2
-    assert eng2._guard <= 2, eng2._guard
+    eng2.step()  # admits r0; r1 queued, but no EOS seen => full chunk 8
+    assert eng2._guard == 8, eng2._guard
     while eng2.pending():
         eng2.step()
     assert list(eng2.results[r0]) == single[len(p0):len(p0) + 24]
     single1 = model.specgenerate(p1, max_new_tokens=24).sequences.tolist()
     assert list(eng2.results[r1]) == single1[len(p1):len(p1) + 24]
+
+    # with surprise finishes live (ewma armed), queued => chunk capped at 2
+    eng3 = ServingEngine(model, batch_size=1, max_new_tokens=24,
+                         chunk_rounds=8)
+    eng3.start_session()
+    r0 = eng3.submit(p0)
+    eng3.submit(p1)
+    eng3._eos_ewma = 0.1  # one EOS finish ago
+    eng3.step()
+    assert eng3._guard <= 2, eng3._guard
+    # the ewma decays: ~16 chunks after the last surprise the cap disarms
+    e = 0.1
+    for _ in range(16):
+        e = 0.9 * e
+    assert e < 0.02
+
+    # a real EOS-before-budget finish through step() arms the ewma
+    tok = int(single[len(p0) + 5])
+    meos = _model(eos=tok)
+    eng4 = ServingEngine(meos, batch_size=1, max_new_tokens=24,
+                         chunk_rounds=8)
+    eng4.start_session()
+    r = eng4.submit(p0)
+    while eng4.pending():
+        eng4.step()
+    assert eng4._eos_ewma > 0.02, eng4._eos_ewma
+    assert list(eng4.results[r])[-1] == tok
+    assert len(eng4.results[r]) < 24  # finished by EOS, not budget
 
 
 def test_queued_cancel_completes_through_step_return():

@@ -397,6 +397,12 @@ class ServingEngine:
         self._next_rid = 0
         self._guard = 0
         self._chunks = 0
+        # EWMA of surprise (EOS-before-budget) finishes per chunk: gates the
+        # queued-admission chunk cap in _pick_chunk.  Budget-driven finishes
+        # are fully predicted by the per-slot horizon estimate, so capping
+        # for them is pure dispatch overhead — measured 43.4 vs 55.4 tok/s
+        # at a saturated Poisson load (7B@512 int8, EOS-free requests).
+        self._eos_ewma = 0.0
         # per-session admission accounting (VERDICT r2 weak #8): mid-flight
         # admissions serialize their prefill with decode on the one chip;
         # stats lets benches quantify that stall per admission
@@ -552,9 +558,14 @@ class ServingEngine:
         remaining budget (a round commits >= 1 token, so tpr is floored at 1
         — the estimate never exceeds the true cap-driven horizon).  EOS
         finishes are unpredictable; when requests are QUEUED behind full
-        slots the chunk is capped at 2 so a surprise finish frees its slot
-        within ~2 rounds instead of chunk_rounds (the admission-stall p99
-        the Poisson bench pays for)."""
+        slots AND the workload is actually producing surprise EOS finishes
+        (``_eos_ewma``, updated per chunk in step()) the chunk is capped at
+        2 so such a finish frees its slot within ~2 rounds instead of
+        chunk_rounds (the admission-stall p99 the Poisson bench pays for).
+        Budget-driven finishes are already covered by the horizon estimate;
+        capping unconditionally cost 22% saturated throughput (43.4 vs 55.4
+        tok/s, 7B@512 int8 Poisson A/B) for zero latency benefit on an
+        EOS-free workload."""
         full = self.chunk_ladder[-1]
         horizon = full
         for slot, rid in self._active.items():
@@ -562,7 +573,9 @@ class ServingEngine:
             tpr = max(1.0, committed / max(1, int(self._slot_rounds[slot])))
             rem = max(1, self._req_cap[rid] - committed)
             horizon = min(horizon, int(np.ceil(rem / tpr)))
-        if self._queue:  # after _admit_from_queue: queued => no free slot
+        if self._queue and self._eos_ewma > 0.02:
+            # queued (after _admit_from_queue: => no free slot) and surprise
+            # finishes are live: one EOS finish arms the cap for ~16 chunks
             horizon = min(horizon, 2)
         best = self.chunk_ladder[0]
         for v in self.chunk_ladder:
@@ -645,6 +658,7 @@ class ServingEngine:
                     on_tokens(rid, outputs[slot][self._emitted[rid]:n])
                     self._emitted[rid] = n
         completed = []
+        surprise = False  # any EOS-before-budget finish this chunk
         for slot in [s for s, d in zip(range(self.b), done) if d]:
             if slot not in self._active:
                 continue
@@ -653,8 +667,12 @@ class ServingEngine:
             if epos.size:
                 toks = toks[: epos[0] + 1]
             rid = self._active.pop(slot)  # slot stays latched-done until
+            if epos.size and int(epos[0]) + 1 < self._req_cap[rid]:
+                surprise = True  # finished by EOS, not budget: the horizon
+                # estimate could not have predicted it — arm the queue cap
             self.results[rid] = toks[: self._req_cap[rid]]  # refilled
             completed.append(rid)
+        self._eos_ewma = 0.9 * self._eos_ewma + (0.1 if surprise else 0.0)
         completed.extend(failed)
         self._guard += chunk
         self._chunks += 1
